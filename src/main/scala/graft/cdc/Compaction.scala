@@ -1,0 +1,55 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.{LakeTable, DataFile}
+import graft.model.CdcModel
+
+/** Table maintenance: tombstone GC and small-file compaction.
+  *
+  * Tombstones (delete markers kept by MERGE, see [[Merge]]) are only needed
+  * while an out-of-order or replayed event below their LSN could still
+  * arrive. Once every source offset has passed `horizonLsn`, tombstones at or
+  * below it are dead weight — this rewrite drops them and coalesces each
+  * touched bucket back to one file. Runs as its own snapshot commit, so it is
+  * atomic, replayable, and concurrent-safe like any other write.
+  */
+object Compaction {
+
+  /** Drop tombstones with `_lsn <= horizonLsn`; rewrite only buckets that
+    * contain at least one such tombstone or more than `maxFilesPerBucket`
+    * files. Returns the number of buckets rewritten.
+    */
+  def apply(table: LakeTable, horizonLsn: Long, appId: String,
+      maxFilesPerBucket: Int = 1): Int = {
+    val snap = table.currentSnapshot.getOrElse(return 0)
+    if (snap.files.isEmpty) return 0
+    val filesPerBucket = snap.files.groupBy(_.bucket)
+    val fragmented = filesPerBucket.filter(_._2.size > maxFilesPerBucket).keySet
+
+    // find buckets holding expired tombstones (cheap scan of only the two
+    // relevant columns — parquet column pruning keeps this tiny)
+    val df = table.read()
+    val tombBuckets =
+      if (!df.columns.contains(CdcModel.DeletedCol)) Set.empty[Int]
+      else df
+        .filter(coalesce(col(CdcModel.DeletedCol), lit(false)) &&
+          col(CdcModel.RowLsnCol) <= horizonLsn)
+        .select(LakeTable.bucketExpr(CdcModel.KeyCols, snap.numBuckets).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+
+    val buckets = tombBuckets ++ fragmented
+    if (buckets.isEmpty) return 0
+
+    val kept = table.readBuckets(snap, buckets)
+      .filter(!(coalesce(col(CdcModel.DeletedCol), lit(false)) &&
+        col(CdcModel.RowLsnCol) <= horizonLsn))
+      .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(CdcModel.KeyCols, snap.numBuckets))
+      .repartition(col(LakeTable.BucketCol))
+    val added = table.writeDataFilesPrePartitioned(kept)
+    val removed = snap.files.filter(f => buckets.contains(f.bucket)).map(_.path).toSet
+    table.replaceFiles(snap, removed, added, None, appId, -1L,
+      snap.watermarkLsn, snap.sourceOffsets)
+    buckets.size
+  }
+}

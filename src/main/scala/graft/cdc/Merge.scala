@@ -1,0 +1,195 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+import graft.lake.{LakeTable, Snapshot, DataFile}
+import graft.model.CdcModel
+
+/** Per-batch outcome, persisted to the lineage table (SURVEY.md §7.1#6). */
+case class MergeStats(
+    batchId: Long,
+    committedVersion: Long,
+    eventsIn: Long,
+    distinctKeys: Long,
+    lwwConflicts: Long, // events that lost LWW within the batch
+    bucketsTouched: Int,
+    filesRewritten: Int,
+    rowsWritten: Long,
+    minLsn: Long,
+    maxLsn: Long,
+    schemaEvolved: Boolean,
+    skippedFenced: Boolean, // batch was already committed (exactly-once replay)
+    durationMs: Long)
+
+/** MERGE INTO for the LakeTable: applies one micro-batch of change events as
+  * a key-bucket-pruned, single-shuffle upsert.
+  *
+  * Semantics = the reference's upsert SQL (`DELETE FROM primary WHERE pk IN
+  * (SELECT pk FROM staging); INSERT INTO primary SELECT * FROM staging`,
+  * /root/reference/dialect.go:26-29, and Snowflake `MERGE INTO`,
+  * dialect.go:48-50) generalized to row-level I/U/D with LWW-by-LSN, plus the
+  * staging+transaction atomicity (load.go:158-168) as an atomic snapshot
+  * commit.
+  *
+  * Physical plan (deliberate, for 10^10-event scale):
+  *  1. bucket the batch by pmod(xxhash64(repo,path,commit), B) — the same
+  *     function that laid out the target's data files, so the set of touched
+  *     buckets prunes the target scan to only the files that can contain a
+  *     matched key (affected-partition pruning; everything else is untouched);
+  *  2. ONE shuffle: union(prunedTarget, batch) repartitioned by `_bucket`
+  *     alone — hash-partitioning on `_bucket` satisfies the groupBy's
+  *     clustered distribution on (_bucket, keys) because the partitioning
+  *     expressions are a subset of the grouping keys, so Catalyst inserts no
+  *     second shuffle, and the aggregated output stays one-bucket-per-task so
+  *     the writer emits exactly one file per touched bucket;
+  *  3. `max_by(struct(payload), orderKey)` resolves, in a single hash
+  *     aggregation with map-side partial combine: within-batch duplicate
+  *     LSNs, within-batch multiple updates per key, and batch-vs-table LWW
+  *     (the stored `_lsn` competes in the same order). Deletes win the
+  *     aggregation and persist as tombstones (`_deleted=true`) so replayed
+  *     or out-of-order pre-delete events can never resurrect a key;
+  *     [[Compaction]] drops tombstones behind the source horizon.
+  *
+  * Skew: the full primary key (repo, path, commit) feeds the bucket hash, so
+  * a hot *repo* is spread across buckets by its paths/commits — the salt is
+  * structural rather than bolted on. Per-key skew cannot exist (keys are
+  * unique after LWW). AQE remains on for residual imbalance.
+  *
+  * Exactly-once: commit-epoch fencing — if the current snapshot already
+  * carries (appId, batchId), the batch is a replay after failure and the
+  * apply is a no-op; combined with LWW-by-LSN against the stored `_lsn`,
+  * re-applying any suffix of the stream is idempotent (SURVEY.md §2.9 T5).
+  */
+object Merge {
+  private val OpRankCol = "_op_rank"
+  private val TieCol = "_tb"
+
+  /** @param orderedDelivery caller guarantees every event LSN in this batch
+    *        exceeds all previously-applied LSNs (e.g. an LSN-range replay).
+    *        Enables the watermark fast-path that skips fully-stale batches;
+    *        with out-of-order sources it MUST stay false — a "stale" LSN may
+    *        be a never-applied late file, and tombstone-retaining LWW (not
+    *        filtering) is what keeps replay idempotent then. */
+  def apply(table: LakeTable, events: DataFrame, appId: String, batchId: Long,
+      sourceOffsets: Map[String, Long] = Map.empty,
+      orderedDelivery: Boolean = false): MergeStats = {
+    val t0 = System.nanoTime()
+    val spark = events.sparkSession
+    val snap = table.currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"target table ${table.root} has no snapshot — bootstrap first"))
+
+    // --- commit-epoch fencing (replayed foreachBatch after restart) ---
+    if (snap.appId == appId && snap.batchId == batchId && batchId >= 0) {
+      return MergeStats(batchId, snap.version, 0, 0, 0, 0, 0, 0, -1, -1,
+        schemaEvolved = false, skippedFenced = true, (System.nanoTime() - t0) / 1000000)
+    }
+
+    val keyCols = CdcModel.KeyCols
+    val numBuckets = snap.numBuckets
+
+    // --- schema evolution: incoming payload vs table schema ---
+    val metaCols = Set(CdcModel.LsnCol, CdcModel.OpCol, "eventTime")
+    val incomingTarget = StructType(
+      events.schema.fields.filterNot(f => metaCols.contains(f.name)) ++ Seq(
+        StructField(CdcModel.RowLsnCol, LongType, nullable = false),
+        StructField(CdcModel.DeletedCol, BooleanType, nullable = false)))
+    val tableSchema = snap.schema
+    val evolvedSchema = SchemaEvolution.merge(tableSchema, incomingTarget)
+    val schemaEvolved = evolvedSchema != tableSchema
+    val payloadCols = evolvedSchema.fieldNames.filterNot(keyCols.contains).toSeq // includes _lsn
+
+    // --- LSN watermark guard (ordered sources only) + bucket the batch ---
+    val fresh =
+      if (orderedDelivery) Dedup.aboveWatermark(events, snap.watermarkLsn)
+      else events
+    val batchB = LakeTable.withBucket(fresh, keyCols, numBuckets)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one pass over the batch: events, distinct keys, touched buckets, lsn range
+      val stat = batchB
+        .groupBy(col(LakeTable.BucketCol) +: keyCols.map(col): _*)
+        .agg(count(lit(1)).as("dups"), max(col(CdcModel.LsnCol)).as("mx"),
+          min(col(CdcModel.LsnCol)).as("mn"))
+        .agg(sum("dups").as("eventsIn"), count(lit(1)).as("keys"),
+          collect_set(col(LakeTable.BucketCol)).as("buckets"),
+          max("mx").as("maxLsn"), min("mn").as("minLsn"))
+        .collect()(0)
+      val eventsIn = if (stat.isNullAt(0)) 0L else stat.getLong(0)
+      if (eventsIn == 0L) {
+        // nothing above the watermark — metadata-only commit to record the epoch
+        val s = table.replaceFiles(snap, Set.empty, Nil, None, appId, batchId,
+          snap.watermarkLsn, snap.sourceOffsets ++ sourceOffsets)
+        return MergeStats(batchId, s.version, 0, 0, 0, 0, 0, 0, -1, -1,
+          schemaEvolved = false, skippedFenced = false, (System.nanoTime() - t0) / 1000000)
+      }
+      val distinctKeys = stat.getLong(1)
+      val buckets = stat.getSeq[Int](2).toSet
+      val maxLsn = stat.getLong(3)
+      val minLsn = stat.getLong(4)
+
+      // --- affected-bucket pruning: read only target files that can match ---
+      val targetFiles = snap.files.filter(f => buckets.contains(f.bucket))
+      val target = SchemaEvolution.conform(table.readBuckets(snap, buckets), evolvedSchema)
+        // stored rows re-enter the LWW order at their stored LSN; op rank -1
+        // so an exact same-LSN replayed event (identical content by
+        // determinism) wins without changing the result
+        .withColumn(CdcModel.DeletedCol, coalesce(col(CdcModel.DeletedCol), lit(false)))
+        .withColumn(CdcModel.LsnCol, col(CdcModel.RowLsnCol))
+        .withColumn(OpRankCol, lit(-1))
+        .withColumn(TieCol, lit(""))
+        .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(keyCols, numBuckets))
+
+      val tieBreak =
+        if (evolvedSchema.fieldNames.contains("content"))
+          coalesce(col("content").cast(StringType), lit(""))
+        else lit("")
+      val batchConformed = {
+        val opRank = when(col(CdcModel.OpCol) === "D", 2)
+          .when(col(CdcModel.OpCol) === "U", 1).otherwise(0)
+        SchemaEvolution.conform(
+            batchB.withColumn(CdcModel.RowLsnCol, col(CdcModel.LsnCol))
+              .withColumn(CdcModel.DeletedCol, col(CdcModel.OpCol) === "D"),
+            StructType(evolvedSchema.fields :+ StructField(CdcModel.OpCol, StringType)))
+          .withColumn(CdcModel.LsnCol, col(CdcModel.RowLsnCol))
+          .withColumn(OpRankCol, opRank)
+          .withColumn(TieCol, tieBreak)
+          .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(keyCols, numBuckets))
+      }
+      val withOp = batchConformed.drop(CdcModel.OpCol)
+      val targetWithOp = target
+
+      val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val combined = targetWithOp
+        .select(withOp.columns.map(col): _*) // align column order for union
+        .unionByName(withOp)
+        .repartition(shufflePartitions, col(LakeTable.BucketCol))
+
+      // deletes survive as tombstone rows (_deleted=true): replay of an
+      // out-of-order suffix can never resurrect a deleted key, because the
+      // tombstone keeps competing in the LWW order at its delete LSN.
+      val orderK = struct(col(CdcModel.LsnCol), col(OpRankCol), col(TieCol))
+      val winners = combined
+        .groupBy(col(LakeTable.BucketCol) +: keyCols.map(col): _*)
+        .agg(max_by(struct(payloadCols.map(col): _*), orderK).as("_w"))
+        .select((col(LakeTable.BucketCol) +: keyCols.map(col)) ++
+          payloadCols.map(c => col(s"_w.$c").as(c)): _*)
+
+      val added = table.writeDataFilesPrePartitioned(winners)
+      val removed = targetFiles.map(_.path).toSet
+      val committed = table.replaceFiles(snap, removed, added,
+        if (schemaEvolved) Some(evolvedSchema.json) else None,
+        appId, batchId, math.max(snap.watermarkLsn, maxLsn),
+        snap.sourceOffsets ++ sourceOffsets)
+
+      MergeStats(batchId, committed.version, eventsIn, distinctKeys,
+        eventsIn - distinctKeys, buckets.size, targetFiles.size,
+        added.map(_.rows).sum, minLsn, maxLsn, schemaEvolved,
+        skippedFenced = false, (System.nanoTime() - t0) / 1000000)
+    } finally {
+      batchB.unpersist()
+    }
+  }
+}

