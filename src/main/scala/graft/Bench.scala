@@ -1,24 +1,76 @@
 package graft
+
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.cdc.CdcPipeline
+import graft.lake.LakeTable
+import graft.model.SyntheticEvents
+
+/** Per-round benchmark: headline CDC MERGE-apply throughput (the
+  * BASELINE.json metric) + per-query timings of representative operators.
+  * Prints ONE JSON line. Scale knobs via env:
+  *   SPARK_GRAFT_SF_DIR  input tables dir (default sf0.1)
+  *   SPARK_GRAFT_CPUS    cores (default 4)
+  *   GRAFT_BENCH_EVENTS  synthetic replay size (default 2,000,000)
+  *   GRAFT_BENCH_BATCHES micro-batches for the replay (default 8)
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nEvents = sys.env.getOrElse("GRAFT_BENCH_EVENTS", "2000000").toLong
+    val nBatches = sys.env.getOrElse("GRAFT_BENCH_BATCHES", "8").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // headline: synthetic CDC replay, LSN-ranged micro-batches
+    val (eps, cdcSec) = cdcThroughput(spark, nEvents, nBatches)
+
+    // representative operator queries on the sf dir
+    val headline = Seq("q1_agg", "j2_join_agg", "w1_top_per_group",
+      "dedup_exact", "dedup_minhash_lsh", "text_langid", "ann_topk_cosine",
+      "cdc_replay_state")
+    val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val n = try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + cdcSec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cdc_replay":{"events":$nEvents,"batches":$nBatches,"sec":$cdcSec,""" +
+      s""""events_per_sec":${eps.round}},"cores":$cpus,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Replay `n` synthetic events into a fresh LakeTable in `batches`
+    * micro-batches; returns (events/sec, elapsed seconds). Shared by Bench
+    * and ScalingBench so both cluster sizes run the identical job.
+    */
+  def cdcThroughput(spark: SparkSession, n: Long, batches: Int,
+      numBuckets: Int = 128): (Double, Double) = {
+    val root = Files.createTempDirectory("bench-cdc").toString
+    val events = SyntheticEvents.generate(spark, n,
+      nRepos = 2000, filesPerRepo = 500)
+    val p = new CdcPipeline(LakeTable(root)(spark), "bench")
+    p.bootstrap(numBuckets = numBuckets)
+    val t0 = System.nanoTime()
+    val stats = p.replay(events, numBatches = batches)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val applied = stats.map(_.eventsIn).sum
+    require(applied == n, s"replay applied $applied of $n events")
+    LakeTable.deleteRecursively(java.nio.file.Paths.get(root))
+    (n / sec, sec)
   }
 }

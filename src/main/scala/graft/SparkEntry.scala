@@ -1,13 +1,513 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{CdcPipeline, Lineage}
+import graft.functions.TextFunctions
+import graft.lake.LakeTable
+import graft.model.DerivedEvents
+import graft.operators.{DedupOps, SimilarityOps}
+
+/** Driver contract: every operator claimed in SURVEY.md §2 has a `queries`
+  * entry; each SQL-expressible one has a DuckDB oracle in `oracleSql` with
+  * IDENTICAL output column names and ORDER BY for deterministic compare.
+  *
+  * Decimal-cast discipline: double aggregations go through DecimalType so
+  * Spark and DuckDB produce bit-identical results regardless of summation
+  * order; outputs cast back to double.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: full CDC replay on sf0.001 (driver smoke-checks rows>0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    cdcReplayState(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- CDC ----
+
+  private def derivedEvents(spark: SparkSession, dir: String): DataFrame =
+    DerivedEvents.fromDocuments(t(spark, dir, "documents"))
+
+  /** Run the real engine end-to-end: bootstrap an empty LakeTable, replay the
+    * derived event stream in 4 LSN-range micro-batches, read back final live
+    * state. The oracle recomputes the same final state as one window query.
+    */
+  private def cdcReplayState(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("gate-cdc-replay").toString
+    val p = new CdcPipeline(LakeTable(root)(spark), "gate", lineage = false)
+    p.bootstrap(numBuckets = 16)
+    p.replay(derivedEvents(spark, dir), numBatches = 4)
+    p.state()
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        sha2(col("content"), 256).as("content_sha"))
+      .orderBy("repo", "path", "commit")
+  }
+
+  private def cdcSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = derivedEvents(spark, dir)
+    val b = ev.agg(min("lsn"), max("lsn")).collect()(0)
+    val split = (b.getLong(0) + b.getLong(1)) / 2
+    val root = Files.createTempDirectory("gate-cdc-evo").toString
+    val p = new CdcPipeline(LakeTable(root)(spark), "gate", lineage = false)
+    p.bootstrap(numBuckets = 16)
+    p.applyBatch(ev.filter(col("lsn") < split), 0L, orderedDelivery = true)
+    p.applyBatch(
+      ev.filter(col("lsn") >= split)
+        .withColumn("quality",
+          when(col("op") =!= "D", (col("lsn") % 100) / lit(100.0))),
+      1L, orderedDelivery = true)
+    p.state()
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        sha2(col("content"), 256).as("content_sha"), col("quality"))
+      .orderBy("repo", "path", "commit")
+  }
+
+  private def cdcLineage(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("gate-cdc-lin").toString
+    val p = new CdcPipeline(LakeTable(root)(spark), "gate")
+    p.bootstrap(numBuckets = 16)
+    p.replay(derivedEvents(spark, dir), numBatches = 4)
+    Lineage.read(spark, root)
+      .filter(col("eventsIn") > 0)
+      .select(col("batchId"), col("eventsIn"), col("distinctKeys"),
+        col("lwwConflicts"), col("minLsn"), col("maxLsn"))
+      .orderBy("batchId")
+  }
+
+  // ---------------------------------------------- relational / ELT parity ----
+
+  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+
+  private def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def s1ScanFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def p5PreviewLimit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").orderBy("o_orderkey").limit(3)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+
+  /** J1: the reference's upsert as anti-join + union-all (dialect.go:26-29):
+    * staging = every 10th order with re-priced total; primary rows whose key
+    * matches staging are replaced. */
+  private def j1Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val primary = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec(col("o_totalprice")).as("tp"))
+    val staging = primary.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("tp", col("tp") + lit(1).cast("decimal(18,4)"))
+      .withColumn("o_orderstatus", lit("R"))
+    primary.join(staging.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(staging)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("tp").cast("double").as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J3/A1: multi-join + aggregation (the in-warehouse CTAS transform class,
+    * transform.go:10-40) — revenue per nation, small dims broadcast. */
+  private def j2JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Window / top-k per group: most expensive order per customer. */
+  private def w1TopPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      .orderBy("o_custkey")
+  }
+
+  /** Set ops (U3/U4): customers that placed an order but none with status F. */
+  private def u1SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val withOrders = o.select(col("o_custkey").as("custkey")).distinct()
+    val withF = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey")).distinct()
+    withOrders.exceptAll(withF).orderBy("custkey")
+  }
+
+  /** O1: deterministic alphabetical column order (api.go:642-652). */
+  private def o1SortedCols(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .withColumn("ts_s", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      .drop("ts")
+    e.select(e.columns.sorted.map(col): _*).orderBy("event_id")
+  }
+
+  /** P4/T3: ModifiedOnly lookback — rows within 36h of the newest event
+    * (database.go:179-187, with the cutoff derived from data, not now()). */
+  private def p4Lookback(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val cutoff = e.agg((max(col("ts")) - expr("INTERVAL 36 HOURS")).as("c"))
+    e.join(broadcast(cutoff)).filter(col("ts") > col("c"))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("event_id")
+  }
+
+  /** F1/F2/F6: per-column scalar transform chain + computed column
+    * (value*100 as int — transform_column_and_change_type.port; strftime
+    * computed column — compute_column.port). */
+  private def f2Transforms(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        floor(col("value") * 100).cast("long").as("value_cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        upper(col("event_type")).as("event_type_uc"))
+      .orderBy("event_id")
+
+  /** F3/F4: JSON deserialize column (deserialize_json_column.port → dig). */
+  private def f4JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  // ------------------------------------------------- training-data ops ----
+
+  private def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.exact(t(spark, dir, "documents"))
+      .select(col("fp"), col("keep_id"), col("dup_count"))
+      .orderBy("fp")
+
+  private def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    d.select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  private def textLangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+
+  private def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.ngramJaccardPairs(
+      t(spark, dir, "documents").filter(col("doc_id") < 500), n = 3, threshold = 0.2)
+      .select(col("a"), col("b")) // jaccard value checked via threshold only
+      .orderBy("a", "b")
+
+  private def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.minhashLshPairs(
+      t(spark, dir, "documents").filter(col("doc_id") < 500),
+      n = 3, bands = 4, rowsPerBand = 2)
+      .orderBy("a", "b")
+
+  private def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.simhashPairs(
+      t(spark, dir, "documents").filter(col("doc_id") < 500), maxDist = 8)
+      .orderBy("a", "b")
+
+  private def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    SimilarityOps.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_r"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  private def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    SimilarityOps.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 3, planes = 4)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** Multimodal plumbing: text → binary column + typed metadata (byte length,
+    * utf8 validity, content hash over the string form — DuckDB's sha256 is
+    * VARCHAR-only so the hash is computed pre-encode in both engines). */
+  private def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"),
+        sha2(col("text"), 256).as("content_sha"))
+      .select(col("doc_id"), octet_length(col("blob")).cast("long").as("n_bytes"),
+        col("content_sha"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------ registry ----
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_replay_state" -> (cdcReplayState _),
+    "cdc_dedup_lww" -> ((s, d) => {
+      val deduped = graft.cdc.Dedup.lastWriterWins(derivedEvents(s, d))
+      deduped.select(col("repo"), col("path"), col("commit"), col("lsn"),
+          col("op"), sha2(col("content"), 256).as("content_sha"))
+        .orderBy("repo", "path", "commit")
+    }),
+    "cdc_events_derive" -> ((s, d) =>
+      derivedEvents(s, d)
+        .select(col("lsn"), col("op"), col("repo"), col("path"), col("commit"),
+          col("lang"), sha2(col("content"), 256).as("content_sha"))
+        .orderBy("lsn", "repo", "path", "op", "content_sha")),
+    "cdc_schema_evolution" -> (cdcSchemaEvolution _),
+    "cdc_lineage" -> (cdcLineage _),
+    "q1_agg" -> (q1Agg _),
+    "s1_scan_filter" -> (s1ScanFilter _),
+    "p5_preview_limit" -> (p5PreviewLimit _),
+    "j1_upsert" -> (j1Upsert _),
+    "j2_join_agg" -> (j2JoinAgg _),
+    "w1_top_per_group" -> (w1TopPerGroup _),
+    "u1_set_ops" -> (u1SetOps _),
+    "o1_sorted_cols" -> (o1SortedCols _),
+    "p4_lookback" -> (p4Lookback _),
+    "f2_transforms" -> (f2Transforms _),
+    "f4_json_extract" -> (f4JsonExtract _),
+    "dedup_exact" -> (dedupExact _),
+    "text_stats" -> (textStats _),
+    "text_langid" -> (textLangId _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhashPairs _),
+    "ann_topk_cosine" -> (annTopK _),
+    "ann_lsh_cosine" -> (annLsh _),
+    "multimodal_meta" -> (multimodalMeta _))
+
+  // ------------------------------------------------------------- oracles ----
+
+  /** Shared DuckDB CTE reproducing [[DerivedEvents.fromDocuments]]. */
+  private val evCte: String = """
+    WITH ev AS (
+      SELECT
+        CASE WHEN k = 0 THEN doc_id*8 WHEN k = 3 THEN doc_id*8+5 ELSE doc_id*8+2 END AS lsn,
+        CASE WHEN k = 0 THEN 'I' WHEN k = 3 THEN 'D' ELSE 'U' END AS op,
+        'repo-' || CAST(doc_id % 50 AS VARCHAR) AS repo,
+        'src/f' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+        md5('c' || CAST(doc_id AS VARCHAR)) AS "commit",
+        lang,
+        CASE WHEN k = 0 THEN text WHEN k = 1 THEN text || ' v1'
+             WHEN k = 2 THEN text || ' v2' ELSE '' END AS content
+      FROM documents, (SELECT unnest(range(4)) AS k)
+      WHERE k = 0 OR (k = 1 AND doc_id % 2 = 0)
+         OR (k = 2 AND doc_id % 3 = 0) OR (k = 3 AND doc_id % 5 = 0))"""
+
+  private val lwwRanked: String = """
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path, "commit"
+        ORDER BY lsn DESC,
+          (CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END) DESC,
+          content DESC) AS rn
+      FROM ev)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "cdc_replay_state" -> s"""$evCte, $lwwRanked
+      SELECT repo, path, "commit", lang, sha256(content) AS content_sha
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY repo, path, "commit"""",
+    "cdc_dedup_lww" -> s"""$evCte, $lwwRanked
+      SELECT repo, path, "commit", lsn, op, sha256(content) AS content_sha
+      FROM ranked WHERE rn = 1
+      ORDER BY repo, path, "commit"""",
+    "cdc_events_derive" -> s"""$evCte
+      SELECT lsn, op, repo, path, "commit", lang, sha256(content) AS content_sha
+      FROM ev ORDER BY lsn, repo, path, op, content_sha""",
+    "cdc_schema_evolution" -> s"""$evCte,
+      bounds AS (SELECT (min(lsn)+max(lsn))//2 AS split FROM ev),
+      ev2 AS (
+        SELECT *, CASE WHEN lsn >= (SELECT split FROM bounds) AND op <> 'D'
+          THEN (lsn % 100) / 100.0 END AS quality FROM ev),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY repo, path, "commit"
+          ORDER BY lsn DESC,
+            (CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END) DESC,
+            content DESC) AS rn
+        FROM ev2)
+      SELECT repo, path, "commit", lang, sha256(content) AS content_sha, quality
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY repo, path, "commit"""",
+    "cdc_lineage" -> s"""$evCte,
+      bounds AS (SELECT min(lsn) AS lo, max(lsn) AS hi,
+        greatest(1, (max(lsn) - min(lsn) + 4) // 4) AS w FROM ev),
+      batched AS (
+        SELECT least((lsn - lo) // w, 3) AS batchId, lsn, repo, path, "commit"
+        FROM ev, bounds
+        WHERE lsn >= lo AND lsn < lo + 4 * w)
+      SELECT batchId,
+        count(*) AS eventsIn,
+        count(DISTINCT (repo, path, "commit")) AS distinctKeys,
+        count(*) - count(DISTINCT (repo, path, "commit")) AS lwwConflicts,
+        min(lsn) AS minLsn, max(lsn) AS maxLsn
+      FROM batched GROUP BY batchId HAVING count(*) > 0 ORDER BY batchId""",
+    "q1_agg" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "s1_scan_filter" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity,
+        strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+      FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_discount >= 0.05
+      ORDER BY l_orderkey, l_linenumber""",
+    "p5_preview_limit" -> """
+      SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders ORDER BY o_orderkey LIMIT 3""",
+    "j1_upsert" -> """
+      WITH staging AS (
+        SELECT o_orderkey, 'R' AS o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(18,4)) + CAST(1 AS DECIMAL(18,4)) AS tp
+        FROM orders WHERE o_orderkey % 10 = 0)
+      SELECT o_orderkey, o_orderstatus, CAST(tp AS DOUBLE) AS o_totalprice FROM (
+        SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,4)) AS tp
+        FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM staging)
+        UNION ALL SELECT * FROM staging)
+      ORDER BY o_orderkey""",
+    "j2_join_agg" -> """
+      SELECT n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
+    "w1_top_per_group" -> """
+      SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+      WHERE rn = 1 ORDER BY o_custkey""",
+    "u1_set_ops" -> """
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+      EXCEPT
+      SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      ORDER BY custkey""",
+    "o1_sorted_cols" -> """
+      SELECT event_id, event_type, props,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, user_id, value
+      FROM events ORDER BY event_id""",
+    "p4_lookback" -> """
+      SELECT event_id, user_id, event_type FROM events
+      WHERE ts > (SELECT max(ts) - INTERVAL 36 HOUR FROM events)
+      ORDER BY event_id""",
+    "f2_transforms" -> """
+      SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS value_cents,
+        strftime(ts, '%Y-%m-%d') AS day, upper(event_type) AS event_type_uc
+      FROM events ORDER BY event_id""",
+    "f4_json_extract" -> """
+      SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+      FROM events ORDER BY event_id""",
+    "dedup_exact" -> """
+      SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        min(doc_id) AS keep_id, count(*) AS dup_count
+      FROM documents GROUP BY 1 ORDER BY fp""",
+    "text_stats" -> """
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        length(text) AS n_chars_m,
+        sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents ORDER BY doc_id""",
+    "text_langid" -> """
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents),
+      scores AS (
+        SELECT doc_id, lang_code, hits FROM toks, LATERAL (VALUES
+          ('de', len(list_filter(tk, x -> x IN ('der','die','und','das','ist')))),
+          ('en', len(list_filter(tk, x -> x IN ('the','and','of','to','is')))),
+          ('es', len(list_filter(tk, x -> x IN ('el','la','de','que','es')))),
+          ('fr', len(list_filter(tk, x -> x IN ('le','la','et','les','est'))))
+        ) AS v(lang_code, hits)),
+      best AS (
+        SELECT doc_id, lang_code, hits, row_number() OVER (
+          PARTITION BY doc_id ORDER BY hits DESC, lang_code DESC) AS rn
+        FROM scores)
+      SELECT doc_id, CASE WHEN hits = 0 THEN 'und' ELSE lang_code END AS pred_lang
+      FROM best WHERE rn = 1 ORDER BY doc_id""",
+    "dedup_ngram_jaccard" -> """
+      WITH tk AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE doc_id < 500),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) <= 2
+          THEN [array_to_string(t, ' ')]
+          ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+          END)) AS s
+        FROM tk),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      shared AS (
+        SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+        FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+        GROUP BY 1, 2)
+      SELECT a, b FROM shared
+      JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.2
+      ORDER BY a, b""",
+    "dedup_minhash_lsh" -> """
+      WITH tk AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE doc_id < 500),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) <= 2
+          THEN [array_to_string(t, ' ')]
+          ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+          END)) AS s
+        FROM tk),
+      sig AS (
+        SELECT doc_id,
+          min(md5('0#' || s)) AS m0, min(md5('1#' || s)) AS m1,
+          min(md5('2#' || s)) AS m2, min(md5('3#' || s)) AS m3,
+          min(md5('4#' || s)) AS m4, min(md5('5#' || s)) AS m5,
+          min(md5('6#' || s)) AS m6, min(md5('7#' || s)) AS m7
+        FROM sh GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, band, bv FROM sig, LATERAL (VALUES
+          (0, m0 || '|' || m1), (1, m2 || '|' || m3),
+          (2, m4 || '|' || m5), (3, m6 || '|' || m7)) AS v(band, bv))
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
+      ORDER BY a, b""",
+    "multimodal_meta" -> """
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        sha256(text) AS content_sha
+      FROM documents ORDER BY doc_id""")
+  // dedup_simhash, ann_topk_cosine, ann_lsh_cosine: xxhash64/float-fold based —
+  // not reproducible in portable SQL; driver records rows-only checks, full
+  // semantics covered by ScalaTest (SimilaritySpec/DedupSpec).
 }

@@ -1,9 +1,8 @@
 package graft.cdc
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.storage.StorageLevel
 
 import graft.lake.{LakeTable, Snapshot, DataFile}
 import graft.model.CdcModel
@@ -34,29 +33,30 @@ case class MergeStats(
   * staging+transaction atomicity (load.go:158-168) as an atomic snapshot
   * commit.
   *
-  * Physical plan (deliberate, for 10^10-event scale):
-  *  1. bucket the batch by pmod(xxhash64(repo,path,commit), B) — the same
-  *     function that laid out the target's data files, so the set of touched
-  *     buckets prunes the target scan to only the files that can contain a
-  *     matched key (affected-partition pruning; everything else is untouched);
-  *  2. ONE shuffle: union(prunedTarget, batch) repartitioned by `_bucket`
-  *     alone — hash-partitioning on `_bucket` satisfies the groupBy's
-  *     clustered distribution on (_bucket, keys) because the partitioning
-  *     expressions are a subset of the grouping keys, so Catalyst inserts no
-  *     second shuffle, and the aggregated output stays one-bucket-per-task so
-  *     the writer emits exactly one file per touched bucket;
-  *  3. `max_by(struct(payload), orderKey)` resolves, in a single hash
-  *     aggregation with map-side partial combine: within-batch duplicate
-  *     LSNs, within-batch multiple updates per key, and batch-vs-table LWW
-  *     (the stored `_lsn` competes in the same order). Deletes win the
-  *     aggregation and persist as tombstones (`_deleted=true`) so replayed
-  *     or out-of-order pre-delete events can never resurrect a key;
-  *     [[Compaction]] drops tombstones behind the source horizon.
+  * Physical plan (deliberate, for 10^10-event scale — two jobs per batch):
+  *  1. a narrow pre-pass over the batch (no shuffle: map-side partial agg to
+  *     one row) collects the touched-bucket set + event count. The bucket set
+  *     prunes the target scan to only files that can contain a matched key
+  *     (affected-partition pruning); an empty batch short-circuits to a
+  *     metadata-only commit.
+  *  2. the merge job — ONE shuffle: union(prunedTarget, batch) repartitioned
+  *     by `_bucket` alone. Hash-partitioning on `_bucket` satisfies the
+  *     groupBy's clustered distribution on (_bucket, keys) because the
+  *     partitioning expressions are a subset of the grouping keys, so
+  *     Catalyst inserts no second shuffle, and the aggregated output stays
+  *     one-bucket-per-task so the writer emits exactly one file per touched
+  *     bucket. `max_by(struct(payload), orderKey)` resolves within-batch
+  *     duplicate LSNs, multiple updates per key, and batch-vs-table LWW in a
+  *     single hash aggregation with map-side combine. Deletes win and persist
+  *     as tombstones (`_deleted=true`) so replayed or out-of-order pre-delete
+  *     events can never resurrect a key ([[Compaction]] GCs them later).
+  *     Lineage statistics (distinct keys, LWW conflicts, LSN range, rows
+  *     written) ride on the same job via `Observation` — no extra pass.
   *
   * Skew: the full primary key (repo, path, commit) feeds the bucket hash, so
   * a hot *repo* is spread across buckets by its paths/commits — the salt is
-  * structural rather than bolted on. Per-key skew cannot exist (keys are
-  * unique after LWW). AQE remains on for residual imbalance.
+  * structural rather than bolted on. Per-key skew cannot exist in the output
+  * (keys are unique after LWW); AQE remains on for residual imbalance.
   *
   * Exactly-once: commit-epoch fencing — if the current snapshot already
   * carries (appId, batchId), the batch is a replay after failure and the
@@ -66,6 +66,7 @@ case class MergeStats(
 object Merge {
   private val OpRankCol = "_op_rank"
   private val TieCol = "_tb"
+  private val SrcCol = "_src" // 1 = from batch, 0 = carried from target
 
   /** @param orderedDelivery caller guarantees every event LSN in this batch
     *        exceeds all previously-applied LSNs (e.g. an LSN-range replay).
@@ -99,97 +100,98 @@ object Merge {
     val tableSchema = snap.schema
     val evolvedSchema = SchemaEvolution.merge(tableSchema, incomingTarget)
     val schemaEvolved = evolvedSchema != tableSchema
-    val payloadCols = evolvedSchema.fieldNames.filterNot(keyCols.contains).toSeq // includes _lsn
+    val payloadCols = evolvedSchema.fieldNames.filterNot(keyCols.contains).toSeq // incl _lsn, _deleted
 
     // --- LSN watermark guard (ordered sources only) + bucket the batch ---
     val fresh =
       if (orderedDelivery) Dedup.aboveWatermark(events, snap.watermarkLsn)
       else events
     val batchB = LakeTable.withBucket(fresh, keyCols, numBuckets)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      // one pass over the batch: events, distinct keys, touched buckets, lsn range
-      val stat = batchB
-        .groupBy(col(LakeTable.BucketCol) +: keyCols.map(col): _*)
-        .agg(count(lit(1)).as("dups"), max(col(CdcModel.LsnCol)).as("mx"),
-          min(col(CdcModel.LsnCol)).as("mn"))
-        .agg(sum("dups").as("eventsIn"), count(lit(1)).as("keys"),
-          collect_set(col(LakeTable.BucketCol)).as("buckets"),
-          max("mx").as("maxLsn"), min("mn").as("minLsn"))
-        .collect()(0)
-      val eventsIn = if (stat.isNullAt(0)) 0L else stat.getLong(0)
-      if (eventsIn == 0L) {
-        // nothing above the watermark — metadata-only commit to record the epoch
-        val s = table.replaceFiles(snap, Set.empty, Nil, None, appId, batchId,
-          snap.watermarkLsn, snap.sourceOffsets ++ sourceOffsets)
-        return MergeStats(batchId, s.version, 0, 0, 0, 0, 0, 0, -1, -1,
-          schemaEvolved = false, skippedFenced = false, (System.nanoTime() - t0) / 1000000)
-      }
-      val distinctKeys = stat.getLong(1)
-      val buckets = stat.getSeq[Int](2).toSet
-      val maxLsn = stat.getLong(3)
-      val minLsn = stat.getLong(4)
 
-      // --- affected-bucket pruning: read only target files that can match ---
-      val targetFiles = snap.files.filter(f => buckets.contains(f.bucket))
-      val target = SchemaEvolution.conform(table.readBuckets(snap, buckets), evolvedSchema)
-        // stored rows re-enter the LWW order at their stored LSN; op rank -1
-        // so an exact same-LSN replayed event (identical content by
-        // determinism) wins without changing the result
-        .withColumn(CdcModel.DeletedCol, coalesce(col(CdcModel.DeletedCol), lit(false)))
-        .withColumn(CdcModel.LsnCol, col(CdcModel.RowLsnCol))
-        .withColumn(OpRankCol, lit(-1))
-        .withColumn(TieCol, lit(""))
-        .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(keyCols, numBuckets))
-
-      val tieBreak =
-        if (evolvedSchema.fieldNames.contains("content"))
-          coalesce(col("content").cast(StringType), lit(""))
-        else lit("")
-      val batchConformed = {
-        val opRank = when(col(CdcModel.OpCol) === "D", 2)
-          .when(col(CdcModel.OpCol) === "U", 1).otherwise(0)
-        SchemaEvolution.conform(
-            batchB.withColumn(CdcModel.RowLsnCol, col(CdcModel.LsnCol))
-              .withColumn(CdcModel.DeletedCol, col(CdcModel.OpCol) === "D"),
-            StructType(evolvedSchema.fields :+ StructField(CdcModel.OpCol, StringType)))
-          .withColumn(CdcModel.LsnCol, col(CdcModel.RowLsnCol))
-          .withColumn(OpRankCol, opRank)
-          .withColumn(TieCol, tieBreak)
-          .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(keyCols, numBuckets))
-      }
-      val withOp = batchConformed.drop(CdcModel.OpCol)
-      val targetWithOp = target
-
-      val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      val combined = targetWithOp
-        .select(withOp.columns.map(col): _*) // align column order for union
-        .unionByName(withOp)
-        .repartition(shufflePartitions, col(LakeTable.BucketCol))
-
-      // deletes survive as tombstone rows (_deleted=true): replay of an
-      // out-of-order suffix can never resurrect a deleted key, because the
-      // tombstone keeps competing in the LWW order at its delete LSN.
-      val orderK = struct(col(CdcModel.LsnCol), col(OpRankCol), col(TieCol))
-      val winners = combined
-        .groupBy(col(LakeTable.BucketCol) +: keyCols.map(col): _*)
-        .agg(max_by(struct(payloadCols.map(col): _*), orderK).as("_w"))
-        .select((col(LakeTable.BucketCol) +: keyCols.map(col)) ++
-          payloadCols.map(c => col(s"_w.$c").as(c)): _*)
-
-      val added = table.writeDataFilesPrePartitioned(winners)
-      val removed = targetFiles.map(_.path).toSet
-      val committed = table.replaceFiles(snap, removed, added,
-        if (schemaEvolved) Some(evolvedSchema.json) else None,
-        appId, batchId, math.max(snap.watermarkLsn, maxLsn),
-        snap.sourceOffsets ++ sourceOffsets)
-
-      MergeStats(batchId, committed.version, eventsIn, distinctKeys,
-        eventsIn - distinctKeys, buckets.size, targetFiles.size,
-        added.map(_.rows).sum, minLsn, maxLsn, schemaEvolved,
-        skippedFenced = false, (System.nanoTime() - t0) / 1000000)
-    } finally {
-      batchB.unpersist()
+    // --- job 1 (narrow, no shuffle): touched buckets + batch size ---
+    val pre = batchB.agg(
+      collect_set(col(LakeTable.BucketCol)).as("buckets"),
+      count(lit(1)).as("n")).collect()(0)
+    val eventsIn = pre.getLong(1)
+    if (eventsIn == 0L) {
+      // nothing to apply — metadata-only commit to record the epoch
+      val s = table.replaceFiles(snap, Set.empty, Nil, None, appId, batchId,
+        snap.watermarkLsn, snap.sourceOffsets ++ sourceOffsets)
+      return MergeStats(batchId, s.version, 0, 0, 0, 0, 0, 0, -1, -1,
+        schemaEvolved = false, skippedFenced = false, (System.nanoTime() - t0) / 1000000)
     }
+    val buckets = pre.getSeq[Int](0).toSet
+
+    // --- affected-bucket pruning: read only target files that can match ---
+    val targetFiles = snap.files.filter(f => buckets.contains(f.bucket))
+    val target = SchemaEvolution.conform(table.readBuckets(snap, buckets), evolvedSchema)
+      // stored rows re-enter the LWW order at their stored LSN; op rank -1 so
+      // an exact same-LSN replayed event (identical content by determinism)
+      // wins without changing the result
+      .withColumn(CdcModel.DeletedCol, coalesce(col(CdcModel.DeletedCol), lit(false)))
+      .withColumn(CdcModel.LsnCol, col(CdcModel.RowLsnCol))
+      .withColumn(OpRankCol, lit(-1))
+      .withColumn(TieCol, lit(""))
+      .withColumn(SrcCol, lit(0L))
+      .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(keyCols, numBuckets))
+
+    val tieBreak =
+      if (evolvedSchema.fieldNames.contains("content"))
+        coalesce(col("content").cast(StringType), lit(""))
+      else lit("")
+    val batchConformed = {
+      val opRank = when(col(CdcModel.OpCol) === "D", 2)
+        .when(col(CdcModel.OpCol) === "U", 1).otherwise(0)
+      SchemaEvolution.conform(
+          batchB.withColumn(CdcModel.RowLsnCol, col(CdcModel.LsnCol))
+            .withColumn(CdcModel.DeletedCol, col(CdcModel.OpCol) === "D"),
+          StructType(evolvedSchema.fields :+ StructField(CdcModel.OpCol, StringType)))
+        .withColumn(CdcModel.LsnCol, col(CdcModel.RowLsnCol))
+        .withColumn(OpRankCol, opRank)
+        .withColumn(TieCol, tieBreak)
+        .withColumn(SrcCol, lit(1L))
+        .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(keyCols, numBuckets))
+        .drop(CdcModel.OpCol)
+    }
+
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val combined = target
+      .select(batchConformed.columns.map(col): _*) // align column order for union
+      .unionByName(batchConformed)
+      .repartition(shufflePartitions, col(LakeTable.BucketCol))
+
+    // --- job 2: merge + write; lineage stats observed on the same pass ---
+    val orderK = struct(col(CdcModel.LsnCol), col(OpRankCol), col(TieCol))
+    val obs = Observation(s"merge-$appId-$batchId-${snap.version}")
+    val winners = combined
+      .groupBy(col(LakeTable.BucketCol) +: keyCols.map(col): _*)
+      .agg(
+        max_by(struct(payloadCols.map(col): _*), orderK).as("_w"),
+        max(SrcCol).as("_hasBatch"),
+        min(when(col(SrcCol) === 1L, col(CdcModel.LsnCol))).as("_bmin"),
+        max(when(col(SrcCol) === 1L, col(CdcModel.LsnCol))).as("_bmax"))
+      .observe(obs,
+        sum("_hasBatch").as("distinctKeys"),
+        min("_bmin").as("minLsn"),
+        max("_bmax").as("maxLsn"))
+      .select((col(LakeTable.BucketCol) +: keyCols.map(col)) ++
+        payloadCols.map(c => col(s"_w.$c").as(c)): _*)
+
+    val added = table.writeDataFilesPrePartitioned(winners)
+    val m = obs.get
+    val distinctKeys = m("distinctKeys").asInstanceOf[Long]
+    val minLsn = m("minLsn").asInstanceOf[Long]
+    val maxLsn = m("maxLsn").asInstanceOf[Long]
+
+    val removed = targetFiles.map(_.path).toSet
+    val committed = table.replaceFiles(snap, removed, added,
+      if (schemaEvolved) Some(evolvedSchema.json) else None,
+      appId, batchId, math.max(snap.watermarkLsn, maxLsn),
+      snap.sourceOffsets ++ sourceOffsets)
+
+    MergeStats(batchId, committed.version, eventsIn, distinctKeys,
+      eventsIn - distinctKeys, buckets.size, targetFiles.size,
+      added.map(_.rows).sum, minLsn, maxLsn, schemaEvolved,
+      skippedFenced = false, (System.nanoTime() - t0) / 1000000)
   }
 }

@@ -160,7 +160,7 @@ final class LakeTable(val root: String, spark: SparkSession) {
   private def collectStagedFiles(staging: Path): List[DataFile] = {
     val bucketDirs = LakeTable.listDir(staging)
       .filter(p => p.getFileName.toString.startsWith(s"$BucketCol="))
-    bucketDirs.flatMap { bdir =>
+    val moved = bucketDirs.flatMap { bdir =>
       val bucket = bdir.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
       LakeTable.listDir(bdir)
         .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -168,11 +168,23 @@ final class LakeTable(val root: String, spark: SparkSession) {
           val name = s"$bucket-${UUID.randomUUID().toString}.parquet"
           val dst = dataDir.resolve(name)
           Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-          val bytes = Files.size(dst)
-          val rows = parquetRowCount(dst)
-          DataFile(name, bucket, rows, bytes)
+          (name, bucket, dst)
         }
     }
+    // footer row-counts in parallel — a merge can produce hundreds of files
+    // and sequential footer opens would dominate small-batch latency
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, moved.size)))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = moved.map { case (name, bucket, dst) =>
+        pool.submit(new java.util.concurrent.Callable[DataFile] {
+          def call(): DataFile =
+            DataFile(name, bucket, parquetRowCount(dst), Files.size(dst))
+        })
+      }
+      tasks.map(_.get())
+    } finally pool.shutdown()
   }
 
   /** Row count from the parquet footer (no data read). */
@@ -291,7 +303,7 @@ object LakeTable {
     try st.iterator().asScala.toList finally st.close()
   }
 
-  private[lake] def deleteRecursively(p: Path): Unit = {
+  private[graft] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }

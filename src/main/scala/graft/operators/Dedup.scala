@@ -64,16 +64,25 @@ object DedupOps {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** MinHash signature as `numHashes` lexicographic-min md5 hex strings of
-    * salted shingles. Using the hex string itself as the hash value keeps
-    * the signature reproducible in any engine with md5 (the DuckDB oracle),
-    * with identical collision behavior to integer minhash.
+  /** MinHash signatures as `numHashes` lexicographic-min md5 hex strings of
+    * salted shingles, computed with explode + one hash aggregation rather
+    * than nested higher-order functions: the per-shingle row stream keeps
+    * every md5 evaluated exactly once inside one codegen stage (an array-
+    * valued `transform` per hash would re-materialize the shingle array
+    * `numHashes` times and explode the expression tree), and the min-agg
+    * combines map-side — the plan that still works when a document has 10^5
+    * shingles. Using the hex string itself as the hash value keeps the
+    * signature reproducible in any engine with md5 (the DuckDB oracle), with
+    * identical collision behavior to integer minhash. Returns (id, m0..m{k-1}).
     */
-  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
-    val sh = shingles(text, n)
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => md5(concat(lit(s"$i#"), s))))
-    }: _*)
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("sh"))
+    sh.groupBy("id").agg(
+      min(md5(concat(lit("0#"), col("sh")))).as("m0"),
+      (1 until numHashes).map(i =>
+        min(md5(concat(lit(s"$i#"), col("sh")))).as(s"m$i")): _*)
   }
 
   /** MinHash + LSH near-dup candidates: signatures banded into
@@ -88,12 +97,11 @@ object DedupOps {
   def minhashLshPairs(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = docs.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), n, numHashes).as("sig"))
+    val withSig = minhashSignatures(docs, n, numHashes, idCol, textCol)
     val banded = withSig.select(col("id"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws("|", (0 until rowsPerBand).map(r =>
-          col("sig").getItem(b * rowsPerBand + r)): _*))).as(Seq("band", "bv")))
+      array((0 until bands).map(b =>
+        concat_ws("|", (0 until rowsPerBand).map(r =>
+          col(s"m${b * rowsPerBand + r}")): _*)): _*)).as(Seq("band", "bv")))
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
           col("l.id") < col("r.id"))

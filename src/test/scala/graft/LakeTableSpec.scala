@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.lake.{LakeTable, Snapshot, CommitConflictException}
+
+class LakeTableSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType), StructField("v", LongType)))
+
+  test("create + overwrite + read round-trip") {
+    val t = LakeTable(SparkTestBase.tmpDir("lake-rt"))(spark)
+    t.create(schema, numBuckets = 4, appId = "t")
+    val df = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v")
+    t.overwrite(df, Seq("k"), "t")
+    assert(t.read().orderBy("k").as[(String, Long)].collect().toSeq ===
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    assert(t.latestVersion === 1)
+  }
+
+  test("commit CAS rejects stale parent (concurrent writers)") {
+    val t = LakeTable(SparkTestBase.tmpDir("lake-cas"))(spark)
+    val s0 = t.create(schema, 4, "t")
+    val s1 = Snapshot(1, 0, schema.json, 4, Nil, "w1", -1, -1, Map.empty)
+    t.commit(s1, 0)
+    // second writer still thinks parent is 0 → must fail, not overwrite
+    val s1b = Snapshot(1, 0, schema.json, 4, Nil, "w2", -1, -1, Map.empty)
+    intercept[CommitConflictException] { t.commit(s1b, 0) }
+    assert(t.currentSnapshot.get.appId === "w1")
+  }
+
+  test("bucket invariant: each data file holds exactly one bucket") {
+    val t = LakeTable(SparkTestBase.tmpDir("lake-bkt"))(spark)
+    t.create(schema, 8, "t")
+    val df = spark.range(1000).select(concat(lit("k"), col("id")).as("k"), col("id").as("v"))
+    val snap = t.overwrite(df, Seq("k"), "t")
+    assert(snap.files.nonEmpty)
+    snap.files.foreach { f =>
+      val actual = spark.read.parquet(s"${t.root}/data/${f.path}")
+        .select(LakeTable.bucketExpr(Seq("k"), 8).as("b")).distinct().collect()
+      assert(actual.length === 1 && actual(0).getInt(0) === f.bucket)
+    }
+    // manifest row counts match the data
+    assert(snap.files.map(_.rows).sum === 1000)
+  }
+
+  test("readBuckets prunes to requested buckets only") {
+    val t = LakeTable(SparkTestBase.tmpDir("lake-prune"))(spark)
+    t.create(schema, 8, "t")
+    val df = spark.range(1000).select(concat(lit("k"), col("id")).as("k"), col("id").as("v"))
+    val snap = t.overwrite(df, Seq("k"), "t")
+    val some = snap.files.map(_.bucket).distinct.take(3).toSet
+    val got = t.readBuckets(snap, some)
+      .select(LakeTable.bucketExpr(Seq("k"), 8).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(got === some)
+  }
+
+  test("updateSchema commit preserves data and evolves reads") {
+    val t = LakeTable(SparkTestBase.tmpDir("lake-evo"))(spark)
+    t.create(schema, 4, "t")
+    t.overwrite(Seq(("a", 1L)).toDF("k", "v"), Seq("k"), "t")
+    val wider = StructType(schema.fields :+ StructField("extra", StringType, nullable = true))
+    t.updateSchema(wider, "t")
+    val r = t.read()
+    assert(r.columns.toSeq === Seq("k", "v", "extra"))
+    assert(r.filter(col("extra").isNull).count() === 1) // old file → null
+  }
+
+  test("vacuum removes only unreferenced files; time travel before, not after") {
+    val t = LakeTable(SparkTestBase.tmpDir("lake-vac"))(spark)
+    t.create(schema, 4, "t")
+    t.overwrite(Seq(("a", 1L)).toDF("k", "v"), Seq("k"), "t")
+    val v1files = t.currentSnapshot.get.files.map(_.path).toSet
+    t.overwrite(Seq(("b", 2L)).toDF("k", "v"), Seq("k"), "t")
+    // old snapshot still readable pre-vacuum
+    assert(t.readBuckets(t.snapshot(1), (0 until 4).toSet).count() === 1)
+    val removed = t.vacuum()
+    assert(removed === v1files.size)
+    assert(t.read().as[(String, Long)].collect().toSeq === Seq(("b", 2L)))
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{DedupOps, SimilarityOps}
+
+class OperatorsSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+  lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  test("exact dedup groups identical normalized text") {
+    val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val r = DedupOps.exact(d).orderBy("keep_id").collect()
+    assert(r.length === 2)
+    assert(r(0).getLong(1) === 1L && r(0).getLong(2) === 2L) // 1+2 merged
+  }
+
+  test("shingles produce n-grams with short-text fallback") {
+    val d = Seq(("a b c d", 1), ("a b", 2)).toDF("text", "id")
+    val r = d.select(DedupOps.shingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert(r(0) === Set("a b c", "b c d"))
+    assert(r(1) === Set("a b"))
+  }
+
+  test("ngram jaccard finds a planted near-duplicate pair") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again tomorrow"),
+      (3L, "completely different text with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.ngramJaccardPairs(d, 3, 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
+  test("minhash LSH recalls the exact-duplicate and near-dup pairs") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "unrelated words entirely disjoint from everything else here now"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.minhashLshPairs(d, 3, bands = 4, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical text → distance 0; near text → small distance") {
+    val d = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "zz yy xx ww vv uu tt ss rr qq"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.simhashPairs(d, maxDist = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .contains((1L, 2L, 0)))
+  }
+
+  test("brute-force topk returns k neighbors ranked by cosine") {
+    val q = emb.filter(col("vec_id") === 0)
+    val r = SimilarityOps.bruteForceTopK(q, emb, 5).collect()
+    assert(r.length === 5)
+    val cosines = r.map(_.getDouble(2)).toSeq
+    assert(cosines === cosines.sorted.reverse) // descending
+    assert(!r.map(_.getLong(1)).contains(0L)) // self excluded
+  }
+
+  test("lsh topk candidates are a subset of brute-force scoring domain and bucket-consistent") {
+    val q = emb.filter(col("vec_id") < 3)
+    val r = SimilarityOps.lshTopK(q, emb, 5, planes = 4)
+    // every (query, neighbor) pair shares the lsh bucket by construction
+    assert(r.count() > 0)
+    assert(r.filter(col("query_id") === col("neighbor_id")).count() === 0)
+  }
+
+  test("cosine matches a hand-computed value") {
+    val d = Seq((Array(1.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val c = d.select(SimilarityOps.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(math.abs(c - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("token counts, quality, fingerprint, langid are deterministic and sane") {
+    val d = Seq((1L, "The quick brown fox and the lazy dog of the day"),
+      (2L, ""), (3L, "el perro que la casa es de la nina"))
+      .toDF("doc_id", "text")
+    val r = d.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) === 11 && r(0).getString(2) === "en")
+    assert(r(1).getLong(1) === 0 && r(1).getString(2) === "und")
+    assert(r(2).getString(2) === "es")
+    assert(r(0).getString(3).length === 64)
+  }
+
+  test("bpe-ish token count splits words, digits and punctuation") {
+    val d = Seq("hello, world42!").toDF("text")
+    val n = d.select(TextFunctions.bpeTokenCount(col("text"))).collect()(0).getLong(0)
+    assert(n >= 5) // hello , world 42 ! (+spaces)
+  }
+
+  test("langid on the documents corpus never returns null and covers 'und'") {
+    val r = docs.select(TextFunctions.langId(col("text")).as("l"))
+      .groupBy("l").count().collect()
+    assert(r.forall(_.getString(0) != null))
+  }
+}
