@@ -48,11 +48,12 @@ object Main {
 
     case "replay" :: eventsDir :: tableRoot :: checkpointDir :: rest =>
       val appId = rest.headOption.getOrElse("graft-cdc")
-      val maxFiles = rest.drop(1).headOption.map(_.toInt)
+      val maxFiles = rest.drop(1).headOption.filter(_ != "mor").map(_.toInt)
+      val mor = rest.contains("mor")
       val table = LakeTable(tableRoot)(spark)
       val t0 = System.nanoTime()
       val q = CdcStream.start(spark, eventsDir, table, checkpointDir, appId,
-        maxFilesPerTrigger = maxFiles)
+        maxFilesPerTrigger = maxFiles, mergeOnRead = mor)
       q.awaitTermination()
       val state = graft.cdc.CdcPipeline.liveState(table)
       val rows = state.count()

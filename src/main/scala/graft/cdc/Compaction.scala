@@ -41,9 +41,23 @@ object Compaction {
     val buckets = tombBuckets ++ fragmented
     if (buckets.isEmpty) return 0
 
-    val kept = table.readBuckets(snap, buckets)
-      .filter(!(coalesce(col(CdcModel.DeletedCol), lit(false)) &&
-        col(CdcModel.RowLsnCol) <= horizonLsn))
+    // fold merge-on-read generations: LWW winner per key (same total order
+    // as reads), then drop tombstones behind the horizon
+    val raw = table.readBuckets(snap, buckets)
+    val tie =
+      if (raw.columns.contains("content")) coalesce(col("content"), lit(""))
+      else lit("")
+    val del =
+      if (raw.columns.contains(CdcModel.DeletedCol))
+        coalesce(col(CdcModel.DeletedCol), lit(false))
+      else lit(false)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(CdcModel.KeyCols.map(col): _*)
+      .orderBy(col(CdcModel.RowLsnCol).desc, del.cast("int").desc, tie.desc)
+    val kept = raw
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .filter(!(del && col(CdcModel.RowLsnCol) <= horizonLsn))
       .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(CdcModel.KeyCols, snap.numBuckets))
       .repartition(col(LakeTable.BucketCol))
     val added = table.writeDataFilesPrePartitioned(kept)

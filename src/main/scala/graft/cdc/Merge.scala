@@ -67,6 +67,14 @@ object Merge {
   private val OpRankCol = "_op_rank"
   private val TieCol = "_tb"
   private val SrcCol = "_src" // 1 = from batch, 0 = carried from target
+  private val debugTiming = sys.env.contains("GRAFT_DEBUG_TIMING")
+  private def phase[T](name: String, batchId: Long)(f: => T): T = {
+    val t = System.nanoTime()
+    val r = f
+    if (debugTiming)
+      System.err.println(f"[merge-timing] batch=$batchId $name%-10s ${(System.nanoTime() - t) / 1e9}%.2fs")
+    r
+  }
 
   /** @param orderedDelivery caller guarantees every event LSN in this batch
     *        exceeds all previously-applied LSNs (e.g. an LSN-range replay).
@@ -74,9 +82,18 @@ object Merge {
     *        with out-of-order sources it MUST stay false — a "stale" LSN may
     *        be a never-applied late file, and tombstone-retaining LWW (not
     *        filtering) is what keeps replay idempotent then. */
+  /** @param mergeOnRead append-only apply: the batch is LWW-deduped within
+    *        itself and written as NEW files for its buckets — the target is
+    *        never read or rewritten, so per-batch work is O(batch) instead of
+    *        O(table ∩ touched buckets). Readers resolve LWW across file
+    *        generations ([[CdcPipeline.liveState]]); [[Compaction]] folds
+    *        fragmented buckets back to one file. This is the sustained-
+    *        throughput mode for 10^10-event tails; copy-on-write (false)
+    *        keeps reads trivial and is right for bootstrap/low-rate tables. */
   def apply(table: LakeTable, events: DataFrame, appId: String, batchId: Long,
       sourceOffsets: Map[String, Long] = Map.empty,
-      orderedDelivery: Boolean = false): MergeStats = {
+      orderedDelivery: Boolean = false,
+      mergeOnRead: Boolean = false): MergeStats = {
     val t0 = System.nanoTime()
     val spark = events.sparkSession
     val snap = table.currentSnapshot.getOrElse(
@@ -108,11 +125,15 @@ object Merge {
       else events
     val batchB = LakeTable.withBucket(fresh, keyCols, numBuckets)
 
-    // --- job 1 (narrow, no shuffle): touched buckets + batch size ---
-    val pre = batchB.agg(
-      collect_set(col(LakeTable.BucketCol)).as("buckets"),
-      count(lit(1)).as("n")).collect()(0)
-    val eventsIn = pre.getLong(1)
+    // --- job 1: touched buckets + batch size + lsn range. groupBy(_bucket)
+    // with primitive aggregates stays in HashAggregateExec (whole-stage
+    // codegen, map-side combine); result is ≤numBuckets rows. ---
+    val pre = phase("pre", batchId) { batchB
+      .groupBy(col(LakeTable.BucketCol))
+      .agg(count(lit(1)).as("n"), min(col(CdcModel.LsnCol)).as("mn"),
+        max(col(CdcModel.LsnCol)).as("mx"))
+      .collect() }
+    val eventsIn = pre.map(_.getLong(1)).sum
     if (eventsIn == 0L) {
       // nothing to apply — metadata-only commit to record the epoch
       val s = table.replaceFiles(snap, Set.empty, Nil, None, appId, batchId,
@@ -120,11 +141,19 @@ object Merge {
       return MergeStats(batchId, s.version, 0, 0, 0, 0, 0, 0, -1, -1,
         schemaEvolved = false, skippedFenced = false, (System.nanoTime() - t0) / 1000000)
     }
-    val buckets = pre.getSeq[Int](0).toSet
+    val buckets = pre.map(_.getInt(0)).toSet
+    val minLsn = pre.map(_.getLong(2)).min
+    val maxLsn = pre.map(_.getLong(3)).max
 
-    // --- affected-bucket pruning: read only target files that can match ---
-    val targetFiles = snap.files.filter(f => buckets.contains(f.bucket))
-    val target = SchemaEvolution.conform(table.readBuckets(snap, buckets), evolvedSchema)
+    // --- affected-bucket pruning: read only target files that can match;
+    // merge-on-read appends instead and never touches existing files ---
+    val targetFiles =
+      if (mergeOnRead) Nil
+      else snap.files.filter(f => buckets.contains(f.bucket))
+    val targetRows =
+      if (mergeOnRead) table.readBuckets(snap, Set.empty) // empty, schema-typed
+      else table.readBuckets(snap, buckets)
+    val target = SchemaEvolution.conform(targetRows, evolvedSchema)
       // stored rows re-enter the LWW order at their stored LSN; op rank -1 so
       // an exact same-LSN replayed event (identical content by determinism)
       // wins without changing the result
@@ -160,34 +189,45 @@ object Merge {
       .unionByName(batchConformed)
       .repartition(shufflePartitions, col(LakeTable.BucketCol))
 
-    // --- job 2: merge + write; lineage stats observed on the same pass ---
-    val orderK = struct(col(CdcModel.LsnCol), col(OpRankCol), col(TieCol))
+    // --- job 2: merge + write. LWW winner per key via an explicit
+    // sort-within-partitions + row_number window: the sort we provide is
+    // exactly the window's required ordering, so WindowExec adds no extra
+    // sort or shuffle, and every other operator in the stage (scan, union,
+    // project, filter, parquet write) stays in whole-stage codegen. A
+    // max_by(struct) aggregation would instead run on
+    // ObjectHashAggregateExec — interpreted expression eval, measured ~100x
+    // more CPU per row. The same sorted pass also computes per-key
+    // "contains a batch row" (unbounded max over _src) for lineage. ---
+    val sortKeys =
+      (col(LakeTable.BucketCol) +: keyCols.map(col)) ++ Seq(
+        col(CdcModel.LsnCol).desc, col(OpRankCol).desc, col(TieCol).desc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(LakeTable.BucketCol) +: keyCols.map(col): _*)
+      .orderBy(col(CdcModel.LsnCol).desc, col(OpRankCol).desc, col(TieCol).desc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(LakeTable.BucketCol) +: keyCols.map(col): _*)
+      .orderBy(col(CdcModel.LsnCol).desc, col(OpRankCol).desc, col(TieCol).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val obs = Observation(s"merge-$appId-$batchId-${snap.version}")
     val winners = combined
-      .groupBy(col(LakeTable.BucketCol) +: keyCols.map(col): _*)
-      .agg(
-        max_by(struct(payloadCols.map(col): _*), orderK).as("_w"),
-        max(SrcCol).as("_hasBatch"),
-        min(when(col(SrcCol) === 1L, col(CdcModel.LsnCol))).as("_bmin"),
-        max(when(col(SrcCol) === 1L, col(CdcModel.LsnCol))).as("_bmax"))
-      .observe(obs,
-        sum("_hasBatch").as("distinctKeys"),
-        min("_bmin").as("minLsn"),
-        max("_bmax").as("maxLsn"))
+      .sortWithinPartitions(sortKeys: _*)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_hasBatch", max(col(SrcCol)).over(wAll))
+      .filter(col("_rn") === 1)
+      .observe(obs, sum("_hasBatch").as("distinctKeys"))
       .select((col(LakeTable.BucketCol) +: keyCols.map(col)) ++
-        payloadCols.map(c => col(s"_w.$c").as(c)): _*)
+        payloadCols.map(col): _*)
 
-    val added = table.writeDataFilesPrePartitioned(winners)
+    val added = phase("write", batchId) { table.writeDataFilesPrePartitioned(winners) }
     val m = obs.get
     val distinctKeys = m("distinctKeys").asInstanceOf[Long]
-    val minLsn = m("minLsn").asInstanceOf[Long]
-    val maxLsn = m("maxLsn").asInstanceOf[Long]
 
     val removed = targetFiles.map(_.path).toSet
-    val committed = table.replaceFiles(snap, removed, added,
+    val committed = phase("commit", batchId) { table.replaceFiles(snap, removed, added,
       if (schemaEvolved) Some(evolvedSchema.json) else None,
       appId, batchId, math.max(snap.watermarkLsn, maxLsn),
-      snap.sourceOffsets ++ sourceOffsets)
+      snap.sourceOffsets ++ sourceOffsets) }
 
     MergeStats(batchId, committed.version, eventsIn, distinctKeys,
       eventsIn - distinctKeys, buckets.size, targetFiles.size,

@@ -36,9 +36,16 @@ object Lineage {
   * ModifiedOnly), and replay with checkpoint/fencing semantics.
   * This is the `foreachBatch` body used by [[graft.streaming.CdcStream]] and
   * callable directly for deterministic batch-mode replays.
+  *
+  * @param mergeOnRead append-only apply (O(batch) per batch; readers resolve
+  *        LWW across file generations, [[Compaction]] folds them) vs
+  *        copy-on-write (reads stay trivial). See [[Merge]].
+  * @param compactEveryFiles in merge-on-read mode, fold any bucket whose file
+  *        count exceeds this after a batch (0 disables auto-compaction).
   */
 final class CdcPipeline(val table: LakeTable, val appId: String,
-    lineage: Boolean = true) {
+    lineage: Boolean = true, val mergeOnRead: Boolean = false,
+    val compactEveryFiles: Int = 16) {
 
   /** Create the target table (snapshot 0) if absent. */
   def bootstrap(schema: StructType = CdcModel.targetSchema, numBuckets: Int = 64): Unit =
@@ -59,8 +66,12 @@ final class CdcPipeline(val table: LakeTable, val appId: String,
   def applyBatch(events: DataFrame, batchId: Long,
       sourceOffsets: Map[String, Long] = Map.empty,
       orderedDelivery: Boolean = false): MergeStats = {
-    val stats = Merge(table, events, appId, batchId, sourceOffsets, orderedDelivery)
+    val stats = Merge(table, events, appId, batchId, sourceOffsets,
+      orderedDelivery, mergeOnRead)
     if (lineage) Lineage.append(events.sparkSession, table.root, stats)
+    if (mergeOnRead && compactEveryFiles > 0 &&
+        table.currentSnapshot.exists(_.files.groupBy(_.bucket).exists(_._2.size > compactEveryFiles)))
+      Compaction(table, horizonLsn = -1L, appId, maxFilesPerBucket = compactEveryFiles)
     stats
   }
 
@@ -91,11 +102,33 @@ final class CdcPipeline(val table: LakeTable, val appId: String,
 }
 
 object CdcPipeline {
-  /** Live rows of a CDC target table (tombstones + internal columns removed).
-    * `_deleted` may be null in files written before tombstone support or by
-    * fullRefresh — treated as live. */
-  def liveState(table: LakeTable): DataFrame = {
+  /** Resolve LWW across file generations: one surviving row per key, ordered
+    * by (_lsn, _deleted, content) — deterministic under duplicate appends
+    * (a replayed event re-appended by a new batchId carries identical
+    * content, so either copy wins identically). For copy-on-write tables
+    * every key is already unique and the window passes rows through. */
+  def resolved(table: LakeTable): DataFrame = {
     val df = table.read()
+    if (!df.columns.contains(CdcModel.RowLsnCol)) return df
+    val tie =
+      if (df.columns.contains("content")) coalesce(col("content"), lit(""))
+      else lit("")
+    val del =
+      if (df.columns.contains(CdcModel.DeletedCol))
+        coalesce(col(CdcModel.DeletedCol), lit(false))
+      else lit(false)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(CdcModel.KeyCols.map(col): _*)
+      .orderBy(col(CdcModel.RowLsnCol).desc, del.cast("int").desc, tie.desc)
+    df.withColumn("_gen_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_gen_rn") === 1).drop("_gen_rn")
+  }
+
+  /** Live rows of a CDC target table: LWW-resolved across generations,
+    * tombstones + internal columns removed. `_deleted` may be null in files
+    * written before tombstone support or by fullRefresh — treated as live. */
+  def liveState(table: LakeTable): DataFrame = {
+    val df = resolved(table)
     val filtered =
       if (df.columns.contains(CdcModel.DeletedCol))
         df.filter(!coalesce(col(CdcModel.DeletedCol), lit(false))).drop(CdcModel.DeletedCol)

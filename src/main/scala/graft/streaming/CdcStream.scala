@@ -36,8 +36,9 @@ object CdcStream {
       checkpointDir: String, appId: String,
       readSchema: org.apache.spark.sql.types.StructType = CdcModel.eventSchema,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    val pipeline = new CdcPipeline(table, appId)
+      maxFilesPerTrigger: Option[Int] = None,
+      mergeOnRead: Boolean = false): StreamingQuery = {
+    val pipeline = new CdcPipeline(table, appId, mergeOnRead = mergeOnRead)
     pipeline.bootstrap()
     val reader = spark.readStream.schema(readSchema)
     val withOpts = maxFilesPerTrigger.fold(reader)(n =>

@@ -147,6 +147,39 @@ class CdcPipelineSpec extends SparkSuite {
     assert(st.filter(col("quality").isNull).count() === st.count() - 3)
   }
 
+  test("merge-on-read replay matches the LWW oracle and copy-on-write state") {
+    val rootM = SparkTestBase.tmpDir("cdc-mor")
+    val pm = new CdcPipeline(LakeTable(rootM)(spark), "app-mor",
+      mergeOnRead = true, compactEveryFiles = 4)
+    pm.bootstrap(numBuckets = 16)
+    pm.replay(events, numBatches = 6)
+    val got = finalState(pm)
+    val want = oracle(events)
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // auto-compaction kept per-bucket file counts bounded
+    val maxFiles = pm.table.currentSnapshot.get.files.groupBy(_.bucket)
+      .values.map(_.size).max
+    assert(maxFiles <= 5)
+  }
+
+  test("merge-on-read out-of-order suffix re-append stays idempotent") {
+    val root = SparkTestBase.tmpDir("cdc-mor-replay")
+    val p = new CdcPipeline(LakeTable(root)(spark), "app-mor2", mergeOnRead = true)
+    p.bootstrap(numBuckets = 16)
+    p.replay(events, numBatches = 4)
+    val d1 = digest(finalState(p))
+    val bounds = events.agg(min("lsn"), max("lsn")).collect()(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo + 4) / 4)
+    p.applyBatch(events.filter(col("lsn") >= lo + 2 * width), batchId = 200)
+    assert(digest(finalState(p)).sameElements(d1))
+    // compaction after duplicate appends still resolves to the same state
+    graft.cdc.Compaction(p.table, horizonLsn = hi, "app-mor2", maxFilesPerBucket = 1)
+    assert(digest(finalState(p)).sameElements(d1))
+  }
+
   test("synthetic generator is deterministic and skewed") {
     val a = SyntheticEvents.generate(spark, 10000)
     val b = SyntheticEvents.generate(spark, 10000)
