@@ -29,6 +29,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "100000000")
+      .config("spark.memory.offHeap.enabled", "true") // 32 tasks x on-heap
+      // Tungsten pages thrash G1 (measured 541s GC in one stage); execution
+      // memory off-heap keeps the heap for codegen/objects only
+      .config("spark.memory.offHeap.size", "24g")
       .config("spark.local.dir", Bench.fastTmp) // shuffle on tmpfs: this host's
       // disk sustains ~70MB/s buffered while 126G RAM is free; a real cluster
       // has local SSDs for shuffle, so tmpfs is the faithful stand-in

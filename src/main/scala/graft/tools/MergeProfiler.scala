@@ -17,6 +17,8 @@ object MergeProfiler {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "100000000")
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", "24g")
       .config("spark.local.dir", graft.Bench.fastTmp)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -26,8 +28,9 @@ object MergeProfiler {
         val si = sc.stageInfo
         val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
         val cpu = si.taskMetrics.executorRunTime / 1e3
+        val realCpu = si.taskMetrics.executorCpuTime / 1e9
         println(f"[stage] id=${si.stageId}%-3d tasks=${si.numTasks}%-4d wall=$wall%6.2fs " +
-          f"cpu=$cpu%7.2fs gc=${si.taskMetrics.jvmGCTime / 1e3}%6.2fs " +
+          f"run=$cpu%7.2fs cpu=$realCpu%7.2fs gc=${si.taskMetrics.jvmGCTime / 1e3}%6.2fs " +
           f"spill=${si.taskMetrics.memoryBytesSpilled / 1e6}%6.1fMB " +
           f"shufW=${si.taskMetrics.shuffleWriteMetrics.bytesWritten / 1e6}%7.1fMB " +
           f"shufR=${si.taskMetrics.shuffleReadMetrics.totalBytesRead / 1e6}%7.1fMB  ${si.name.take(40)}")

@@ -19,7 +19,7 @@ class CdcPipelineSpec extends SparkSuite {
   /** Trivially-correct oracle: pick, per key, the winner of the same total
     * order with a window sort; drop deletes. */
   private def oracle(events: DataFrame): DataFrame = {
-    val opRank = when(col("op") === "D", 2).when(col("op") === "U", 1).otherwise(0)
+    val opRank = when(col("op") === "D", 1).otherwise(0)
     val w = Window.partitionBy("repo", "path", "commit")
       .orderBy(col("lsn").desc, opRank.desc, coalesce(col("content"), lit("")).desc)
     events.withColumn("rn", row_number().over(w))
@@ -82,6 +82,35 @@ class CdcPipelineSpec extends SparkSuite {
     val suffix = events.filter(col("lsn") >= lo + 2 * width)
     p.applyBatch(suffix, batchId = 100)
     assert(digest(finalState(p)).sameElements(d1))
+  }
+
+  test("partial redelivery of a same-LSN losing event is a no-op (regression)") {
+    import spark.implicits._
+    // two U events collide at lsn 10; 'b-wins' > 'a-loses' lexically
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val both = Seq(
+      (10L, "U", "r1", "p1", "c1", "scala", "a-loses", ts),
+      (10L, "U", "r1", "p1", "c1", "scala", "b-wins", ts))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content", "eventTime")
+    for (mor <- Seq(false, true)) {
+      val p = new CdcPipeline(LakeTable(SparkTestBase.tmpDir(s"cdc-redeliver-$mor"))(spark),
+        s"app-rd-$mor", mergeOnRead = mor)
+      p.bootstrap(numBuckets = 4)
+      p.applyBatch(both, batchId = 0)
+      assert(p.state().select("content").collect()(0).getString(0) === "b-wins")
+      // ONLY the loser is redelivered later (late duplicate file)
+      p.applyBatch(both.filter(col("content") === "a-loses"), batchId = 1)
+      assert(p.state().select("content").collect()(0).getString(0) === "b-wins",
+        s"mergeOnRead=$mor: stored winner must survive partial redelivery")
+      // same for a delete colliding with a late same-LSN update
+      p.applyBatch(Seq((20L, "D", "r1", "p1", "c1", "scala", "", ts))
+        .toDF("lsn", "op", "repo", "path", "commit", "lang", "content", "eventTime"), 2)
+      assert(p.state().count() === 0)
+      p.applyBatch(Seq((20L, "U", "r1", "p1", "c1", "scala", "zombie", ts))
+        .toDF("lsn", "op", "repo", "path", "commit", "lang", "content", "eventTime"), 3)
+      assert(p.state().count() === 0,
+        s"mergeOnRead=$mor: same-LSN update must not resurrect a delete")
+    }
   }
 
   test("watermark guard short-circuits fully-stale batches (metadata-only commit)") {

@@ -1,0 +1,162 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{ColumnTransforms, MultimodalOps, SqlTransform}
+import graft.sources.{CsvSource, FetchError, Page, PaginatedSource, SchemaTools}
+import graft.streaming.Schedule
+import graft.lake.LakeTable
+
+/** ELT-parity surface: CSV interchange rules, schema tools, schedule DSL,
+  * paginated source protocol, SQL transform, column transforms, multimodal
+  * plumbing — mirrors the reference's own test corpus (SURVEY.md §5).
+  */
+class SourcesSpec extends SparkSuite {
+  import spark.implicits._
+
+  // widgets: the canonical all-types fixture (FIXTURES.md §3)
+  private val widgetsSchema = StructType(Seq(
+    StructField("id", LongType), StructField("price", DecimalType(10, 2)),
+    StructField("ranking", DoubleType), StructField("name", StringType),
+    StructField("active", BooleanType), StructField("launched", DateType),
+    StructField("created_at", TimestampType), StructField("description", StringType)))
+
+  test("csv round-trip preserves values and empty-string-as-NULL") {
+    val dir = SparkTestBase.tmpDir("csv-rt")
+    val df = Seq(
+      (1L, BigDecimal("12.34"), 0.5, "w1", true,
+        java.sql.Date.valueOf("2020-01-02"), Timestamp.valueOf("2020-01-02 03:04:05"), "desc"),
+      (2L, BigDecimal("0.99"), -1.0e10, "w2", false,
+        java.sql.Date.valueOf("1999-12-31"), Timestamp.valueOf("1999-12-31 23:59:59"), null))
+      .toDF(widgetsSchema.fieldNames: _*)
+      .select(widgetsSchema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+    CsvSource.write(df, s"$dir/w")
+    val back = CsvSource.read(spark, s"$dir/w", widgetsSchema)
+    assert(back.count() === 2)
+    // NULL round-trip: empty description came back as real null (not "")
+    assert(back.filter(col("description").isNull).count() === 1)
+    val r1 = back.filter(col("id") === 1).collect()(0)
+    assert(r1.getDecimal(1) === new java.math.BigDecimal("12.34"))
+    assert(r1.getBoolean(4))
+    assert(r1.getDate(5).toString === "2020-01-02")
+    // %E float form parsed back losslessly
+    assert(back.filter(col("id") === 2).collect()(0).getDouble(2) === -1.0e10)
+  }
+
+  test("schema tools: parse/emit/ddl round-trip (widgets)") {
+    assert(SchemaTools.parseType("integer").contains(LongType))
+    assert(SchemaTools.parseType("decimal(10,2)").contains(DecimalType(10, 2)))
+    assert(SchemaTools.parseType("string(255)").contains(StringType))
+    assert(SchemaTools.parseType("geometry").isEmpty) // unsupported → skip
+    val ddl = SchemaTools.createTableDdl("widgets", widgetsSchema)
+    assert(ddl.contains("\"price\" DECIMAL(10,2)") && ddl.contains("\"active\" BOOLEAN"))
+    // round-trip each emitted type string back
+    widgetsSchema.fields.foreach { f =>
+      assert(SchemaTools.parseType(SchemaTools.typeString(f.dataType)).isDefined, f.name)
+    }
+  }
+
+  test("schema reconciliation: intersection + drift warnings") {
+    val src = StructType(Seq(StructField("a", LongType), StructField("b", StringType),
+      StructField("extra_src", DoubleType)))
+    val dst = StructType(Seq(StructField("A", LongType), StructField("b", StringType),
+      StructField("extra_dst", BooleanType)))
+    val (imp, srcOnly, dstOnly) = SchemaTools.reconcile(src, dst)
+    assert(imp.fieldNames.toSeq === Seq("A", "b"))
+    assert(srcOnly === Seq("extra_src") && dstOnly === Seq("extra_dst"))
+    val narrowing = SchemaTools.narrowingColumns(
+      StructType(Seq(StructField("p", DecimalType(12, 2)))),
+      StructType(Seq(StructField("p", DecimalType(10, 2)))))
+    assert(narrowing === Seq("p"))
+  }
+
+  test("schedule DSL parses the reference's grammar") {
+    assert(Schedule.parse("every 10 minutes").get.toMinutes === 10)
+    assert(Schedule.parse("1 hour").get.toHours === 1)
+    assert(Schedule.parse("every 2 days").get.toDays === 2)
+    assert(Schedule.parse("fortnightly").isEmpty)
+    assert(Schedule.toJson("every 5 minutes") === """{"every":300}""")
+  }
+
+  test("paginated source: offset walk, micro-batch boundary, retry vs fatal") {
+    // 3 pages of 2 records, json bodies (≙ the httptest fixture, FIXTURES.md §6)
+    def serve(flaky: Boolean): Long => Either[FetchError, Page] = {
+      var failures = 0
+      off => {
+        if (flaky && off == 2 && failures < 2) { failures += 1; Left(FetchError.Http5xx(503)) }
+        else if (off >= 6) Right(Page(Nil, None))
+        else Right(Page(Seq(off, off + 1).map(i => s"""{"id":$i,"name":"r$i"}"""),
+          if (off + 2 >= 6) None else Some(off + 2)))
+      }
+    }
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    // full drain
+    val df = new PaginatedSource(serve(flaky = false)).drain(spark, schema)
+    assert(df.count() === 6)
+    // retryable 5xx recovers transparently
+    val df2 = new PaginatedSource(serve(flaky = true)).drain(spark, schema)
+    assert(df2.count() === 6)
+    // batch boundary respected
+    val (recs, next) = new PaginatedSource(serve(flaky = false), pagesPerBatch = 1).pullBatch(0)
+    assert(recs.size === 2 && next.contains(2L))
+    // fatal 4xx throws immediately
+    val fatal = new PaginatedSource(_ => Left(FetchError.Http4xx(401)))
+    val e = intercept[RuntimeException] { fatal.pullBatch(0) }
+    assert(e.getMessage.contains("fatal"))
+  }
+
+  test("sql transform: CTAS + atomic swap (times_by_day_of_week analogue)") {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("ev_v")
+    val dest = LakeTable(SparkTestBase.tmpDir("ctas"))(spark)
+    SqlTransform(spark,
+      "SELECT cast(ts as date) AS day, count(*) AS n FROM ev_v GROUP BY 1", dest,
+      keyCols = Seq("day"), appId = "t")
+    assert(dest.read().count() > 0)
+    // re-run replaces (swap semantics), not appends
+    val n1 = dest.read().count()
+    SqlTransform(spark,
+      "SELECT cast(ts as date) AS day, count(*) AS n FROM ev_v GROUP BY 1", dest,
+      keyCols = Seq("day"), appId = "t")
+    assert(dest.read().count() === n1)
+  }
+
+  test("column transform chains + computed columns (fixture semantics)") {
+    val df = Seq((1L, 0.5, "2020-01-02 03:04:05", """{"time_zone":"MT"}"""))
+      .toDF("id", "value", "created_at", "options")
+      .withColumn("created_at", col("created_at").cast("timestamp"))
+    val out = ColumnTransforms(df,
+      transforms = Seq(
+        // ≙ transform_column_and_change_type.port: int(value*100)
+        ColumnTransforms.ColumnSpec("value", Seq("multiply:100"), castTo = Some("integer")),
+        // ≙ deserialize_json_column.port: dig(json.loads(options), 'time_zone')
+        ColumnTransforms.ColumnSpec("options", Seq("json:$.time_zone"))),
+      computed = Seq(
+        // ≙ compute_column.port: strftime('%F', created_at)
+        ColumnTransforms.ComputedSpec("day", "date_format(created_at, 'yyyy-MM-dd')")))
+    val r = out.collect()(0)
+    assert(r.getAs[Long]("value") === 50L)
+    assert(r.getAs[String]("options") === "MT")
+    assert(r.getAs[String]("day") === "2020-01-02")
+  }
+
+  test("multimodal: typed records, batched feature extraction, frame sampling") {
+    val raw = Seq(
+      (1L, "image", "img-bytes-aaaaaaaa".getBytes, 64, 64, 0L),
+      (2L, "video", "video-bytes-0123456789abcdef".getBytes, 320, 240, 5000L))
+      .toDF("media_id", "kind", "bytes", "width", "height", "durationMs")
+    val media = MultimodalOps.asMedia(raw)
+    assert(media.count() === 2)
+    val feats = MultimodalOps.extractFeatures(media, dim = 16)
+    val f = feats.collect().sortBy(_.media_id)
+    assert(f.forall(_.features.length === 16))
+    // deterministic: same bytes → same features
+    val again = MultimodalOps.extractFeatures(media, dim = 16).collect().sortBy(_.media_id)
+    assert(f.zip(again).forall { case (a, b) => a.features.sameElements(b.features) })
+    val frames = MultimodalOps.sampleFrames(media, n = 4)
+    assert(frames.count() === 4) // only the video, 4 frames
+    assert(frames.select("frame_sha").distinct().count() === 4)
+  }
+}
