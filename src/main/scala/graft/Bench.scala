@@ -75,15 +75,19 @@ object Bench {
     base.toString
   }
 
+  /** @param eventFiles number of LSN-ranged event files; with
+    *        spark.sql.files.maxPartitionBytes set high this bounds the scan
+    *        stage's task count — [[ScalingBench]] uses it to emulate cluster
+    *        size (executor task slots) inside one JVM. */
   def cdcThroughput(spark: SparkSession, n: Long, batches: Int,
-      numBuckets: Int = 128): (Double, Double) = {
+      numBuckets: Int = 128, eventFiles: Int = 8): (Double, Double) = {
     val root = Files.createTempDirectory(
       java.nio.file.Paths.get(fastTmp), "bench-cdc").toString
     // materialize the change stream as LSN-ranged parquet (untimed setup —
     // a real tail reads event files; generating rows is not merge work)
     val eventsDir = s"$root/events"
     SyntheticEvents.generate(spark, n, nRepos = 2000, filesPerRepo = 500)
-      .repartitionByRange(math.max(batches, 8), org.apache.spark.sql.functions.col("lsn"))
+      .repartitionByRange(eventFiles, org.apache.spark.sql.functions.col("lsn"))
       .write.mode("overwrite").parquet(eventsDir)
     val events = spark.read.parquet(eventsDir)
     // merge-on-read: the sustained-throughput mode (O(batch) per batch with

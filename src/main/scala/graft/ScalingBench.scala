@@ -18,6 +18,8 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("GRAFT_SCALE_EVENTS", "4000000").toLong
     val batches = sys.env.getOrElse("GRAFT_SCALE_BATCHES", "4").toInt
+    if (args.headOption.contains("alt")) return altMode(n, batches,
+      args(1).toInt, args(2).toInt, args.drop(3).headOption.map(_.toInt).getOrElse(3))
     val cores = args.headOption.map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -38,6 +40,49 @@ object ScalingBench {
     val (eps, sec) = Bench.cdcThroughput(spark, n, batches)
     println(f"""{"metric":"cdc_throughput","cores":$cores,"events":$n,""" +
       f""""batches":$batches,"events_per_sec":${eps.round},"sec":$sec%.1f}""")
+    spark.stop()
+  }
+
+  /** In-JVM cluster-size emulation: ONE session on all cores, but every
+    * stage of a measurement is bounded to P concurrent tasks by setting
+    * shuffle partitions = P and laying the event input out as exactly P
+    * files (with maxPartitionBytes high enough that files never split).
+    * P task slots ≙ a cluster with P executor cores. Levels are interleaved
+    * A/B/A/B inside the same process, so JVM state, page cache and host
+    * weather hit both levels equally — the ratio survives noise that
+    * separate-JVM runs do not (this host varies up to ~3x between runs).
+    * Reported value per level = median of `reps`. */
+  private def altMode(n: Long, batches: Int, p1: Int, p2: Int, reps: Int): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[*]")
+      .appName("graft-scaling-alt")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "100000000")
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", "24g")
+      .config("spark.sql.files.maxPartitionBytes", s"${64L * 1024 * 1024 * 1024}")
+      .config("spark.sql.files.openCostInBytes", "0")
+      .config("spark.local.dir", Bench.fastTmp)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def measure(p: Int): Double = {
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+      Bench.cdcThroughput(spark, n, batches, numBuckets = 128, eventFiles = p)._1
+    }
+    measure(p1); measure(p2) // warm-up both paths
+    val runs = (1 to reps).flatMap(_ => Seq(p1 -> measure(p1), p2 -> measure(p2)))
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val m1 = median(runs.filter(_._1 == p1).map(_._2))
+    val m2 = median(runs.filter(_._1 == p2).map(_._2))
+    val eff = (m2 / m1) / (p2.toDouble / p1)
+    val all = runs.map { case (p, e) => s"[$p,${e.round}]" }.mkString(",")
+    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio",""" +
+      f""""mode":"in-jvm-parallelism","n_cores":$p1,"n4_cores":$p2,""" +
+      f""""events":$n,"batches":$batches,""" +
+      f""""events_per_sec_n":${m1.round},"events_per_sec_4n":${m2.round},""" +
+      f""""runs":[$all]}""")
     spark.stop()
   }
 }
