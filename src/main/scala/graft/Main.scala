@@ -74,9 +74,19 @@ object Main {
         .drop("content").show(5, truncate = false)
       Lineage.read(spark, tableRoot).orderBy("batchId").show(50, truncate = false)
 
+    case "compact" :: tableRoot :: rest =>
+      val horizon = rest.headOption.map(_.toLong).getOrElse(-1L)
+      val n = graft.cdc.Compaction(LakeTable(tableRoot)(spark), horizon, "graft-maint")
+      println(s"[compact] rewrote $n buckets (tombstone horizon=$horizon)")
+
+    case "vacuum" :: tableRoot :: Nil =>
+      val n = LakeTable(tableRoot)(spark).vacuum()
+      println(s"[vacuum] removed $n unreferenced data files")
+
     case other =>
       System.err.println(s"unknown args: ${other.mkString(" ")}\n" +
-        "usage: gen <dir> <n> [files] | replay <eventsDir> <tableRoot> <ckpt> [appId] | show <tableRoot>")
+        "usage: gen <dir> <n> [files] | replay <eventsDir> <tableRoot> <ckpt> [appId] [maxFiles] [mor] | " +
+        "compact <tableRoot> [horizonLsn] | vacuum <tableRoot> | show <tableRoot>")
       sys.exit(2)
   }
 }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cdc.CdcPipeline
+import graft.lake.LakeTable
+import graft.model.DerivedEvents
+
+/** Physical-plan quality gates: these assert the *plan*, not the result —
+  * the properties that keep the engine viable at 100 TB (filter pushdown to
+  * parquet, column pruning, a single exchange in MERGE, broadcast for small
+  * dims). A regression here is a performance bug even when results stay
+  * correct. */
+class PlanSpec extends SparkSuite {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and projections push down to the parquet scan") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val q = li.filter(col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    val plan = planOf(q)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"pushdown missing:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"column pruning missing:\n$plan")
+  }
+
+  test("lake table reads push filters down too (manifest-schema parquet scan)") {
+    val root = SparkTestBase.tmpDir("plan-lake")
+    val p = new CdcPipeline(LakeTable(root)(spark), "plan", lineage = false)
+    p.bootstrap(numBuckets = 4)
+    p.applyBatch(DerivedEvents.fromDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet")), 0)
+    val q = p.table.read().filter(col("repo") === "repo-1").select("repo", "path")
+    val plan = planOf(q)
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(repo,repo-1)"),
+      s"lake scan pushdown missing:\n$plan")
+  }
+
+  test("small-dimension join broadcasts (no shuffle of the big side)") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    val q = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(nation), c("c_nationkey") === nation("n_nationkey"))
+      .groupBy("n_name").count()
+    val plan = planOf(q)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scan→filter→project pipeline") {
+    val q = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_discount") > 0.05)
+      .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    // codegen'd operators render with a "*(stage)" prefix in the plan string
+    val plan = planOf(q)
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"), plan)
+  }
+
+  test("MERGE plan: exactly one exchange (single shuffle), no cartesian") {
+    val root = SparkTestBase.tmpDir("plan-merge")
+    val p = new CdcPipeline(LakeTable(root)(spark), "plan2", lineage = false)
+    p.bootstrap(numBuckets = 8)
+    val ev = DerivedEvents.fromDocuments(spark.read.parquet(s"$sfDir/documents.parquet"))
+    p.applyBatch(ev, 0)
+    // capture the plan the merge would build for a second batch: union of
+    // pruned target + batch repartitioned by _bucket, window, filter
+    import graft.model.CdcModel
+    val snap = p.table.currentSnapshot.get
+    val batch = LakeTable.withBucket(ev, CdcModel.KeyCols, snap.numBuckets)
+    val target = p.table.read()
+      .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(CdcModel.KeyCols, snap.numBuckets))
+      .select(col(LakeTable.BucketCol), col("repo"), col("path"), col("commit"), col("_lsn"))
+    val combined = target
+      .unionByName(batch.select(col(LakeTable.BucketCol), col("repo"), col("path"),
+        col("commit"), col("lsn").as("_lsn")))
+      .repartition(4, col(LakeTable.BucketCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(LakeTable.BucketCol), col("repo"), col("path"), col("commit"))
+      .orderBy(col("_lsn").desc)
+    val merged = combined
+      .sortWithinPartitions(col(LakeTable.BucketCol), col("repo"), col("path"),
+        col("commit"), col("_lsn").desc)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val plan = planOf(merged)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // the explicit sort satisfies the window: no second Sort for the window
+    val sorts = "\\bSort \\[".r.findAllIn(plan).size
+    assert(sorts <= 1, s"window added an extra sort:\n$plan")
+  }
+
+  test("dedup operators never build a cartesian product") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val p1 = planOf(graft.operators.DedupOps.ngramJaccardPairs(docs, 3, 0.5))
+    val p2 = planOf(graft.operators.DedupOps.minhashLshPairs(docs, 3, 4, 2))
+    assert(!p1.contains("CartesianProduct") && !p2.contains("CartesianProduct"))
+    assert(p1.contains("SortMergeJoin") || p1.contains("ShuffledHashJoin") ||
+      p1.contains("BroadcastHashJoin"))
+  }
+}
