@@ -199,19 +199,25 @@ object Merge {
     // ObjectHashAggregateExec — interpreted expression eval, measured ~100x
     // more CPU per row. The same sorted pass also computes per-key
     // "contains a batch row" (unbounded max over _src) for lineage. ---
-    val sortKeys =
-      (col(LakeTable.BucketCol) +: keyCols.map(col)) ++ Seq(
-        col(CdcModel.LsnCol).desc, col(OpRankCol).desc, col(TieCol).desc)
+    // a 64-bit key hash leads the sort/partition keys: the external sort's
+    // row comparisons then resolve on (int, long) almost always, instead of
+    // comparing three string key columns byte-by-byte; grouping is unchanged
+    // because the hash is a pure function of the keys that follow it
+    val KeyHash = "_khash"
+    val partCols = Seq(col(LakeTable.BucketCol), col(KeyHash)) ++ keyCols.map(col)
+    val sortKeys = partCols ++ Seq(
+      col(CdcModel.LsnCol).desc, col(OpRankCol).desc, col(TieCol).desc)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(LakeTable.BucketCol) +: keyCols.map(col): _*)
+      .partitionBy(partCols: _*)
       .orderBy(col(CdcModel.LsnCol).desc, col(OpRankCol).desc, col(TieCol).desc)
     val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(LakeTable.BucketCol) +: keyCols.map(col): _*)
+      .partitionBy(partCols: _*)
       .orderBy(col(CdcModel.LsnCol).desc, col(OpRankCol).desc, col(TieCol).desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val obs = Observation(s"merge-$appId-$batchId-${snap.version}")
     val winners = combined
+      .withColumn(KeyHash, xxhash64(keyCols.map(col): _*))
       .sortWithinPartitions(sortKeys: _*)
       .withColumn("_rn", row_number().over(w))
       .withColumn("_hasBatch", max(col(SrcCol)).over(wAll))
