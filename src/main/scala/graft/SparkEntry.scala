@@ -235,9 +235,12 @@ object SparkEntry {
       n = 3, bands = 4, rowsPerBand = 2)
       .orderBy("a", "b")
 
+  /** Portable md5-bit simhash at maxDist=3 — band blocking (maxDist+1
+    * bands) is lossless, so the all-pairs DuckDB oracle is an exact match.
+    * The xxhash64 fast-path variant is covered by OperatorsSpec. */
   private def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.simhashPairs(
-      t(spark, dir, "documents").filter(col("doc_id") < 500), maxDist = 8)
+    DedupOps.simhashPairsPortable(
+      t(spark, dir, "documents").filter(col("doc_id") < 500), maxDist = 3)
       .orderBy("a", "b")
 
   private def annTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -251,7 +254,8 @@ object SparkEntry {
   private def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     SimilarityOps.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 3, planes = 4)
-      .select(col("query_id"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_r"))
       .orderBy("query_id", "neighbor_id")
   }
 
@@ -610,8 +614,79 @@ object SparkEntry {
         FROM documents)
       SELECT doc_id, greatest(0.0, least(1.0,
         len_score * 0.4 + sw * 0.3 + (1.0 - punct) * 0.2 + (1.0 - up) * 0.1)) AS quality
-      FROM q ORDER BY doc_id""")
-  // dedup_simhash, ann_topk_cosine, ann_lsh_cosine: xxhash64/float-fold based —
-  // not reproducible in portable SQL; driver records rows-only checks, full
-  // semantics covered by ScalaTest (SimilaritySpec/DedupSpec).
+      FROM q ORDER BY doc_id""",
+    "ann_topk_cosine" -> s"""
+      WITH q AS (SELECT vec_id AS query_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS neighbor_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings),
+      scored AS (
+        SELECT query_id, neighbor_id,
+          list_dot_product(qv, cv) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        FROM q JOIN c ON query_id <> neighbor_id)
+      SELECT query_id, neighbor_id, round(cos, 6) AS cos_r FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, neighbor_id ASC) <= 3
+      ORDER BY query_id, neighbor_id""",
+    "ann_lsh_cosine" -> s"""
+      WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings),
+      b AS (SELECT vec_id, dv, ${lshBucketSql("dv", planes = 4)} AS bucket FROM v),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_dot_product(q.dv, c.dv) /
+            (sqrt(list_dot_product(q.dv, q.dv)) * sqrt(list_dot_product(c.dv, c.dv))) AS cos
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 5)
+      SELECT query_id, neighbor_id, round(cos, 6) AS cos_r FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, neighbor_id ASC) <= 3
+      ORDER BY query_id, neighbor_id""",
+    "dedup_simhash" -> simhashOracleSql)
+
+  /** DuckDB rendering of [[graft.operators.SimilarityOps.lshBucket]]: the
+    * plane components are pure 64-bit integer arithmetic (double-stepped
+    * MINSTD over (plane, dim, seed=7)), so both engines compute identical
+    * doubles and identical sign bits. */
+  private def lshBucketSql(vecCol: String, planes: Int, seed: Long = 7L): String = {
+    def proj(m: Int): String =
+      s"""list_dot_product($vecCol, list_transform(range(0, len($vecCol)), d ->
+         ((((48271 * ((48271 * (${m * 4099L + seed} + d) + 12345) % 2147483647)
+           + 12345) % 2147483647) % 2000001) - 1000000) / 1000000.0))"""
+    (0 until planes).map(m =>
+      s"(CASE WHEN ${proj(m)} > 0 THEN ${1L << m} ELSE 0 END)").mkString("(", " + ", ")")
+  }
+
+  /** DuckDB rendering of [[graft.operators.DedupOps.simhashPairsPortable]]:
+    * per-token md5 hex → 64 ±1 bit votes → per-doc sums; the Hamming
+    * distance between two signatures equals the number of bit positions
+    * whose vote-sum signs differ, so the oracle never assembles the 64-bit
+    * integer (DuckDB cannot shift into bit 63) and needs no band blocking —
+    * pigeonhole banding on the Spark side is lossless at maxDist=3, so the
+    * all-pairs oracle is the same set. */
+  private def simhashOracleSql: String = {
+    val sums = (0 until 64).map { b =>
+      val digit = s"(strpos('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)"
+      s"sum(CASE WHEN (($digit // ${1L << (b % 4)}) % 2) = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(",\n          ")
+    val dist = (0 until 64).map(b =>
+      s"(CASE WHEN (l.b$b > 0) <> (r.b$b > 0) THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents WHERE doc_id < 500),
+      hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+      sums AS (
+        SELECT doc_id,
+          $sums
+        FROM hs GROUP BY doc_id),
+      pairs AS (
+        SELECT l.doc_id AS a, r.doc_id AS b, ($dist) AS dist
+        FROM sums l JOIN sums r ON l.doc_id < r.doc_id)
+      SELECT a, b, dist FROM pairs WHERE dist <= 3 ORDER BY a, b"""
+  }
 }

@@ -42,22 +42,42 @@ object DedupOps {
     * similarity over distinct n-gram shingles, filtered at `threshold`.
     *
     * Plan shape: explode → self-equi-join on the shingle (inverted index),
-    * count shared shingles per pair, join per-doc shingle counts (broadcast —
-    * it is |docs| rows of two ints). The only big shuffle is the
-    * shingle-keyed join; no cartesian product ever forms.
+    * count shared shingles per pair, join per-doc shingle counts (shuffle
+    * joins on `id` — NOT a broadcast hint: `sizes` is one row per document,
+    * so at 10⁹ docs a forced broadcast is a driver collect of the whole id
+    * space; AQE broadcasts it when it actually fits). The only big shuffle
+    * is the shingle-keyed join; no cartesian product ever forms.
+    *
+    * @param dfCap drop shingles appearing in more than `dfCap` documents
+    *        before pairing (0 = keep all). A boilerplate shingle shared by
+    *        `df` documents expands to O(df²) candidate rows — one hot
+    *        license header across 10⁶ files is a 10¹²-row join blowup. The
+    *        cap bounds each shingle's contribution to dfCap² at a known
+    *        recall cost: only pairs whose EVERY shared shingle is
+    *        boilerplate are missed, and those pairs' Jaccard is dominated by
+    *        boilerplate anyway. Jaccard denominators still use the uncapped
+    *        per-doc shingle counts, so surviving pairs' similarity is exact.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      dfCap: Int = 0): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val shared = sh.as("l").join(sh.as("r"),
+    val paired =
+      if (dfCap <= 0) sh
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+        sh.withColumn("_df", count(lit(1)).over(w)).filter(col("_df") <= dfCap)
+          .drop("_df")
+      }
+    val shared = paired.as("l").join(paired.as("r"),
         col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("a"), col("r.id").as("b"))
       .agg(count(lit(1)).as("inter"))
     shared
-      .join(broadcast(sizes).withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
-      .join(broadcast(sizes).withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -123,16 +143,33 @@ object DedupOps {
       .reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** SimHash near-dup candidates within Hamming distance `maxDist`, using
-    * 4×16-bit band blocking (two near signatures agree on ≥1 of 4 bands when
-    * maxDist ≤ 3): join per band, then exact popcount filter.
+  /** Contiguous bit-range bands of a 64-bit signature sized so band blocking
+    * is LOSSLESS at Hamming distance ≤ `maxDist`: with `maxDist + 1` bands,
+    * two signatures within distance maxDist cannot differ in every band
+    * (pigeonhole), so they share at least one band value — recall is 1.0,
+    * not probabilistic. */
+  private def sigBands(sig: Column, maxDist: Int): Column = {
+    val bands = math.min(64, maxDist + 1)
+    val width = (64 + bands - 1) / bands
+    array((0 until bands).map { i =>
+      val w = math.min(width, 64 - i * width)
+      val shifted = shiftright(sig, i * width)
+      if (i * width + w >= 64) shifted else shifted.bitwiseAND((1L << w) - 1)
+    }: _*)
+  }
+
+  /** SimHash near-dup candidates within Hamming distance `maxDist`:
+    * pigeonhole band blocking (maxDist+1 bands — see [[sigBands]], a
+    * guaranteed-recall candidate join), then exact popcount filter.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    simhashPairsOf(
+      docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")), maxDist)
+
+  private def simhashPairsOf(sigs: DataFrame, maxDist: Int): DataFrame = {
     val banded = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "bv")))
+      posexplode(sigBands(col("sig"), maxDist)).as(Seq("band", "bv")))
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
           col("l.id") < col("r.id"))
@@ -143,4 +180,38 @@ object DedupOps {
       .filter(col("dist") <= maxDist)
       .select("a", "b", "dist")
   }
+
+  /** Portable-hash SimHash signatures: per-token md5, bit b of the first 64
+    * signature bits read from hex digit b/4 (bit b%4 of its value) — md5 hex
+    * is bit-identical in every engine, so a standard-SQL oracle reproduces
+    * the signature exactly (the xxhash64 [[simhash]] stays the Spark-native
+    * fast path). One explode + one 64-column primitive sum aggregation:
+    * map-side combine, whole-stage codegen, no per-doc array materialization.
+    */
+  def simhashSignaturesPortable(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val digitVal = (i: Int) => // hex digit i (0-based) as 0..15, lowercase md5
+      expr(s"locate(substring(h, ${i + 1}, 1), '0123456789abcdef') - 1")
+    val sums = toks.groupBy("id").agg(
+      bitVote(digitVal(0), 0).as("b0"),
+      (1 until 64).map(b => bitVote(digitVal(b / 4), b % 4).as(s"b$b")): _*)
+    val sig = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("id"), sig.as("sig"))
+  }
+
+  /** ±1 vote of bit `bit` of hex-digit value `dig`, summed per group. */
+  private def bitVote(dig: Column, bit: Int): Column =
+    sum(when(shiftright(dig.cast("long"), bit).bitwiseAND(1L) === 1L, 1L)
+      .otherwise(-1L))
+
+  /** [[simhashPairs]] over the portable md5-bit signature — the
+    * oracle-checked variant. */
+  def simhashPairsPortable(docs: DataFrame, maxDist: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    simhashPairsOf(simhashSignaturesPortable(docs, idCol, textCol), maxDist)
 }

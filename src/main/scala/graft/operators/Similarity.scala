@@ -20,6 +20,20 @@ object SimilarityOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Bounded top-k per query: window `row_number ≤ k` over (cos desc, id) —
+    * WindowExec external-sorts and spills, so per-task memory stays O(page)
+    * no matter how many candidates a query has. (A per-group
+    * `collect_list`+`array_sort` materializes one array of the entire
+    * candidate set per query — a single-task OOM at 10⁹ corpus vectors.) */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+  }
+
   /** Exact top-k nearest neighbors by cosine for each query vector.
     * `queries` and `corpus` both carry (id, vec). Brute force: broadcast the
     * (small) query side against the corpus — the corpus is never shuffled,
@@ -32,12 +46,21 @@ object SimilarityOps {
     val scored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
       .join(q, col("query_id") =!= col("neighbor_id")) // all query×corpus pairs minus self
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    scored
-      .groupBy("query_id")
-      .agg(slice(array_sort(collect_list(struct((-col("cos")).as("nc"),
-        col("neighbor_id").as("neighbor_id"), col("cos").as("cos")))), 1, k).as("top"))
-      .select(col("query_id"), explode(col("top")).as("t"))
-      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"), col("t.cos").as("cos"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane m,
+    * dimension d) in [-1, 1]: a double-stepped MINSTD generator (two LCG
+    * steps kill the per-dimension linearity a single step would have) —
+    * pure 64-bit integer arithmetic with no overflow, so ANY SQL engine
+    * reproduces it exactly (the DuckDB oracle does). */
+  private def planeComponent(m: Int, d: Column, seed: Long): Column = {
+    val p = 2147483647L // 2^31 - 1 (MINSTD modulus)
+    val a = 48271L
+    val x0 = lit(m.toLong * 4099L + seed) + d.cast("long")
+    val h1 = pmod(lit(a) * x0 + lit(12345L), lit(p))
+    val h2 = pmod(lit(a) * h1 + lit(12345L), lit(p))
+    (pmod(h2, lit(2000001L)) - lit(1000000L)).cast("double") / 1000000.0
   }
 
   /** Random-hyperplane LSH bucket id: sign bits of `planes` pseudo-random
@@ -48,8 +71,7 @@ object SimilarityOps {
   def lshBucket(vec: Column, planes: Int, seed: Long = 7L): Column = {
     val proj = (m: Int) => aggregate(
       zip_with(vec, sequence(lit(0), size(vec) - 1), (v, d) =>
-        v.cast("double") *
-          ((pmod(xxhash64(lit(seed), lit(m), d), lit(2000001L)) - 1000000L).cast("double") / 1000000.0)),
+        v.cast("double") * planeComponent(m, d, seed)),
       lit(0.0), (acc, v) => acc + v)
     (0 until planes).map(m =>
       when(proj(m) > 0, shiftleft(lit(1L), m)).otherwise(lit(0L)))
@@ -59,7 +81,8 @@ object SimilarityOps {
   /** Approximate NN: candidates share an LSH bucket (queries probe their own
     * bucket), exact cosine re-rank within bucket. The shuffle is keyed by
     * bucket — O(n) not O(n²); recall tunes with `planes` (fewer planes →
-    * bigger buckets → higher recall, more compute).
+    * bigger buckets → higher recall, more compute). Top-k is a spilling
+    * window, so even a hot bucket never materializes its candidate list.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 8): DataFrame = {
     val cb = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
@@ -69,12 +92,7 @@ object SimilarityOps {
     val scored = cb.join(qb, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    scored
-      .groupBy("query_id")
-      .agg(slice(array_sort(collect_list(struct((-col("cos")).as("nc"),
-        col("neighbor_id").as("neighbor_id"), col("cos").as("cos")))), 1, k).as("top"))
-      .select(col("query_id"), explode(col("top")).as("t"))
-      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"), col("t.cos").as("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold) via
