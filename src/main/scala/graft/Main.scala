@@ -76,17 +76,90 @@ object Main {
 
     case "compact" :: tableRoot :: rest =>
       val horizon = rest.headOption.map(_.toLong).getOrElse(-1L)
-      val n = graft.cdc.Compaction(LakeTable(tableRoot)(spark), horizon, "graft-maint")
+      val n = graft.cdc.Compaction(LakeTable(tableRoot)(spark), horizon)
       println(s"[compact] rewrote $n buckets (tombstone horizon=$horizon)")
 
-    case "vacuum" :: tableRoot :: Nil =>
-      val n = LakeTable(tableRoot)(spark).vacuum()
-      println(s"[vacuum] removed $n unreferenced data files")
+    case "vacuum" :: tableRoot :: rest =>
+      val grace = rest.headOption.map(_.toLong).getOrElse(0L)
+      val n = LakeTable(tableRoot)(spark).vacuum(graceMs = grace)
+      println(s"[vacuum] removed $n unreferenced data files (grace=${grace}ms)")
+
+    // ---- config-driven extract-load (≙ `teleport extract-load-db`,
+    // /root/reference/main.go:153-169; `-preview` main.go:29-33) ----
+    case "extract-load" :: specPath :: table :: rest =>
+      val preview = rest.contains("--preview")
+      val spec = graft.config.JobSpec.load(spark, specPath)
+      val r = graft.config.JobRunner.run(spark, spec, table, preview)
+      println(s"[extract-load] table=${r.table} strategy=${r.strategy} " +
+        s"rows=${r.rowsLoaded} version=${r.version} preview=${r.previewed}")
+
+    // ---- catalog verbs (≙ main.go:123-152) ----
+    case "list-tables" :: dir :: Nil => // ≙ `teleport list-tables`
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath).foreach { tp =>
+        val t = LakeTable(tp.toString)(spark)
+        if (t.exists) println(tp.getName)
+      }
+
+    case "describe-table" :: tableRoot :: Nil => // ≙ `teleport describe-table`
+      val t = LakeTable(tableRoot)(spark)
+      val s = t.currentSnapshot.getOrElse(sys.error(s"no table at $tableRoot"))
+      println(graft.sources.SchemaTools.createTableDdl(
+        new org.apache.hadoop.fs.Path(tableRoot).getName, s.schema))
+
+    case "table-metadata" :: tableRoot :: Nil => // ≙ `teleport table-metadata`
+      val t = LakeTable(tableRoot)(spark)
+      val s = t.currentSnapshot.getOrElse(sys.error(s"no table at $tableRoot"))
+      println(s"version=${s.version} files=${s.files.size} " +
+        s"rows=${s.files.map(_.rows).sum} bytes=${s.files.map(_.bytes).sum} " +
+        s"buckets=${s.numBuckets} watermarkLsn=${s.watermarkLsn}")
+
+    case "drop-table" :: tableRoot :: Nil => // ≙ `teleport drop-table`
+      val p = new org.apache.hadoop.fs.Path(tableRoot)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val existed = fs.exists(p)
+      fs.delete(p, true)
+      println(s"[drop-table] $tableRoot ${if (existed) "dropped" else "did not exist"}")
+
+    case "import-csv" :: csvPath :: tableRoot :: rest => // ≙ `teleport import-csv`
+      val keys = rest.headOption.map(_.split(",").toSeq)
+      val df = spark.read.options(graft.sources.CsvSource.ReadOptions)
+        .option("inferSchema", "true").csv(csvPath)
+      val dest = LakeTable(tableRoot)(spark)
+      val k = keys.getOrElse(df.columns.take(1).toSeq)
+      if (!dest.exists) dest.create(df.schema, 16, "import-csv")
+      val s = dest.overwrite(df, k, "import-csv")
+      println(s"[import-csv] ${df.count()} rows → $tableRoot version ${s.version}")
+
+    case "create-destination-table" :: tableRoot :: ddl :: Nil =>
+      // ≙ `teleport create-destination-table`: cols as "name:type,name:type"
+      val fields = ddl.split(",").map { c =>
+        val Array(n, ty) = c.split(":", 2)
+        org.apache.spark.sql.types.StructField(n.trim,
+          graft.sources.SchemaTools.parseType(ty).getOrElse(
+            sys.error(s"unknown type: $ty")))
+      }
+      val t = LakeTable(tableRoot)(spark)
+      val s = t.create(org.apache.spark.sql.types.StructType(fields), 16, "create-dest")
+      println(s"[create-destination-table] $tableRoot at version ${s.version}")
+
+    case "about-db" :: dir :: Nil => // ≙ `teleport about-db`
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val tables = fs.listStatus(p).filter(_.isDirectory)
+        .map(st => LakeTable(st.getPath.toString)(spark)).filter(_.exists)
+      val rows = tables.flatMap(_.currentSnapshot).map(_.files.map(_.rows).sum).sum
+      println(s"lake at $dir: ${tables.length} tables, $rows rows")
 
     case other =>
       System.err.println(s"unknown args: ${other.mkString(" ")}\n" +
         "usage: gen <dir> <n> [files] | replay <eventsDir> <tableRoot> <ckpt> [appId] [maxFiles] [mor] | " +
-        "compact <tableRoot> [horizonLsn] | vacuum <tableRoot> | show <tableRoot>")
+        "compact <tableRoot> [horizonLsn] | vacuum <tableRoot> [graceMs] | show <tableRoot> | " +
+        "extract-load <spec.json> <table> [--preview] | list-tables <dir> | " +
+        "describe-table <root> | table-metadata <root> | drop-table <root> | " +
+        "import-csv <csv> <root> [pk,cols] | create-destination-table <root> <name:type,...> | " +
+        "about-db <dir>")
       sys.exit(2)
   }
 }

@@ -76,7 +76,10 @@ object SparkEntry {
     Lineage.read(spark, root)
       .filter(col("eventsIn") > 0)
       .select(col("batchId"), col("eventsIn"), col("distinctKeys"),
-        col("lwwConflicts"), col("minLsn"), col("maxLsn"))
+        col("lwwConflicts"), col("minLsn"), col("maxLsn"),
+        // byte accounting (reference BytesCounter): exact parquet sizes are
+        // engine-internal, so the portable assertion is non-degeneracy
+        (col("bytesWritten") > 0).as("bytes_positive"))
       .orderBy("batchId")
   }
 
@@ -324,6 +327,91 @@ object SparkEntry {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Config-file frontend end-to-end (the reference's .port surface,
+    * database_configuration.go:100-263): a JSON job spec on disk drives
+    * extract → column projection → transform chain → computed column → Full
+    * load into a LakeTable; the gate reads the destination back. */
+  private def cfgExtractLoad(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("gate-cfg").toString
+    val spec = s"""{
+      "source": {"format": "parquet", "path": "$dir/events.parquet"},
+      "destination": {"root": "$root/dest", "numBuckets": 8},
+      "tables": {
+        "events": {
+          "loadStrategy": "Full",
+          "primaryKey": ["event_id"],
+          "columns": ["event_id", "event_type", "value", "ts"],
+          "transforms": [
+            {"column": "value", "ops": ["multiply:100"], "castTo": "integer"},
+            {"column": "event_type", "ops": ["upper"]}],
+          "computed": [{"column": "day", "sqlExpr": "date_format(ts, 'yyyy-MM-dd')"}]
+        }
+      }
+    }"""
+    Files.writeString(java.nio.file.Paths.get(s"$root/events.job.json"), spec)
+    graft.config.JobRunner.run(spark,
+      graft.config.JobSpec.load(spark, s"$root/events.job.json"), "events")
+    LakeTable(s"$root/dest")(spark).read()
+      .select(col("event_id"), col("value").as("value_cents"),
+        col("event_type").as("event_type_uc"), col("day"))
+      .orderBy("event_id")
+  }
+
+  /** ModifiedOnly upsert through the config frontend (modified_only.port:
+    * lookback filter by modified-at column + delete-match upsert by primary
+    * key): a Full run tags every row 'full', then a ModifiedOnly run
+    * re-extracts only the 36h-lookback window tagged 'recent' and upserts —
+    * final state shows which rows the second run touched. */
+  private def cfgModifiedOnly(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("gate-cfg-mo").toString
+    def spec(strategy: String, tag: String, goBack: Int): String = s"""{
+      "source": {"format": "parquet", "path": "$dir/events.parquet"},
+      "destination": {"root": "$root/dest", "numBuckets": 8},
+      "tables": {
+        "events": {
+          "loadStrategy": "$strategy",
+          "primaryKey": ["event_id"],
+          "modifiedAtColumn": "ts",
+          "goBackHours": $goBack,
+          "columns": ["event_id", "ts"],
+          "computed": [{"column": "tag", "sqlExpr": "'$tag'"}]
+        }
+      }
+    }"""
+    Files.writeString(java.nio.file.Paths.get(s"$root/full.json"), spec("Full", "full", 0))
+    Files.writeString(java.nio.file.Paths.get(s"$root/mo.json"), spec("ModifiedOnly", "recent", 36))
+    graft.config.JobRunner.run(spark,
+      graft.config.JobSpec.load(spark, s"$root/full.json"), "events")
+    graft.config.JobRunner.run(spark,
+      graft.config.JobSpec.load(spark, s"$root/mo.json"), "events")
+    LakeTable(s"$root/dest")(spark).read()
+      .select(col("event_id"), col("tag"))
+      .orderBy("event_id")
+  }
+
+  /** F5 yaml.loads (starlarkextensions.go:21-28) through the ColumnTransforms
+    * op vocabulary, on Ruby-serialized YAML like
+    * deserialize_ruby_yaml_column.port: strip the `ivars:` tail (the
+    * fixture's own Starlark surgery), parse YAML → JSON, dig out fields. */
+  private def f5Yaml(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ColumnTransforms
+    val docs = t(spark, dir, "events").select(col("event_id"),
+      concat(
+        lit("--- !ruby/hash-with-ivars:ActionController::Parameters\nelements:\n  append: '"),
+        upper(col("event_type")),
+        lit("'\n  k: "), floor(col("value") * 100).cast("long"),
+        lit("\nivars:\n  :@permitted: false\n")).as("y"))
+    ColumnTransforms(docs,
+      transforms = Seq(ColumnTransforms.ColumnSpec("y",
+        Seq("strip_after:\nivars:", "yaml"))),
+      computed = Seq(
+        ColumnTransforms.ComputedSpec("append", "get_json_object(y, '$.elements.append')"),
+        ColumnTransforms.ComputedSpec("k",
+          "cast(get_json_object(y, '$.elements.k') as bigint)")))
+      .select(col("event_id"), col("append"), col("k"))
+      .orderBy("event_id")
+  }
+
   /** Quality scoring over documents (length/stopword/punct/upper mix). */
   private def textQuality(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -373,7 +461,10 @@ object SparkEntry {
     "a1_ctas_transform" -> (a1CtasTransform _),
     "a2_transform_chain" -> (a2TransformChain _),
     "mm_frames" -> (mmFrames _),
-    "text_quality" -> (textQuality _))
+    "text_quality" -> (textQuality _),
+    "cfg_extract_load" -> (cfgExtractLoad _),
+    "cfg_modified_only" -> (cfgModifiedOnly _),
+    "f5_yaml" -> (f5Yaml _))
 
   // ------------------------------------------------------------- oracles ----
 
@@ -438,7 +529,8 @@ object SparkEntry {
         count(*) AS eventsIn,
         count(DISTINCT (repo, path, "commit")) AS distinctKeys,
         count(*) - count(DISTINCT (repo, path, "commit")) AS lwwConflicts,
-        min(lsn) AS minLsn, max(lsn) AS maxLsn
+        min(lsn) AS minLsn, max(lsn) AS maxLsn,
+        TRUE AS bytes_positive
       FROM batched GROUP BY batchId HAVING count(*) > 0 ORDER BY batchId""",
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -646,7 +738,20 @@ object SparkEntry {
       QUALIFY row_number() OVER (PARTITION BY query_id
         ORDER BY cos DESC, neighbor_id ASC) <= 3
       ORDER BY query_id, neighbor_id""",
-    "dedup_simhash" -> simhashOracleSql)
+    "dedup_simhash" -> simhashOracleSql,
+    "cfg_extract_load" -> """
+      SELECT event_id, CAST(trunc(value * 100) AS BIGINT) AS value_cents,
+        upper(event_type) AS event_type_uc, strftime(ts, '%Y-%m-%d') AS day
+      FROM events ORDER BY event_id""",
+    "cfg_modified_only" -> """
+      SELECT event_id,
+        CASE WHEN ts > (SELECT max(ts) - INTERVAL 36 HOUR FROM events)
+          THEN 'recent' ELSE 'full' END AS tag
+      FROM events ORDER BY event_id""",
+    "f5_yaml" -> """
+      SELECT event_id, upper(event_type) AS append,
+        CAST(floor(value * 100) AS BIGINT) AS k
+      FROM events ORDER BY event_id""")
 
   /** DuckDB rendering of [[graft.operators.SimilarityOps.lshBucket]]: the
     * plane components are pure 64-bit integer arithmetic (double-stepped

@@ -19,8 +19,15 @@ object Compaction {
   /** Drop tombstones with `_lsn <= horizonLsn`; rewrite only buckets that
     * contain at least one such tombstone or more than `maxFilesPerBucket`
     * files. Returns the number of buckets rewritten.
+    *
+    * The maintenance commit CARRIES THE PARENT'S (appId, batchId) fencing
+    * identity instead of stamping its own: auto-compaction can run
+    * immediately after a merge commit, and if it published a fresh epoch a
+    * restarted stream replaying that merge's batch would no longer be fenced
+    * by the latest snapshot (LWW keeps state correct, but merge-on-read
+    * would re-append duplicate generation files and lineage double-count).
     */
-  def apply(table: LakeTable, horizonLsn: Long, appId: String,
+  def apply(table: LakeTable, horizonLsn: Long,
       maxFilesPerBucket: Int = 1): Int = {
     val snap = table.currentSnapshot.getOrElse(return 0)
     if (snap.files.isEmpty) return 0
@@ -62,7 +69,7 @@ object Compaction {
       .repartition(col(LakeTable.BucketCol))
     val added = table.writeDataFilesPrePartitioned(kept)
     val removed = snap.files.filter(f => buckets.contains(f.bucket)).map(_.path).toSet
-    table.replaceFiles(snap, removed, added, None, appId, -1L,
+    table.replaceFiles(snap, removed, added, None, snap.appId, snap.batchId,
       snap.watermarkLsn, snap.sourceOffsets)
     buckets.size
   }

@@ -17,6 +17,7 @@ case class MergeStats(
     bucketsTouched: Int,
     filesRewritten: Int,
     rowsWritten: Long,
+    bytesWritten: Long,
     minLsn: Long,
     maxLsn: Long,
     schemaEvolved: Boolean,
@@ -53,10 +54,19 @@ case class MergeStats(
   *     Lineage statistics (distinct keys, LWW conflicts, LSN range, rows
   *     written) ride on the same job via `Observation` — no extra pass.
   *
-  * Skew: the full primary key (repo, path, commit) feeds the bucket hash, so
-  * a hot *repo* is spread across buckets by its paths/commits — the salt is
-  * structural rather than bolted on. Per-key skew cannot exist in the output
-  * (keys are unique after LWW); AQE remains on for residual imbalance.
+  * Skew, three layers: (1) the full primary key (repo, path, commit) feeds
+  * the bucket hash, so a hot *repo* is spread across buckets by its
+  * paths/commits — structural, not bolted on; (2) `graft.merge.salt` = S
+  * splits each bucket across S shuffle tasks by key-hash when a single
+  * bucket is still hot; (3) AQE for residual imbalance. Per-key skew cannot
+  * exist in the output (keys are unique after LWW).
+  *
+  * Sizing rule (100 TB): numBuckets is the rewrite/pruning granule — size it
+  * so one bucket's live data ≈ 0.5-2 GB (≈ table_bytes / 1e9), and keep
+  * numBuckets ≥ 4× peak executor-core count so merge parallelism never caps
+  * below the cluster. It is fixed at create(); re-bucketing is a full
+  * rewrite, so size for the table's TARGET scale, not its bootstrap size —
+  * empty buckets cost one manifest entry, nothing more.
   *
   * Exactly-once: commit-epoch fencing — if the current snapshot already
   * carries (appId, batchId), the batch is a replay after failure and the
@@ -101,7 +111,7 @@ object Merge {
 
     // --- commit-epoch fencing (replayed foreachBatch after restart) ---
     if (snap.appId == appId && snap.batchId == batchId && batchId >= 0) {
-      return MergeStats(batchId, snap.version, 0, 0, 0, 0, 0, 0, -1, -1,
+      return MergeStats(batchId, snap.version, 0, 0, 0, 0, 0, 0, 0, -1, -1,
         schemaEvolved = false, skippedFenced = true, (System.nanoTime() - t0) / 1000000)
     }
 
@@ -138,7 +148,7 @@ object Merge {
       // nothing to apply — metadata-only commit to record the epoch
       val s = table.replaceFiles(snap, Set.empty, Nil, None, appId, batchId,
         snap.watermarkLsn, snap.sourceOffsets ++ sourceOffsets)
-      return MergeStats(batchId, s.version, 0, 0, 0, 0, 0, 0, -1, -1,
+      return MergeStats(batchId, s.version, 0, 0, 0, 0, 0, 0, 0, -1, -1,
         schemaEvolved = false, skippedFenced = false, (System.nanoTime() - t0) / 1000000)
     }
     val buckets = pre.map(_.getInt(0)).toSet
@@ -185,10 +195,24 @@ object Merge {
     }
 
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // Sub-bucket salting (skew): partitioning the merge shuffle on _bucket
+    // alone caps parallelism at the touched-bucket count and makes one hot
+    // bucket a single task. With salt S > 1 the shuffle key becomes
+    // (_bucket, khash mod S): a hot bucket spreads over S tasks while the
+    // per-key grouping the window needs is untouched (khash is a pure
+    // function of the keys that follow it in the partition spec). Cost: up
+    // to S files per touched bucket per batch instead of 1 — size S to the
+    // observed skew, not to the cluster (graft.merge.salt, default 1).
+    val KeyHash = "_khash"
+    val salt = spark.conf.getOption("graft.merge.salt").map(_.toInt).getOrElse(1)
+    val shuffleKeys =
+      if (salt <= 1) Seq(col(LakeTable.BucketCol))
+      else Seq(col(LakeTable.BucketCol), pmod(col(KeyHash), lit(salt)))
     val combined = target
       .select(batchConformed.columns.map(col): _*) // align column order for union
       .unionByName(batchConformed)
-      .repartition(shufflePartitions, col(LakeTable.BucketCol))
+      .withColumn(KeyHash, xxhash64(keyCols.map(col): _*))
+      .repartition(shufflePartitions, shuffleKeys: _*)
 
     // --- job 2: merge + write. LWW winner per key via an explicit
     // sort-within-partitions + row_number window: the sort we provide is
@@ -199,11 +223,10 @@ object Merge {
     // ObjectHashAggregateExec — interpreted expression eval, measured ~100x
     // more CPU per row. The same sorted pass also computes per-key
     // "contains a batch row" (unbounded max over _src) for lineage. ---
-    // a 64-bit key hash leads the sort/partition keys: the external sort's
+    // the 64-bit key hash leads the sort/partition keys: the external sort's
     // row comparisons then resolve on (int, long) almost always, instead of
     // comparing three string key columns byte-by-byte; grouping is unchanged
     // because the hash is a pure function of the keys that follow it
-    val KeyHash = "_khash"
     val partCols = Seq(col(LakeTable.BucketCol), col(KeyHash)) ++ keyCols.map(col)
     val sortKeys = partCols ++ Seq(
       col(CdcModel.LsnCol).desc, col(OpRankCol).desc, col(TieCol).desc)
@@ -217,7 +240,6 @@ object Merge {
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val obs = Observation(s"merge-$appId-$batchId-${snap.version}")
     val winners = combined
-      .withColumn(KeyHash, xxhash64(keyCols.map(col): _*))
       .sortWithinPartitions(sortKeys: _*)
       .withColumn("_rn", row_number().over(w))
       .withColumn("_hasBatch", max(col(SrcCol)).over(wAll))
@@ -238,7 +260,7 @@ object Merge {
 
     MergeStats(batchId, committed.version, eventsIn, distinctKeys,
       eventsIn - distinctKeys, buckets.size, targetFiles.size,
-      added.map(_.rows).sum, minLsn, maxLsn, schemaEvolved,
+      added.map(_.rows).sum, added.map(_.bytes).sum, minLsn, maxLsn, schemaEvolved,
       skippedFenced = false, (System.nanoTime() - t0) / 1000000)
   }
 }

@@ -7,10 +7,15 @@ import org.apache.spark.sql.types._
 import graft.lake.{LakeTable, Snapshot}
 import graft.model.CdcModel
 
-/** Per-batch × per-bucket lineage, appended to `<root>/_lineage` as parquet.
+/** Per-batch lineage records under `<root>/lineage/v<version>.json` (one
+  * small JSON file per commit, written driver-side through the Hadoop
+  * FileSystem API — object stores have no append, and a Spark job per
+  * lineage row added ~0.5s of fixed cost to every micro-batch).
   * ≙ the reference's RowCounter/BytesCounter + per-step workflow logging
   * (/root/reference/workflow.go:100-136) promoted to a queryable table:
-  * {source offset range, rows applied, conflicts resolved, duration}.
+  * {source offset range, rows applied, conflicts resolved, bytes, duration}.
+  * The commit version names the file, so a fenced/replayed batch that
+  * re-reports the same commit is deduplicated by create-exclusive.
   */
 object Lineage {
   val schema: StructType = StructType(Seq(
@@ -18,29 +23,28 @@ object Lineage {
     StructField("eventsIn", LongType), StructField("distinctKeys", LongType),
     StructField("lwwConflicts", LongType), StructField("bucketsTouched", IntegerType),
     StructField("filesRewritten", IntegerType), StructField("rowsWritten", LongType),
+    StructField("bytesWritten", LongType),
     StructField("minLsn", LongType), StructField("maxLsn", LongType),
     StructField("schemaEvolved", BooleanType), StructField("skippedFenced", BooleanType),
     StructField("durationMs", LongType)))
 
-  /** Driver-side JSONL append — one lineage row per batch is driver metadata,
-    * not a distributed dataset; writing it through a Spark job added ~0.5s of
-    * fixed cost to every micro-batch (scaling-efficiency poison). The file
-    * stays queryable via `spark.read.schema(...).json`. */
-  def append(spark: SparkSession, tableRoot: String, s: MergeStats): Unit = {
-    val line = s"""{"batchId":${s.batchId},"version":${s.committedVersion},""" +
+  def append(table: LakeTable, s: MergeStats): Unit = {
+    val json = s"""{"batchId":${s.batchId},"version":${s.committedVersion},""" +
       s""""eventsIn":${s.eventsIn},"distinctKeys":${s.distinctKeys},""" +
       s""""lwwConflicts":${s.lwwConflicts},"bucketsTouched":${s.bucketsTouched},""" +
       s""""filesRewritten":${s.filesRewritten},"rowsWritten":${s.rowsWritten},""" +
+      s""""bytesWritten":${s.bytesWritten},""" +
       s""""minLsn":${s.minLsn},"maxLsn":${s.maxLsn},""" +
       s""""schemaEvolved":${s.schemaEvolved},"skippedFenced":${s.skippedFenced},""" +
       s""""durationMs":${s.durationMs}}""" + "\n"
-    val p = java.nio.file.Paths.get(tableRoot, "lineage.jsonl")
-    java.nio.file.Files.writeString(p, line,
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    val dir = new org.apache.hadoop.fs.Path(table.root, "lineage")
+    table.fs.mkdirs(dir)
+    LakeTable.writeStringExclusive(table.fs,
+      new org.apache.hadoop.fs.Path(dir, s"v${s.committedVersion}.json"), json)
   }
 
   def read(spark: SparkSession, tableRoot: String): DataFrame =
-    spark.read.schema(schema).json(s"$tableRoot/lineage.jsonl")
+    spark.read.schema(schema).json(s"$tableRoot/lineage/*.json")
 }
 
 /** End-to-end CDC pipeline over a [[graft.lake.LakeTable]]: bootstrap
@@ -80,10 +84,10 @@ final class CdcPipeline(val table: LakeTable, val appId: String,
       orderedDelivery: Boolean = false): MergeStats = {
     val stats = Merge(table, events, appId, batchId, sourceOffsets,
       orderedDelivery, mergeOnRead)
-    if (lineage) Lineage.append(events.sparkSession, table.root, stats)
+    if (lineage) Lineage.append(table, stats)
     if (mergeOnRead && compactEveryFiles > 0 &&
         table.currentSnapshot.exists(_.files.groupBy(_.bucket).exists(_._2.size > compactEveryFiles)))
-      Compaction(table, horizonLsn = -1L, appId, maxFilesPerBucket = compactEveryFiles)
+      Compaction(table, horizonLsn = -1L, maxFilesPerBucket = compactEveryFiles)
     stats
   }
 

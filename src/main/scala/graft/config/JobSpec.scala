@@ -1,0 +1,93 @@
+package graft.config
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.operators.ColumnTransforms.{ColumnSpec, ComputedSpec}
+
+/** Declarative extract-load job spec — the reference's `.port` config
+  * surface (Starlark `Table(...).LoadStrategy(...).TransformColumn(...)`,
+  * /root/reference/database_configuration.go:100-263 and the
+  * testdata/databases fixture corpus) re-expressed as a JSON file parsed
+  * into the engine's native config types. Starlark's *functions* (lambda
+  * transforms) map to the [[graft.operators.ColumnTransforms]] scalar-op
+  * vocabulary plus SQL computed columns — declarative Catalyst expressions
+  * instead of a row-at-a-time interpreter.
+  *
+  * Spec file shape:
+  * {{{
+  * {
+  *   "source":      {"format": "parquet|csv|json", "path": "$DATA_DIR/events.parquet"},
+  *   "destination": {"root": "/lake/events", "numBuckets": 16},
+  *   "tables": {
+  *     "events": {
+  *       "loadStrategy": "Full" | "ModifiedOnly" | "Incremental",
+  *       "primaryKey": ["event_id"],
+  *       "modifiedAtColumn": "ts",
+  *       "goBackHours": 36,
+  *       "columns": ["*"],                        // or an explicit list
+  *       "transforms": [{"column": "event_type", "ops": ["upper"], "castTo": null}],
+  *       "computed":   [{"column": "day", "sql": "date_format(ts, 'yyyy-MM-dd')"}]
+  *     },
+  *     "*": {"loadStrategy": "Full"}              // wildcard fallback
+  *   }
+  * }
+  * }}}
+  *
+  * Reference-parity rules:
+  *  - missing spec file or missing table entry → `Full` over all columns
+  *    (database_configuration.go:100-147 "No table configuration found,
+  *    using default load strategy: Full");
+  *  - a `"*"` table entry is the wildcard fallback (star.port);
+  *  - `$VAR` / `${VAR}` in any string value expands from the environment
+  *    (≙ endpoint_configuration.go env interpolation, F7);
+  *  - transform + castTo ≙ `TransformColumn(col, fn, "INTEGER")`
+  *    (transform_column_and_change_type.port).
+  */
+case class SourceSpec(format: String, path: String)
+case class DestinationSpec(root: String, numBuckets: Int = 16)
+case class TableExtractSpec(
+    loadStrategy: String = "Full",
+    primaryKey: Seq[String] = Nil,
+    modifiedAtColumn: Option[String] = None,
+    goBackHours: Int = 0,
+    columns: Seq[String] = Seq("*"),
+    transforms: Seq[ColumnSpec] = Nil,
+    computed: Seq[ComputedSpec] = Nil)
+case class JobSpec(
+    source: SourceSpec,
+    destination: DestinationSpec,
+    tables: Map[String, TableExtractSpec] = Map.empty) {
+
+  /** Resolve the extract config for `table`: exact entry, else `"*"`
+    * wildcard, else default Full — exactly
+    * readTableExtractConfiguration (database_configuration.go:125-152). */
+  def extractFor(table: String): TableExtractSpec =
+    tables.getOrElse(table, tables.getOrElse("*", TableExtractSpec()))
+}
+
+object JobSpec {
+  implicit private val formats: Formats = DefaultFormats
+
+  /** `$VAR` / `${VAR}` environment interpolation over the raw spec text
+    * (≙ the reference's endpoint env expansion, F7). Unset vars expand to
+    * the empty string, like os.ExpandEnv. */
+  def interpolate(raw: String, env: String => Option[String]): String = {
+    val re = "\\$\\{([A-Za-z_][A-Za-z0-9_]*)\\}|\\$([A-Za-z_][A-Za-z0-9_]*)".r
+    re.replaceAllIn(raw, m => {
+      val name = Option(m.group(1)).getOrElse(m.group(2))
+      scala.util.matching.Regex.quoteReplacement(env(name).getOrElse(""))
+    })
+  }
+
+  def parse(json: String, env: String => Option[String] = sys.env.get): JobSpec =
+    JsonMethods.parse(interpolate(json, env)).extract[JobSpec]
+
+  /** Load a spec file through the Hadoop FS API (spec files live next to the
+    * data — local in tests, HDFS/object store on a cluster). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): JobSpec = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    parse(graft.lake.LakeTable.readString(fs, p))
+  }
+}

@@ -1,9 +1,10 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructType, DataType}
@@ -24,11 +25,12 @@ case class DataFile(path: String, bucket: Int, rows: Long, bytes: Long)
 
 /** An immutable table version. Commit protocol mirrors the reference's
   * staging-table + single-transaction swap (/root/reference/load.go:28-45,
-  * 158-168 and transform.go:31-36) re-expressed as an atomic manifest rename:
-  * writers never mutate data files, they add/remove whole files and publish a
-  * new `snapshot-N.json` via temp-file + ATOMIC_MOVE with an expected-parent
-  * check (optimistic CAS). `batchId`/`appId` provide commit-epoch fencing so a
-  * replayed foreachBatch is a no-op (exactly-once).
+  * 158-168 and transform.go:31-36) re-expressed as an atomic manifest
+  * publish: writers never mutate data files, they add/remove whole files and
+  * publish a new `snapshot-N.json` with an expected-parent check (optimistic
+  * CAS — see [[LakeTable.commit]] for the per-filesystem primitive).
+  * `batchId`/`appId` provide commit-epoch fencing so a replayed foreachBatch
+  * is a no-op (exactly-once).
   */
 case class Snapshot(
     version: Long,
@@ -63,31 +65,38 @@ class CommitConflictException(msg: String) extends RuntimeException(msg)
   * {{{
   *   <root>/data/<uuid>.parquet       — immutable data files
   *   <root>/meta/snapshot-<N>.json    — manifest per version
+  *   <root>/lineage/<n>.json          — per-batch lineage records
   * }}}
   *
-  * Readers resolve the latest snapshot by max N. Writers commit with
-  * expected-parent CAS; `ATOMIC_MOVE` on a posix FS (and rename-without-
-  * overwrite on HDFS/object stores with a rename primitive) makes the publish
-  * atomic. All data paths in the manifest are relative to `<root>/data`.
+  * ALL metadata IO goes through the Hadoop `FileSystem` API resolved from
+  * `root`'s scheme, so the same table code runs on local disk (`file://`,
+  * tests), HDFS and HCFS object stores — the only places a 100 TB table can
+  * actually live; `java.nio` would bind it to posix. Readers resolve the
+  * latest snapshot by max N; writers commit with an expected-parent CAS
+  * (create-exclusive / rename-without-overwrite, see [[commit]]). All data
+  * paths in the manifest are relative to `<root>/data`.
   */
 final class LakeTable(val root: String, spark: SparkSession) {
   import LakeTable._
 
-  private val dataDir: Path = Paths.get(root, "data")
-  private val metaDir: Path = Paths.get(root, "meta")
+  private val rootPath: HPath = new HPath(root)
+  private[graft] val hconf: Configuration = spark.sessionState.newHadoopConf()
+  private[graft] val fs: FileSystem = rootPath.getFileSystem(hconf)
+  private val dataDir: HPath = new HPath(rootPath, "data")
+  private val metaDir: HPath = new HPath(rootPath, "meta")
 
-  def exists: Boolean = Files.isDirectory(metaDir) && latestVersion >= 0
+  def exists: Boolean = fs.isDirectory(metaDir) && latestVersion >= 0
 
   def latestVersion: Long = {
-    if (!Files.isDirectory(metaDir)) return -1L
-    LakeTable.listDir(metaDir)
-      .map(_.getFileName.toString)
+    if (!fs.isDirectory(metaDir)) return -1L
+    fs.listStatus(metaDir).iterator
+      .map(_.getPath.getName)
       .collect { case SnapshotName(n) => n.toLong }
       .foldLeft(-1L)(math.max)
   }
 
   def snapshot(version: Long): Snapshot =
-    Snapshot.fromJson(Files.readString(metaDir.resolve(s"snapshot-$version.json")))
+    Snapshot.fromJson(readString(fs, new HPath(metaDir, s"snapshot-$version.json")))
 
   def currentSnapshot: Option[Snapshot] = latestVersion match {
     case -1L => None
@@ -115,7 +124,7 @@ final class LakeTable(val root: String, spark: SparkSession) {
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
-      spark.read.schema(schema).parquet(files.map(f => dataDir.resolve(f.path).toString): _*)
+      spark.read.schema(schema).parquet(files.map(f => new HPath(dataDir, f.path).toString): _*)
     }
   }
 
@@ -126,8 +135,8 @@ final class LakeTable(val root: String, spark: SparkSession) {
     * commit.
     */
   def writeDataFiles(df: DataFrame, numBuckets: Int): List[DataFile] = {
-    Files.createDirectories(dataDir)
-    val staging = Files.createTempDirectory(dataDir, ".staging-")
+    fs.mkdirs(dataDir)
+    val staging = new HPath(dataDir, s".staging-${UUID.randomUUID()}")
     try {
       // One shuffle: co-locate rows of a bucket, then write partitioned by
       // bucket so every parquet file holds a single bucket.
@@ -136,7 +145,7 @@ final class LakeTable(val root: String, spark: SparkSession) {
         .write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
       collectStagedFiles(staging)
     } finally {
-      deleteRecursively(staging)
+      fs.delete(staging, true)
     }
   }
 
@@ -144,30 +153,33 @@ final class LakeTable(val root: String, spark: SparkSession) {
     * used by MERGE, which has already co-located rows by bucket via its join.
     */
   def writeDataFilesPrePartitioned(df: DataFrame): List[DataFile] = {
-    Files.createDirectories(dataDir)
-    val staging = Files.createTempDirectory(dataDir, ".staging-")
+    fs.mkdirs(dataDir)
+    val staging = new HPath(dataDir, s".staging-${UUID.randomUUID()}")
     try {
       df.write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
       collectStagedFiles(staging)
     } finally {
-      deleteRecursively(staging)
+      fs.delete(staging, true)
     }
   }
 
   /** Move staged parquet out of `_bucket=N/part-*.parquet` layout into flat
     * uuid-named immutable files, recording (bucket, rows, bytes) per file.
+    * The rename target is a fresh uuid, so plain `fs.rename` is safe on any
+    * filesystem (no destination ever exists).
     */
-  private def collectStagedFiles(staging: Path): List[DataFile] = {
-    val bucketDirs = LakeTable.listDir(staging)
-      .filter(p => p.getFileName.toString.startsWith(s"$BucketCol="))
+  private def collectStagedFiles(staging: HPath): List[DataFile] = {
+    val bucketDirs = fs.listStatus(staging).toList
+      .filter(_.getPath.getName.startsWith(s"$BucketCol="))
     val moved = bucketDirs.flatMap { bdir =>
-      val bucket = bdir.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
-      LakeTable.listDir(bdir)
-        .filter(_.getFileName.toString.endsWith(".parquet"))
+      val bucket = bdir.getPath.getName.stripPrefix(s"$BucketCol=").toInt
+      fs.listStatus(bdir.getPath).toList
+        .filter(_.getPath.getName.endsWith(".parquet"))
         .map { src =>
           val name = s"$bucket-${UUID.randomUUID().toString}.parquet"
-          val dst = dataDir.resolve(name)
-          Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+          val dst = new HPath(dataDir, name)
+          if (!fs.rename(src.getPath, dst))
+            throw new java.io.IOException(s"rename ${src.getPath} -> $dst failed")
           (name, bucket, dst)
         }
     }
@@ -176,11 +188,10 @@ final class LakeTable(val root: String, spark: SparkSession) {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(16, math.max(1, moved.size)))
     try {
-      import scala.jdk.CollectionConverters._
       val tasks = moved.map { case (name, bucket, dst) =>
         pool.submit(new java.util.concurrent.Callable[DataFile] {
           def call(): DataFile =
-            DataFile(name, bucket, parquetRowCount(dst), Files.size(dst))
+            DataFile(name, bucket, parquetRowCount(dst), fs.getFileStatus(dst).getLen)
         })
       }
       tasks.map(_.get())
@@ -188,41 +199,65 @@ final class LakeTable(val root: String, spark: SparkSession) {
   }
 
   /** Row count from the parquet footer (no data read). */
-  private def parquetRowCount(p: Path): Long = {
+  private def parquetRowCount(p: HPath): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    val conf = spark.sessionState.newHadoopConf()
-    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+    val in = HadoopInputFile.fromPath(p, hconf)
     val r = ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
   }
 
-  /** Atomically publish a new snapshot whose parent must be `expectedParent`.
-    * Throws CommitConflictException if the slot is taken (optimistic CAS).
+  /** Atomically publish a new snapshot whose parent must be `expectedParent`
+    * (optimistic CAS); throws CommitConflictException when the slot is taken.
+    *
+    * The publish primitive is create-EXCLUSIVE, per filesystem:
+    *  - local (`file://`): an atomic hard link onto the version slot —
+    *    link(2) fails with EEXIST if the slot is taken, so two racing
+    *    committers can never both succeed (a rename would silently replace
+    *    the earlier winner's manifest: a lost commit).
+    *  - HDFS and rename-atomic HCFS: write a temp manifest, then
+    *    rename-without-overwrite — the namenode rejects a rename onto an
+    *    existing path atomically.
+    *  - object stores without atomic rename (raw S3) need a pointer-swap
+    *    service for this one operation, exactly as Iceberg requires a
+    *    catalog there; everything else in this class is plain HCFS IO.
     */
   def commit(s: Snapshot, expectedParent: Long): Snapshot = {
     require(s.parentVersion == expectedParent, s"snapshot parent ${s.parentVersion} != expected $expectedParent")
     require(s.version == expectedParent + 1, s"snapshot version must be parent+1")
-    Files.createDirectories(metaDir)
+    fs.mkdirs(metaDir)
     val cur = latestVersion
     if (cur != expectedParent)
       throw new CommitConflictException(s"expected parent $expectedParent but table is at $cur")
-    val tmp = Files.createTempFile(metaDir, ".commit-", ".json")
-    Files.writeString(tmp, Snapshot.toJson(s))
-    val target = metaDir.resolve(s"snapshot-${s.version}.json")
+    val target = new HPath(metaDir, s"snapshot-${s.version}.json")
+    val tmp = new HPath(metaDir, s".commit-${UUID.randomUUID()}.json")
+    writeString(fs, tmp, Snapshot.toJson(s))
     try {
-      // ATOMIC_MOVE onto an existing target either replaces or fails per FS;
-      // guard with an existence check first, then move. A true CAS needs
-      // create-exclusive: we emulate it because two movers racing on posix
-      // rename both "succeed" — so re-verify afterwards that our content won.
-      if (Files.exists(target))
-        throw new CommitConflictException(s"snapshot ${s.version} already committed")
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      if (isLocalFs) {
+        // atomic-exclusive on posix: hard-link the temp file onto the slot
+        try {
+          java.nio.file.Files.createLink(localNio(target), localNio(tmp))
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new CommitConflictException(s"snapshot ${s.version} already committed")
+        }
+      } else {
+        if (fs.exists(target) || !fs.rename(tmp, target))
+          throw new CommitConflictException(s"snapshot ${s.version} already committed")
+      }
       s
     } finally {
-      Files.deleteIfExists(tmp)
+      fs.delete(tmp, false)
     }
   }
+
+  private def isLocalFs: Boolean = {
+    val scheme = fs.getUri.getScheme
+    scheme == null || scheme == "file"
+  }
+
+  private def localNio(p: HPath): java.nio.file.Path =
+    java.nio.file.Paths.get(p.toUri.getPath)
 
   /** Create the table with an initial (possibly empty) snapshot. */
   def create(schema: StructType, numBuckets: Int, appId: String): Snapshot = {
@@ -266,13 +301,21 @@ final class LakeTable(val root: String, spark: SparkSession) {
 
   /** Delete data files not referenced by the latest snapshot (no time travel
     * after this). Equivalent of Iceberg's expire-snapshots + orphan cleanup.
+    *
+    * @param graceMs skip files modified within the last `graceMs` ms: a
+    *        concurrent writer stages + renames data files BEFORE its commit
+    *        publishes them, so a zero-grace vacuum racing that writer would
+    *        delete files its imminent snapshot references. Defaults to 10
+    *        minutes; tests that own the table exclusively pass 0.
     */
-  def vacuum(): Int = {
+  def vacuum(graceMs: Long = 600000L): Int = {
     val live = currentSnapshot.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
-    if (!Files.isDirectory(dataDir)) return 0
-    val dead = LakeTable.listDir(dataDir)
-      .filter(p => Files.isRegularFile(p) && !live.contains(p.getFileName.toString))
-    dead.foreach(Files.delete(_))
+    if (!fs.isDirectory(dataDir)) return 0
+    val cutoff = System.currentTimeMillis() - graceMs
+    val dead = fs.listStatus(dataDir).toList.filter(st =>
+      st.isFile && !live.contains(st.getPath.getName) &&
+        st.getModificationTime < cutoff)
+    dead.foreach(st => fs.delete(st.getPath, false))
     dead.size
   }
 }
@@ -296,15 +339,48 @@ object LakeTable {
   def withBucket(df: DataFrame, keyCols: Seq[String], numBuckets: Int): DataFrame =
     df.withColumn(BucketCol, bucketExpr(keyCols, numBuckets))
 
-  /** List a directory, closing the underlying stream (Files.list leaks fds
-    * if left open — this runs once per commit/scan so it matters in tests). */
-  private[graft] def listDir(p: Path): List[Path] = {
-    val st = Files.list(p)
-    try st.iterator().asScala.toList finally st.close()
+  /** Read a small metadata file fully as UTF-8. */
+  private[graft] def readString(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
   }
 
-  private[graft] def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+  /** Write a small metadata file (overwrite allowed — used for temp paths). */
+  private[graft] def writeString(fs: FileSystem, p: HPath, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Create-exclusive write of a small metadata file: returns false if the
+    * path already exists (atomic on HDFS; checked on local).  Used for
+    * side-metadata like lineage records where last-writer-wins is fine but
+    * duplicate suppression is wanted. */
+  private[graft] def writeStringExclusive(fs: FileSystem, p: HPath, s: String): Boolean = {
+    try {
+      val out = fs.create(p, false)
+      try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException if fs.exists(p) => false
+    }
+  }
+
+  /** Local-scratch recursive delete (bench/test temp trees — NOT table IO). */
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(p)) {
+      val st = Files.list(p)
+      try st.iterator().asScala.toList.foreach(deleteRecursively) finally st.close()
+    }
     Files.deleteIfExists(p)
   }
 }

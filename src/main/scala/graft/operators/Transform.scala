@@ -50,6 +50,9 @@ object ColumnTransforms {
     case "fromtimestamp" => c => timestamp_seconds(c) // ≙ time.fromtimestamp
     case s if s.startsWith("json:") =>
       c => get_json_object(c, s.stripPrefix("json:")) // ≙ json.loads + dig
+    case "yaml" => graft.functions.YamlFunctions.yamlToJson // ≙ yaml.loads (F5)
+    case s if s.startsWith("strip_after:") => // ≙ value.split(sep, 1)[0]
+      c => substring_index(c, s.stripPrefix("strip_after:"), 1)
     case other => throw new IllegalArgumentException(s"unknown transform op: $other")
     // arbitrary row-level expressions (≙ lambda transforms) go through
     // ComputedSpec, which accepts any Catalyst SQL over the row

@@ -62,17 +62,26 @@ final class PaginatedSource(
     loop(offset, 0, Vector.empty)
   }
 
-  /** Drain everything from `offset` into a DataFrame of parsed JSON records.
+  /** Drain everything from `offset`, streaming each bounded micro-batch into
+    * `sink` AS IT IS PULLED — driver memory stays O(pagesPerBatch · pageSize)
+    * no matter how long the source is (the reference holds the entire result
+    * set in one slice, api.go:178-227 — the structural flaw this removes; an
+    * earlier version of this method re-created it with a driver Vector).
     * ≙ extract-load-api end-to-end (api.go:47-76) with the CSV bounce
-    * removed. */
-  def drain(spark: SparkSession, schema: StructType, offset: Long = 0L): DataFrame = {
+    * removed. Returns (batches delivered, records delivered). */
+  def drain(spark: SparkSession, schema: StructType,
+      sink: DataFrame => Unit, offset: Long = 0L): (Int, Long) = {
     import spark.implicits._
-    @tailrec def all(off: Long, acc: Vector[String]): Vector[String] =
-      pullBatch(off) match {
-        case (recs, None) => acc ++ recs
-        case (recs, Some(n)) => all(n, acc ++ recs)
+    @tailrec def loop(off: Long, batches: Int, records: Long): (Int, Long) = {
+      val (recs, next) = pullBatch(off)
+      if (recs.nonEmpty)
+        sink(spark.read.schema(schema).json(recs.toDS()))
+      val (b, r) = (batches + (if (recs.nonEmpty) 1 else 0), records + recs.size)
+      next match {
+        case None => (b, r)
+        case Some(n) => loop(n, b, r)
       }
-    val raw = all(offset, Vector.empty)
-    spark.read.schema(schema).json(raw.toDS())
+    }
+    loop(offset, 0, 0L)
   }
 }

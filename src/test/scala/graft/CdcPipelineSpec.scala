@@ -56,6 +56,23 @@ class CdcPipelineSpec extends SparkSuite {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("sub-bucket salt (hot-bucket skew path) leaves merged state unchanged") {
+    val run = (salt: Int, tag: String) => {
+      spark.conf.set("graft.merge.salt", salt.toString)
+      try {
+        val p = new CdcPipeline(LakeTable(SparkTestBase.tmpDir(s"cdc-salt-$tag"))(spark), "app-salt")
+        p.bootstrap(numBuckets = 4) // few buckets → salt is what provides parallelism
+        p.replay(events, numBatches = 3)
+        finalState(p)
+      } finally spark.conf.unset("graft.merge.salt")
+    }
+    val unsalted = run(1, "s1")
+    val salted = run(4, "s4")
+    assert(salted.count() === unsalted.count())
+    assert(salted.exceptAll(unsalted).count() === 0)
+    assert(unsalted.exceptAll(salted).count() === 0)
+  }
+
   test("batch replay (same batchId) is fenced to a no-op") {
     val root = SparkTestBase.tmpDir("cdc-fence")
     val p = new CdcPipeline(LakeTable(root)(spark), "app-fence")
@@ -205,7 +222,7 @@ class CdcPipelineSpec extends SparkSuite {
     p.applyBatch(events.filter(col("lsn") >= lo + 2 * width), batchId = 200)
     assert(digest(finalState(p)).sameElements(d1))
     // compaction after duplicate appends still resolves to the same state
-    graft.cdc.Compaction(p.table, horizonLsn = hi, "app-mor2", maxFilesPerBucket = 1)
+    graft.cdc.Compaction(p.table, horizonLsn = hi, maxFilesPerBucket = 1)
     assert(digest(finalState(p)).sameElements(d1))
   }
 

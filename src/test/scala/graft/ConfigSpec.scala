@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.config.{JobRunner, JobSpec}
+import graft.lake.{CommitConflictException, LakeTable, Snapshot}
+
+/** Config-file frontend parity with the reference's .port corpus
+  * (/root/reference/testdata/databases/ fixtures and
+  * database_configuration.go:100-152), plus the commit CAS and the yaml
+  * transform (deserialize_ruby_yaml_column.port). */
+class ConfigSpec extends SparkSuite {
+  implicit val sqlc = spark.implicits
+  import sqlc._
+
+  private def writeSpec(dir: String, name: String, body: String): String = {
+    val p = s"$dir/$name"
+    Files.writeString(Paths.get(p), body)
+    p
+  }
+
+  private def eventsSpec(dir: String, dest: String, strategy: String = "Full",
+      tableKey: String = "events"): String = s"""{
+    "source": {"format": "parquet", "path": "$sfDir/events.parquet"},
+    "destination": {"root": "$dest", "numBuckets": 4},
+    "tables": {
+      "$tableKey": {
+        "loadStrategy": "$strategy",
+        "primaryKey": ["event_id"],
+        "modifiedAtColumn": "ts",
+        "goBackHours": 36,
+        "columns": ["event_id", "event_type", "ts"],
+        "transforms": [{"column": "event_type", "ops": ["upper"]}]
+      }
+    }
+  }"""
+
+  test("missing table entry falls back to '*' wildcard, then to default Full") {
+    val spec = JobSpec.parse(
+      """{"source":{"format":"parquet","path":"p"},
+         "destination":{"root":"r"},
+         "tables":{"*":{"loadStrategy":"ModifiedOnly"}}}""")
+    assert(spec.extractFor("anything").loadStrategy === "ModifiedOnly") // star.port
+    val bare = JobSpec.parse(
+      """{"source":{"format":"parquet","path":"p"},"destination":{"root":"r"}}""")
+    // ≙ "Missing extract configuration, assuming Full" (database_configuration.go:138-141)
+    assert(bare.extractFor("t").loadStrategy === "Full")
+    assert(bare.extractFor("t").columns === Seq("*"))
+  }
+
+  test("$VAR / ${VAR} env interpolation in spec strings (F7)") {
+    val env = Map("DATA_DIR" -> "/d", "TBL" -> "events").get _
+    val spec = JobSpec.parse(
+      """{"source":{"format":"parquet","path":"$DATA_DIR/${TBL}.parquet"},
+         "destination":{"root":"$DATA_DIR/out"}}""", env)
+    assert(spec.source.path === "/d/events.parquet")
+    assert(spec.destination.root === "/d/out")
+    // unset var expands empty, like os.ExpandEnv
+    assert(JobSpec.interpolate("x$NOPE_VAR_42/y", _ => None) === "x/y")
+  }
+
+  test("full extract-load through a spec file: projection + transform applied") {
+    val dir = SparkTestBase.tmpDir("cfg-full")
+    val dest = s"$dir/dest"
+    val p = writeSpec(dir, "job.json", eventsSpec(dir, dest))
+    val r = JobRunner.run(spark, JobSpec.load(spark, p), "events")
+    assert(!r.previewed && r.rowsLoaded > 0)
+    val out = LakeTable(dest)(spark).read()
+    assert(out.columns.toSet === Set("event_id", "event_type", "ts"))
+    assert(out.filter(col("event_type") =!= upper(col("event_type"))).count() === 0)
+  }
+
+  test("preview runs the plan but leaves the destination untouched (main.go:29-33)") {
+    val dir = SparkTestBase.tmpDir("cfg-prev")
+    val dest = s"$dir/dest"
+    val p = writeSpec(dir, "job.json", eventsSpec(dir, dest))
+    // preview against an absent table: no create happens
+    val r0 = JobRunner.run(spark, JobSpec.load(spark, p), "events", preview = true)
+    assert(r0.previewed && !LakeTable(dest)(spark).exists)
+    // preview against an existing table: version unchanged
+    JobRunner.run(spark, JobSpec.load(spark, p), "events")
+    val v = LakeTable(dest)(spark).latestVersion
+    val r1 = JobRunner.run(spark, JobSpec.load(spark, p), "events", preview = true)
+    assert(r1.previewed && LakeTable(dest)(spark).latestVersion === v)
+  }
+
+  test("ModifiedOnly upserts only the lookback window by primary key") {
+    val dir = SparkTestBase.tmpDir("cfg-mo")
+    val dest = s"$dir/dest"
+    // Full load tagged 'full', then ModifiedOnly tagged 'recent'
+    def tagged(strategy: String, tag: String) = s"""{
+      "source": {"format": "parquet", "path": "$sfDir/events.parquet"},
+      "destination": {"root": "$dest", "numBuckets": 4},
+      "tables": {"events": {
+        "loadStrategy": "$strategy", "primaryKey": ["event_id"],
+        "modifiedAtColumn": "ts", "goBackHours": 36,
+        "columns": ["event_id", "ts"],
+        "computed": [{"column": "tag", "sqlExpr": "'$tag'"}]}}}"""
+    JobRunner.run(spark,
+      JobSpec.parse(tagged("Full", "full")), "events")
+    JobRunner.run(spark,
+      JobSpec.parse(tagged("ModifiedOnly", "recent")), "events")
+    val out = LakeTable(dest)(spark).read()
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val expectRecent = events
+      .join(broadcast(events.agg((max(col("ts")) - expr("INTERVAL 36 HOURS")).as("c"))))
+      .filter(col("ts") > col("c")).count()
+    assert(out.filter(col("tag") === "recent").count() === expectRecent)
+    assert(out.count() === events.count()) // upsert, not append
+  }
+
+  test("yaml transform parses the reference's Ruby-YAML options column") {
+    // the exact fixture value from /root/reference/database_test.go:171
+    val rubyYaml = "--- !ruby/hash-with-ivars:ActionController::Parameters\n" +
+      "elements:\n  append: 'Hello!'\n  prepend: ''\n  custom_message_text: ''\n" +
+      "  click_tracking: &1 []\nivars:\n  :@permitted: false\n" +
+      "  :@converted_arrays: !ruby/object:Set\n    hash:\n      *1: true\n"
+    val df = Seq((1L, rubyYaml)).toDF("id", "options")
+    val out = graft.operators.ColumnTransforms(df,
+      transforms = Seq(graft.operators.ColumnTransforms.ColumnSpec("options",
+        Seq("strip_after:\nivars:", "yaml"))),
+      computed = Seq(graft.operators.ColumnTransforms.ComputedSpec("append",
+        "get_json_object(options, '$.elements.append')")))
+    // ≙ extractAppendFromOptions → "Hello!" (database_test.go:174)
+    assert(out.select("append").as[String].collect() === Array("Hello!"))
+  }
+
+  test("concurrent committers racing one version slot: exactly one wins (FS CAS)") {
+    val root = SparkTestBase.tmpDir("cas-race")
+    val t = LakeTable(root)(spark)
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    t.create(schema, 2, "race")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val futures = (1 to 8).map { i => Future {
+      gate.await()
+      try {
+        t.commit(Snapshot(1L, 0L, schema.json, 2, Nil, s"app-$i", i.toLong, -1L, Map.empty), 0L)
+        Right(i)
+      } catch { case _: CommitConflictException => Left(i) }
+    }}
+    gate.countDown()
+    val results = Await.result(Future.sequence(futures), 60.seconds).toList
+    assert(results.count(_.isRight) === 1)
+    // the published manifest is the winner's, intact
+    val s = t.snapshot(1L)
+    assert(results.collect { case Right(i) => s"app-$i" }.head === s.appId)
+  }
+}

@@ -78,7 +78,7 @@ class LakeTableSpec extends SparkSuite {
     t.overwrite(Seq(("b", 2L)).toDF("k", "v"), Seq("k"), "t")
     // old snapshot still readable pre-vacuum
     assert(t.readBuckets(t.snapshot(1), (0 until 4).toSet).count() === 1)
-    val removed = t.vacuum()
+    val removed = t.vacuum(graceMs = 0L) // test owns the table; no concurrent writer
     assert(removed === v1files.size)
     assert(t.read().as[(String, Long)].collect().toSeq === Seq(("b", 2L)))
   }

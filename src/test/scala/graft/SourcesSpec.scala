@@ -93,12 +93,22 @@ class SourcesSpec extends SparkSuite {
       }
     }
     val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
-    // full drain
-    val df = new PaginatedSource(serve(flaky = false)).drain(spark, schema)
-    assert(df.count() === 6)
+    // full drain streams per-batch into the sink (bounded driver memory)
+    var drained = 0L
+    val (b1, r1) = new PaginatedSource(serve(flaky = false))
+      .drain(spark, schema, df => drained += df.count())
+    assert(drained === 6 && r1 === 6)
     // retryable 5xx recovers transparently
-    val df2 = new PaginatedSource(serve(flaky = true)).drain(spark, schema)
-    assert(df2.count() === 6)
+    var drained2 = 0L
+    new PaginatedSource(serve(flaky = true))
+      .drain(spark, schema, df => drained2 += df.count())
+    assert(drained2 === 6)
+    // >pagesPerBatch pages arrive as MULTIPLE sink calls, each bounded by
+    // pagesPerBatch — no whole-source accumulation on the driver
+    var batchSizes = Vector.empty[Long]
+    val (nb, nr) = new PaginatedSource(serve(flaky = false), pagesPerBatch = 1)
+      .drain(spark, schema, df => batchSizes :+= df.count())
+    assert(nb === 3 && nr === 6 && batchSizes === Vector(2L, 2L, 2L))
     // batch boundary respected
     val (recs, next) = new PaginatedSource(serve(flaky = false), pagesPerBatch = 1).pullBatch(0)
     assert(recs.size === 2 && next.contains(2L))
