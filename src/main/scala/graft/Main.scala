@@ -88,10 +88,30 @@ object Main {
     // /root/reference/main.go:153-169; `-preview` main.go:29-33) ----
     case "extract-load" :: specPath :: table :: rest =>
       val preview = rest.contains("--preview")
-      val spec = graft.config.JobSpec.load(spark, specPath)
+      // secrets overlay for $VAR interpolation (≙ reference main.go:108 +
+      // cli.go secrets exposure): GRAFT_SECRETS_FILE + GRAFT_SECRET_KEY
+      val env = graft.config.Secrets.envWith(
+        sys.env.get("GRAFT_SECRETS_FILE").map(java.nio.file.Paths.get(_)))
+      val spec = graft.config.JobSpec.load(spark, specPath, env)
       val r = graft.config.JobRunner.run(spark, spec, table, preview)
       println(s"[extract-load] table=${r.table} strategy=${r.strategy} " +
         s"rows=${r.rowsLoaded} version=${r.version} preview=${r.previewed}")
+
+    // ---- secrets verbs (≙ `teleport secrets ...`, cli.go:114-180) ----
+    case "secrets" :: "generate-key" :: Nil =>
+      println(s"${graft.config.Secrets.KeyEnvVariable}=${graft.config.Secrets.generateSecretKey()}")
+    case "secrets" :: "init" :: file :: Nil =>
+      graft.config.Secrets.init(java.nio.file.Paths.get(file))
+      println(s"[secrets] initialized $file")
+    case "secrets" :: "set" :: file :: key :: value :: Nil =>
+      graft.config.Secrets.set(java.nio.file.Paths.get(file), key, value)
+      println(s"[secrets] set $key")
+    case "secrets" :: "show" :: file :: Nil =>
+      graft.config.Secrets.read(java.nio.file.Paths.get(file))
+        .toSeq.sortBy(_._1).foreach { case (k, v) => println(s"$k=$v") }
+    case "secrets" :: "delete" :: file :: key :: Nil =>
+      graft.config.Secrets.delete(java.nio.file.Paths.get(file), key)
+      println(s"[secrets] deleted $key")
 
     // ---- catalog verbs (≙ main.go:123-152) ----
     case "list-tables" :: dir :: Nil => // ≙ `teleport list-tables`

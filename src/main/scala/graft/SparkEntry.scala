@@ -25,6 +25,13 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch root for gate-query temp tables: tmpfs when available — the
+    * CDC gate queries run the real engine into a throwaway LakeTable, and on
+    * this host /tmp sustains ~70MB/s buffered (3-4x the wall time of the
+    * same query on tmpfs); a real cluster would use local SSD scratch. */
+  private def scratch(prefix: String): String =
+    Files.createTempDirectory(java.nio.file.Paths.get(Bench.fastTmp), prefix).toString
+
   /** Flagship: full CDC replay on sf0.001 (driver smoke-checks rows>0). */
   def entry(spark: SparkSession): DataFrame =
     cdcReplayState(spark, "/root/testdata/sf0.001")
@@ -39,7 +46,7 @@ object SparkEntry {
     * state. The oracle recomputes the same final state as one window query.
     */
   private def cdcReplayState(spark: SparkSession, dir: String): DataFrame = {
-    val root = Files.createTempDirectory("gate-cdc-replay").toString
+    val root = scratch("gate-cdc-replay")
     val p = new CdcPipeline(LakeTable(root)(spark), "gate", lineage = false)
     p.bootstrap(numBuckets = 16)
     p.replay(derivedEvents(spark, dir), numBatches = 4)
@@ -53,7 +60,7 @@ object SparkEntry {
     val ev = derivedEvents(spark, dir)
     val b = ev.agg(min("lsn"), max("lsn")).collect()(0)
     val split = (b.getLong(0) + b.getLong(1)) / 2
-    val root = Files.createTempDirectory("gate-cdc-evo").toString
+    val root = scratch("gate-cdc-evo")
     val p = new CdcPipeline(LakeTable(root)(spark), "gate", lineage = false)
     p.bootstrap(numBuckets = 16)
     p.applyBatch(ev.filter(col("lsn") < split), 0L, orderedDelivery = true)
@@ -69,7 +76,7 @@ object SparkEntry {
   }
 
   private def cdcLineage(spark: SparkSession, dir: String): DataFrame = {
-    val root = Files.createTempDirectory("gate-cdc-lin").toString
+    val root = scratch("gate-cdc-lin")
     val p = new CdcPipeline(LakeTable(root)(spark), "gate")
     p.bootstrap(numBuckets = 16)
     p.replay(derivedEvents(spark, dir), numBatches = 4)
@@ -290,7 +297,7 @@ object SparkEntry {
     * LakeTable with atomic snapshot swap, read back. */
   private def a1CtasTransform(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "events").createOrReplaceTempView("gate_events")
-    val dest = LakeTable(Files.createTempDirectory("gate-ctas").toString)(spark)
+    val dest = LakeTable(scratch("gate-ctas"))(spark)
     graft.operators.SqlTransform(spark,
       "SELECT cast(ts as date) AS day, count(*) AS n, " +
         "cast(sum(cast(value as decimal(18,4))) as double) AS total " +
@@ -332,7 +339,7 @@ object SparkEntry {
     * extract → column projection → transform chain → computed column → Full
     * load into a LakeTable; the gate reads the destination back. */
   private def cfgExtractLoad(spark: SparkSession, dir: String): DataFrame = {
-    val root = Files.createTempDirectory("gate-cfg").toString
+    val root = scratch("gate-cfg")
     val spec = s"""{
       "source": {"format": "parquet", "path": "$dir/events.parquet"},
       "destination": {"root": "$root/dest", "numBuckets": 8},
@@ -363,7 +370,7 @@ object SparkEntry {
     * re-extracts only the 36h-lookback window tagged 'recent' and upserts —
     * final state shows which rows the second run touched. */
   private def cfgModifiedOnly(spark: SparkSession, dir: String): DataFrame = {
-    val root = Files.createTempDirectory("gate-cfg-mo").toString
+    val root = scratch("gate-cfg-mo")
     def spec(strategy: String, tag: String, goBack: Int): String = s"""{
       "source": {"format": "parquet", "path": "$dir/events.parquet"},
       "destination": {"root": "$root/dest", "numBuckets": 8},

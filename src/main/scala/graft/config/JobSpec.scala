@@ -84,10 +84,13 @@ object JobSpec {
     JsonMethods.parse(interpolate(json, env)).extract[JobSpec]
 
   /** Load a spec file through the Hadoop FS API (spec files live next to the
-    * data — local in tests, HDFS/object store on a cluster). */
-  def load(spark: org.apache.spark.sql.SparkSession, path: String): JobSpec = {
+    * data — local in tests, HDFS/object store on a cluster). `env` feeds
+    * `$VAR` interpolation; pass [[Secrets.envWith]] to overlay decrypted
+    * secrets the way the reference exposes them to config scripts. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+      env: String => Option[String] = sys.env.get): JobSpec = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    parse(graft.lake.LakeTable.readString(fs, p))
+    parse(graft.lake.LakeTable.readString(fs, p), env)
   }
 }

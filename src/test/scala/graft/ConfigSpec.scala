@@ -126,6 +126,29 @@ class ConfigSpec extends SparkSuite {
     assert(out.select("append").as[String].collect() === Array("Hello!"))
   }
 
+  test("secrets: encrypt/decrypt round-trip, fresh nonces, delete, bad key fails") {
+    import graft.config.Secrets
+    val dir = SparkTestBase.tmpDir("secrets")
+    val f = java.nio.file.Paths.get(s"$dir/secrets.txt.enc")
+    val key = Secrets.generateSecretKey()
+    assert(key.length === 64 && key.matches("[A-Za-z0-9]+"))
+    Secrets.init(f, key)
+    Secrets.set(f, "USER_TOKEN", "SAMPLE1joxLCJTYWx0Ijoie", key) // secrets_test.go values
+    Secrets.set(f, "OTHER", "x=with=equals", key)
+    assert(Secrets.read(f, key) ===
+      Map("USER_TOKEN" -> "SAMPLE1joxLCJTYWx0Ijoie", "OTHER" -> "x=with=equals"))
+    // fresh nonce per encryption: same value twice → different ciphertexts
+    Secrets.set(f, "DUP", "same", key); Secrets.set(f, "DUP2", "same", key)
+    val lines = java.nio.file.Files.readAllLines(f)
+    assert(lines.get(lines.size - 1) !== lines.get(lines.size - 2))
+    Secrets.delete(f, "OTHER", key)
+    assert(!Secrets.read(f, key).contains("OTHER"))
+    // wrong key cannot decrypt (GCM auth failure)
+    intercept[Exception] { Secrets.read(f, Secrets.generateSecretKey()) }
+    // unset env fails fast like the reference
+    intercept[IllegalStateException] { Secrets.envSecret() }
+  }
+
   test("concurrent committers racing one version slot: exactly one wins (FS CAS)") {
     val root = SparkTestBase.tmpDir("cas-race")
     val t = LakeTable(root)(spark)

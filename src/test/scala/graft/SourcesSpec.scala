@@ -118,6 +118,59 @@ class SourcesSpec extends SparkSuite {
     assert(e.getMessage.contains("fatal"))
   }
 
+  test("endpoint config: auth headers, {offset} substitution, pagination, status classes") {
+    import graft.sources.{Endpoint, EndpointConfig, HttpRequest, HttpResponse}
+    // in-process fake ≙ the reference's own httptest server (api_test.go:204-250)
+    val basicOk = "Basic " + java.util.Base64.getEncoder.encodeToString("user:pass".getBytes)
+    var seenUrls = Vector.empty[String]
+    def fake(req: HttpRequest): HttpResponse = {
+      seenUrls :+= req.url
+      val authed = req.headers.get("Authorization")
+        .exists(a => a == basicOk || a == "Bearer 292b0e")
+      if (!authed) HttpResponse(401, "")
+      else if (req.url.contains("/500")) HttpResponse(500, "boom")
+      else {
+        val off = "offset=(\\d+)".r.findFirstMatchIn(req.url).map(_.group(1)).getOrElse("0")
+        if (off == "0") HttpResponse(200,
+          """{"items":[{"id":1,"name":"Santana"},{"id":2,"name":"David Grohl"}], "offset": 2}""")
+        else HttpResponse(200,
+          """{"items":[{"id":3,"name":"Jimmy Hendrix"},{"id":4,"name":"Travis Barker"}], "offset": null}""")
+      }
+    }
+    val base = EndpointConfig(url = "http://t/items.json?offset={offset}",
+      basicAuth = Some(("user", "pass")))
+    // basic auth + pagination: both pages, URL token substituted per page
+    val (recs, next) = Endpoint.source(base, fake).pullBatch(0)
+    assert(recs.size === 4 && next.isEmpty)
+    assert(seenUrls.take(2) ===
+      Vector("http://t/items.json?offset=0", "http://t/items.json?offset=2"))
+    // bearer header auth (api_header_auth.port)
+    val bearer = base.copy(basicAuth = None,
+      headers = Map("Authorization" -> "Bearer 292b0e"))
+    assert(Endpoint.source(bearer, fake).pullBatch(0)._1.size === 4)
+    // bad credentials → 401 fatal (Http4XXError: Fail)
+    val bad = base.copy(basicAuth = Some(("user", "wrong")))
+    val e = intercept[RuntimeException] { Endpoint.source(bad, fake).pullBatch(0) }
+    assert(e.getMessage.contains("fatal"))
+    // 5xx retryable: retried maxRetries times then thrown
+    val before = seenUrls.size
+    val err500 = base.copy(url = "http://t/500?offset={offset}")
+    val e5 = intercept[RuntimeException] { Endpoint.source(err500, fake, maxRetries = 3).pullBatch(0) }
+    // initial attempt + maxRetries retries
+    assert(e5.getMessage.contains("retryable") && seenUrls.size === before + 4)
+    // invalid body → fatal InvalidBody
+    val eb = intercept[RuntimeException] {
+      Endpoint.source(base, _ => HttpResponse(200, "not json")).pullBatch(0)
+    }
+    assert(eb.getMessage.contains("fatal"))
+    // transport exception → NetworkError, retryable
+    val en = intercept[RuntimeException] {
+      Endpoint.source(base, _ => throw new java.io.IOException("conn reset"),
+        maxRetries = 2).pullBatch(0)
+    }
+    assert(en.getMessage.contains("retryable"))
+  }
+
   test("sql transform: CTAS + atomic swap (times_by_day_of_week analogue)") {
     spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("ev_v")
     val dest = LakeTable(SparkTestBase.tmpDir("ctas"))(spark)
