@@ -1,0 +1,19 @@
+#!/usr/bin/env bash
+# Run a graft main class in a bare JVM (no sbt) against the compiled classes
+# and the Spark jars — sbt's own JVM otherwise shares (and pollutes) the
+# cores of a pinned benchmark run, and costs ~60s of startup per measurement.
+# Usage: runjvm.sh <MainClass> [args...]   (compile first: sbt -batch compile)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+ADD_OPENS=""
+for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
+         java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \
+         java.base/java.util.concurrent java.base/java.util.concurrent.atomic \
+         java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action \
+         java.base/sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens $p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"

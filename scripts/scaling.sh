@@ -13,8 +13,10 @@ export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-32g}
 run() { # cores -> events_per_sec
   # pin the WHOLE JVM (incl. GC/shuffle threads) to exactly $1 CPUs —
   # without this the "N-core" run borrows idle machine cores for GC and
-  # inflates the baseline, understating true N->4N efficiency
-  taskset -c "0-$(($1 - 1))" sbt -batch "runMain graft.ScalingBench $1" 2>/dev/null \
+  # inflates the baseline, understating true N->4N efficiency. Bare JVM via
+  # runjvm.sh: sbt's own JVM would otherwise share the pinned cores and add
+  # ~60s startup per measurement (compile first: sbt -batch compile).
+  taskset -c "0-$(($1 - 1))" scripts/runjvm.sh graft.ScalingBench "$1" 2>/dev/null \
     | grep -o '"events_per_sec":[0-9]*' | cut -d: -f2
 }
 

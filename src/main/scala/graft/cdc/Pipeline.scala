@@ -43,8 +43,13 @@ object Lineage {
       new org.apache.hadoop.fs.Path(dir, s"v${s.committedVersion}.json"), json)
   }
 
-  def read(spark: SparkSession, tableRoot: String): DataFrame =
-    spark.read.schema(schema).json(s"$tableRoot/lineage/*.json")
+  def read(spark: SparkSession, tableRoot: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(tableRoot, "lineage")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.isDirectory(dir)) // table has no lineage records (lineage=false)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).json(s"$tableRoot/lineage/*.json")
+  }
 }
 
 /** End-to-end CDC pipeline over a [[graft.lake.LakeTable]]: bootstrap

@@ -102,4 +102,48 @@ class PlanSpec extends SparkSuite {
     assert(p1.contains("SortMergeJoin") || p1.contains("ShuffledHashJoin") ||
       p1.contains("BroadcastHashJoin"))
   }
+
+  test("ANN top-k is a spilling window, never a per-group unbounded collect") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+    for (df <- Seq(graft.operators.SimilarityOps.bruteForceTopK(q, emb, 3),
+                   graft.operators.SimilarityOps.lshTopK(q, emb, 3, planes = 4))) {
+      val plan = planOf(df)
+      // collect_list/array_sort top-k materializes one array per query —
+      // a single-task OOM at 10^9 corpus vectors; the window external-sorts
+      assert(!plan.contains("collect_list") && !plan.contains("ObjectHashAggregate"),
+        s"unbounded per-group collect in ANN plan:\n$plan")
+      assert(plan.contains("Window"), s"expected window top-k:\n$plan")
+    }
+  }
+
+  test("ngram jaccard does not force a broadcast of the per-doc sizes side") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val logical = graft.operators.DedupOps.ngramJaccardPairs(docs, 3, 0.5)
+      .queryExecution.logical.toString()
+    // sizes is one row per document — a broadcast HINT would be a driver
+    // collect of the whole corpus id space at 10^9 docs. AQE may still
+    // CHOOSE to broadcast at small scale; the hint must not force it.
+    assert(!logical.contains("UnresolvedHint") && !logical.contains("ResolvedHint"),
+      s"forced broadcast hint in ngramJaccard logical plan:\n$logical")
+  }
+
+  test("ngram jaccard df-cap prunes boilerplate shingles but keeps exact pairs") {
+    import spark.implicits._
+    // 6 docs share the boilerplate trigram; two true near-dups share more
+    val docs = (Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "alpha beta gamma delta epsilon eta").zipWithIndex ++
+      (2 to 7).map(i => s"alpha beta gamma doc$i unique$i text$i").zipWithIndex.map {
+        case (t, i) => (t, i + 2) })
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val uncapped = graft.operators.DedupOps.ngramJaccardPairs(docs, 3, 0.3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val capped = graft.operators.DedupOps.ngramJaccardPairs(docs, 3, 0.3, dfCap = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // the near-dup pair (0,1) shares non-boilerplate shingles → survives cap
+    assert(uncapped.contains((0L, 1L)) && capped.contains((0L, 1L)))
+    // capped candidates are a subset (cap only prunes, never invents)
+    assert(capped.subsetOf(uncapped))
+  }
 }
