@@ -269,6 +269,21 @@ object SparkEntry {
       .orderBy("query_id", "neighbor_id")
   }
 
+  private def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    SimilarityOps.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 3,
+        nlist = 16, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_r"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.cosineNearDupPairs(
+      t(spark, dir, "embeddings"), threshold = 0.22, planes = 4)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("a", "b")
+
   /** Multimodal plumbing: text → binary column + typed metadata (byte length,
     * utf8 validity, content hash over the string form — DuckDB's sha256 is
     * VARCHAR-only so the hash is computed pre-encode in both engines). */
@@ -463,6 +478,8 @@ object SparkEntry {
     "dedup_simhash" -> (simhashPairs _),
     "ann_topk_cosine" -> (annTopK _),
     "ann_lsh_cosine" -> (annLsh _),
+    "ann_ivf_cosine" -> (annIvf _),
+    "dedup_embedding_cosine" -> (dedupEmbedding _),
     "multimodal_meta" -> (multimodalMeta _),
     "f8_csv_format" -> (f8CsvFormat _),
     "a1_ctas_transform" -> (a1CtasTransform _),
@@ -746,6 +763,49 @@ object SparkEntry {
         ORDER BY cos DESC, neighbor_id ASC) <= 3
       ORDER BY query_id, neighbor_id""",
     "dedup_simhash" -> simhashOracleSql,
+    "ann_ivf_cosine" -> """
+      WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings),
+      cent AS (SELECT vec_id AS cid, dv AS centv FROM v WHERE vec_id < 16),
+      lists AS (
+        SELECT vec_id AS neighbor_id, dv AS cv, cid AS list_id FROM (
+          SELECT v.vec_id, v.dv, c.cid,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              list_dot_product(v.dv, c.centv) /
+                (sqrt(list_dot_product(v.dv, v.dv)) * sqrt(list_dot_product(c.centv, c.centv))) DESC,
+              c.cid ASC) AS rn
+          FROM v, cent c) WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, dv AS qv, cid AS list_id FROM (
+          SELECT v.vec_id, v.dv, c.cid,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              list_dot_product(v.dv, c.centv) /
+                (sqrt(list_dot_product(v.dv, v.dv)) * sqrt(list_dot_product(c.centv, c.centv))) DESC,
+              c.cid ASC) AS rn
+          FROM v, cent c WHERE v.vec_id < 5) WHERE rn <= 4),
+      scored AS (
+        SELECT query_id, neighbor_id,
+          list_dot_product(qv, cv) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        FROM lists JOIN probes USING (list_id)
+        WHERE query_id <> neighbor_id)
+      SELECT query_id, neighbor_id, round(cos, 6) AS cos_r FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, neighbor_id ASC) <= 3
+      ORDER BY query_id, neighbor_id""",
+    "dedup_embedding_cosine" -> s"""
+      WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings),
+      b AS (SELECT vec_id, dv, ${lshBucketSql("dv", planes = 4)} AS bucket FROM v),
+      pairs AS (
+        SELECT l.vec_id AS a, r.vec_id AS b,
+          list_dot_product(l.dv, r.dv) /
+            (sqrt(list_dot_product(l.dv, l.dv)) * sqrt(list_dot_product(r.dv, r.dv))) AS cos
+        FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+      SELECT a, b, round(cos, 6) AS cos_r FROM pairs WHERE cos >= 0.22
+      ORDER BY a, b""",
     "cfg_extract_load" -> """
       SELECT event_id, CAST(trunc(value * 100) AS BIGINT) AS value_cents,
         upper(event_type) AS event_type_uc, strftime(ts, '%Y-%m-%d') AS day

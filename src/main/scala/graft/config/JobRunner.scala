@@ -40,16 +40,19 @@ object JobRunner {
 
     // strategy WHERE clause (database.go:178-187): ModifiedOnly filters to
     // the lookback window; the cutoff anchors to the data's max modified-at
-    // (deterministic + replayable) rather than wall-clock now()
+    // (deterministic + replayable) rather than wall-clock now().
+    // Incremental takes the extract as-is — "the source decides what's new"
+    // (endpoint_configuration.go:214-217; at load time both strategies run
+    // the same delete-match upsert, load.go:148).
     val strategy = extract.loadStrategy
     val loaded = strategy match {
-      case "ModifiedOnly" | "Incremental" =>
+      case "ModifiedOnly" =>
         val mcol = extract.modifiedAtColumn.getOrElse(
           throw new IllegalArgumentException(s"$strategy needs modifiedAtColumn"))
         val cutoff = transformed.agg(
           (max(col(mcol)) - expr(s"INTERVAL ${extract.goBackHours} HOURS")).as("c"))
         transformed.join(broadcast(cutoff)).filter(col(mcol) > col("c")).drop("c")
-      case "Full" => transformed
+      case "Full" | "Incremental" => transformed
       case other => throw new IllegalArgumentException(
         s"load strategy not implemented: $other") // ≙ database.go:185-186
     }

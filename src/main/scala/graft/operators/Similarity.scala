@@ -95,6 +95,43 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
+  /** IVF-style ANN: a coarse quantizer partitions the corpus into inverted
+    * lists keyed by nearest-centroid id; each query probes only its `nprobe`
+    * nearest lists and exact-re-ranks those candidates — the classic
+    * scan-fraction trade (nprobe/nlist of the data per query), with the
+    * inverted-list id as the ONLY shuffle key. Centroids here are the first
+    * `nlist` corpus vectors (deterministic sampled centroids — centroid
+    * QUALITY is orthogonal to the IVF plan shape and this choice is
+    * reproducible in any engine for the oracle; production would plug in
+    * k-means centroids through the same argmax-assignment).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cent = broadcast(corpus.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("centv")))
+    // corpus → inverted lists: argmax-cosine centroid per vector (ties → min cid)
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("neighbor_id").orderBy(col("cos_c").desc, col("cid").asc)
+    val lists = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .join(cent)
+      .withColumn("cos_c", cosine(col("cv"), col("centv")))
+      .withColumn("_rn", row_number().over(wAssign)).filter(col("_rn") === 1)
+      .select(col("neighbor_id"), col("cv"), col("cid").as("list_id"))
+    // queries → nprobe nearest lists each
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_c").desc, col("cid").asc)
+    val probes = broadcast(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .join(cent)
+      .withColumn("cos_c", cosine(col("qv"), col("centv")))
+      .withColumn("_rn", row_number().over(wProbe)).filter(col("_rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid").as("list_id")))
+    val scored = lists.join(probes, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold) via
     * LSH blocking + exact verify — the embedding flavor of DedupOps. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double, planes: Int = 6): DataFrame = {

@@ -110,6 +110,25 @@ class ConfigSpec extends SparkSuite {
     assert(out.count() === events.count()) // upsert, not append
   }
 
+  test("Incremental merges new rows by pk, pre-existing rows survive (api_test.go:151-159)") {
+    val dir = SparkTestBase.tmpDir("cfg-inc")
+    // destination pre-seeded with row 9
+    val dest = LakeTable(s"$dir/dest")(spark)
+    dest.create(Seq((9L, "old")).toDF("id", "name").schema, 4, "seed")
+    dest.overwrite(Seq((9L, "old")).toDF("id", "name"), Seq("id"), "seed")
+    // source delivers 2 new rows (and its own version of nothing else)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("overwrite").parquet(s"$dir/src.parquet")
+    val spec = JobSpec.parse(s"""{
+      "source": {"format": "parquet", "path": "$dir/src.parquet"},
+      "destination": {"root": "$dir/dest", "numBuckets": 4},
+      "tables": {"t": {"loadStrategy": "Incremental", "primaryKey": ["id"]}}}""")
+    JobRunner.run(spark, spec, "t")
+    val out = LakeTable(s"$dir/dest")(spark).read()
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(out === Set((9L, "old"), (1L, "a"), (2L, "b"))) // 3 rows, row 9 survives
+  }
+
   test("yaml transform parses the reference's Ruby-YAML options column") {
     // the exact fixture value from /root/reference/database_test.go:171
     val rubyYaml = "--- !ruby/hash-with-ivars:ActionController::Parameters\n" +

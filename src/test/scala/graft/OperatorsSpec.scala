@@ -77,6 +77,20 @@ class OperatorsSpec extends SparkSuite {
     assert(r.filter(col("query_id") === col("neighbor_id")).count() === 0)
   }
 
+  test("ivf topk: full-coverage probe equals brute force; partial probe is a subset") {
+    val q = emb.filter(col("vec_id") < 3)
+    // nprobe = nlist → every list probed → exact (must equal brute force)
+    val full = SimilarityOps.ivfTopK(q, emb, 5, nlist = 8, nprobe = 8)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilarityOps.bruteForceTopK(q, emb, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === brute)
+    // partial probe: k results per query, no self-matches
+    val part = SimilarityOps.ivfTopK(q, emb, 5, nlist = 8, nprobe = 2)
+    assert(part.count() === 15)
+    assert(part.filter(col("query_id") === col("neighbor_id")).count() === 0)
+  }
+
   test("cosine matches a hand-computed value") {
     val d = Seq((Array(1.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
     val c = d.select(SimilarityOps.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
