@@ -172,27 +172,23 @@ object Merge {
     // This makes redelivery of ANY event subset a no-op — including a
     // same-LSN losing event alone, which with a lower stored rank or an
     // empty stored tie-break would wrongly overwrite the stored winner.
+    // Only _src distinguishes the sides pre-union; the LWW order columns
+    // (op rank, content tie-break) are DERIVED AFTER the shuffle from
+    // _deleted/content — materializing the tie-break before it would ship a
+    // second full copy of `content` (the widest column) through shuffle
+    // write+read and the external sort.
     val target = SchemaEvolution.conform(targetRows, evolvedSchema)
       .withColumn(CdcModel.DeletedCol, coalesce(col(CdcModel.DeletedCol), lit(false)))
-      .withColumn(CdcModel.LsnCol, col(CdcModel.RowLsnCol))
-      .withColumn(OpRankCol, col(CdcModel.DeletedCol).cast("int"))
-      .withColumn(TieCol, tieBreak)
       .withColumn(SrcCol, lit(0L))
       .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(keyCols, numBuckets))
 
-    val batchConformed = {
-      val opRank = when(col(CdcModel.OpCol) === "D", 1).otherwise(0)
+    val batchConformed =
       SchemaEvolution.conform(
           batchB.withColumn(CdcModel.RowLsnCol, col(CdcModel.LsnCol))
             .withColumn(CdcModel.DeletedCol, col(CdcModel.OpCol) === "D"),
-          StructType(evolvedSchema.fields :+ StructField(CdcModel.OpCol, StringType)))
-        .withColumn(CdcModel.LsnCol, col(CdcModel.RowLsnCol))
-        .withColumn(OpRankCol, opRank)
-        .withColumn(TieCol, tieBreak)
+          evolvedSchema)
         .withColumn(SrcCol, lit(1L))
         .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(keyCols, numBuckets))
-        .drop(CdcModel.OpCol)
-    }
 
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // Sub-bucket salting (skew): partitioning the merge shuffle on _bucket
@@ -213,6 +209,11 @@ object Merge {
       .unionByName(batchConformed)
       .withColumn(KeyHash, xxhash64(keyCols.map(col): _*))
       .repartition(shufflePartitions, shuffleKeys: _*)
+      // LWW order columns derived post-shuffle (see above): both sides'
+      // rank is exactly their tombstone flag, and the tie-break is their
+      // content — identical values to computing them per-side pre-union
+      .withColumn(OpRankCol, col(CdcModel.DeletedCol).cast("int"))
+      .withColumn(TieCol, tieBreak)
 
     // --- job 2: merge + write. LWW winner per key via an explicit
     // sort-within-partitions + row_number window: the sort we provide is
@@ -229,13 +230,13 @@ object Merge {
     // because the hash is a pure function of the keys that follow it
     val partCols = Seq(col(LakeTable.BucketCol), col(KeyHash)) ++ keyCols.map(col)
     val sortKeys = partCols ++ Seq(
-      col(CdcModel.LsnCol).desc, col(OpRankCol).desc, col(TieCol).desc)
+      col(CdcModel.RowLsnCol).desc, col(OpRankCol).desc, col(TieCol).desc)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(partCols: _*)
-      .orderBy(col(CdcModel.LsnCol).desc, col(OpRankCol).desc, col(TieCol).desc)
+      .orderBy(col(CdcModel.RowLsnCol).desc, col(OpRankCol).desc, col(TieCol).desc)
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(partCols: _*)
-      .orderBy(col(CdcModel.LsnCol).desc, col(OpRankCol).desc, col(TieCol).desc)
+      .orderBy(col(CdcModel.RowLsnCol).desc, col(OpRankCol).desc, col(TieCol).desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val obs = Observation(s"merge-$appId-$batchId-${snap.version}")
