@@ -97,6 +97,39 @@ object Main {
       println(s"[extract-load] table=${r.table} strategy=${r.strategy} " +
         s"rows=${r.rowsLoaded} version=${r.version} preview=${r.previewed}")
 
+    // ---- in-warehouse SQL transform (≙ `teleport transform`,
+    // /root/reference/transform.go:10-40): views are name=path pairs
+    // (parquet dir or LakeTable root), the SQL result atomically replaces
+    // the destination table ----
+    case "transform" :: destRoot :: sql :: views =>
+      views.foreach { v =>
+        val Array(name, path) = v.split("=", 2)
+        val t = LakeTable(path)(spark)
+        val df = if (t.exists) graft.cdc.CdcPipeline.liveState(t)
+          else spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+      }
+      val dest = LakeTable(destRoot)(spark)
+      graft.operators.SqlTransform(spark, sql, dest,
+        keyCols = Seq.empty, appId = "transform")
+      println(s"[transform] ${dest.currentSnapshot.map(_.files.map(_.rows).sum).getOrElse(0L)} " +
+        s"rows → $destRoot version ${dest.latestVersion}")
+
+    // ---- extract without load (≙ `teleport extract-db`, main.go:63-79):
+    // spec-driven extract written as a reference-rule CSV ----
+    case "extract" :: specPath :: table :: outDir :: Nil =>
+      val spec = graft.config.JobSpec.load(spark, specPath)
+      val extract = spec.extractFor(table)
+      val src = spark.read.parquet(spec.source.path)
+      val projected = extract.columns match {
+        case Seq("*") | Nil => src
+        case cols => src.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      }
+      val out = graft.operators.ColumnTransforms(projected,
+        extract.transforms, extract.computed)
+      graft.sources.CsvSource.write(out, outDir)
+      println(s"[extract] ${out.count()} rows → $outDir (csv)")
+
     // ---- secrets verbs (≙ `teleport secrets ...`, cli.go:114-180) ----
     case "secrets" :: "generate-key" :: Nil =>
       println(s"${graft.config.Secrets.KeyEnvVariable}=${graft.config.Secrets.generateSecretKey()}")
@@ -179,7 +212,7 @@ object Main {
         "extract-load <spec.json> <table> [--preview] | list-tables <dir> | " +
         "describe-table <root> | table-metadata <root> | drop-table <root> | " +
         "import-csv <csv> <root> [pk,cols] | create-destination-table <root> <name:type,...> | " +
-        "about-db <dir>")
+        "about-db <dir> | transform <destRoot> <sql> [view=path...] | extract <spec.json> <table> <csvDir> | secrets <generate-key|init|set|show|delete> ...")
       sys.exit(2)
   }
 }

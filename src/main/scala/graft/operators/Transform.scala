@@ -17,12 +17,15 @@ import graft.sources.SchemaTools
 object SqlTransform {
 
   /** Run `sql` (tables must be registered as temp views / catalog tables)
-    * and publish the result as the new content of `dest`. */
+    * and publish the result as the new content of `dest`. Empty `keyCols`
+    * buckets by the result's first column (the reference's transform output
+    * has no declared key either, transform.go:10-40). */
   def apply(spark: SparkSession, sql: String, dest: LakeTable,
       keyCols: Seq[String], appId: String): Unit = {
     val result = spark.sql(sql)
+    val keys = if (keyCols.nonEmpty) keyCols else result.columns.take(1).toSeq
     if (!dest.exists) dest.create(result.schema, numBuckets = 16, appId)
-    dest.overwrite(result, keyCols, appId)
+    dest.overwrite(result, keys, appId)
   }
 }
 

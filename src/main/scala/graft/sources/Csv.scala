@@ -64,6 +64,8 @@ object CsvSource {
           Some(format_string("%E", col(f.name)).as(f.name))
         case TimestampType =>
           Some(date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ssX").as(f.name))
+        case TimestampNTZType => // session-local wall time ≙ UTC (we pin UTC)
+          Some(date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss'Z'").as(f.name))
         case DateType => Some(date_format(col(f.name), "yyyy-MM-dd").as(f.name))
         case _: StructType | _: ArrayType | _: MapType => None // ≙ "" for maps/arrays
         case _ => Some(col(f.name).cast(StringType).as(f.name))
