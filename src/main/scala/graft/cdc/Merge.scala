@@ -201,9 +201,10 @@ object Merge {
     // observed skew, not to the cluster (graft.merge.salt, default 1).
     val KeyHash = "_khash"
     val salt = spark.conf.getOption("graft.merge.salt").map(_.toInt).getOrElse(1)
+    val saltExpr = pmod(col(KeyHash), lit(salt))
     val shuffleKeys =
       if (salt <= 1) Seq(col(LakeTable.BucketCol))
-      else Seq(col(LakeTable.BucketCol), pmod(col(KeyHash), lit(salt)))
+      else Seq(col(LakeTable.BucketCol), saltExpr)
     val combined = target
       .select(batchConformed.columns.map(col): _*) // align column order for union
       .unionByName(batchConformed)
@@ -228,7 +229,15 @@ object Merge {
     // row comparisons then resolve on (int, long) almost always, instead of
     // comparing three string key columns byte-by-byte; grouping is unchanged
     // because the hash is a pure function of the keys that follow it
-    val partCols = Seq(col(LakeTable.BucketCol), col(KeyHash)) ++ keyCols.map(col)
+    // when salted, the salt expression must appear in the window partition
+    // keys: the shuffle's HashPartitioning(bucket, khash mod S) satisfies
+    // the window's clustered distribution only if both expressions are
+    // among the clustering keys — otherwise Catalyst inserts a SECOND
+    // shuffle (grouping semantics are unchanged: the salt is a pure
+    // function of khash, which already follows it)
+    val partCols =
+      (if (salt <= 1) Seq(col(LakeTable.BucketCol), col(KeyHash))
+       else Seq(col(LakeTable.BucketCol), saltExpr, col(KeyHash))) ++ keyCols.map(col)
     val sortKeys = partCols ++ Seq(
       col(CdcModel.RowLsnCol).desc, col(OpRankCol).desc, col(TieCol).desc)
     val w = org.apache.spark.sql.expressions.Window

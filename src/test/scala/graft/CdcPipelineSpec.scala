@@ -73,6 +73,23 @@ class CdcPipelineSpec extends SparkSuite {
     assert(unsalted.exceptAll(salted).count() === 0)
   }
 
+  test("salt actually spreads a hot bucket across tasks (file-count evidence)") {
+    spark.conf.set("graft.merge.salt", "4")
+    try {
+      // 2 buckets only → without salt, merge parallelism caps at 2 tasks
+      // and each bucket lands in exactly one file per batch
+      val p = new CdcPipeline(LakeTable(SparkTestBase.tmpDir("cdc-salt-files"))(spark),
+        "app-saltf", mergeOnRead = true, compactEveryFiles = 0)
+      p.bootstrap(numBuckets = 2)
+      p.replay(events, numBatches = 1)
+      val filesPerBucket = p.table.currentSnapshot.get.files.groupBy(_.bucket)
+      // with salt=4 each bucket's rows arrive from up to 4 shuffle tasks →
+      // multiple files per bucket = the parallelism actually happened
+      assert(filesPerBucket.values.exists(_.size > 1),
+        s"expected salted multi-file buckets, got ${filesPerBucket.view.mapValues(_.size).toMap}")
+    } finally spark.conf.unset("graft.merge.salt")
+  }
+
   test("batch replay (same batchId) is fenced to a no-op") {
     val root = SparkTestBase.tmpDir("cdc-fence")
     val p = new CdcPipeline(LakeTable(root)(spark), "app-fence")

@@ -94,6 +94,29 @@ class PlanSpec extends SparkSuite {
     assert(sorts <= 1, s"window added an extra sort:\n$plan")
   }
 
+  test("salted MERGE shape still plans exactly one exchange") {
+    // regression: HashPartitioning(bucket, khash mod S) satisfies the
+    // window's clustered distribution ONLY if the salt expression is among
+    // the window partition keys — without it Catalyst inserts a second
+    // shuffle (found by the salt file-spread test, fixed in Merge)
+    import graft.model.CdcModel
+    val ev = DerivedEvents.fromDocuments(spark.read.parquet(s"$sfDir/documents.parquet"))
+    val b = LakeTable.withBucket(ev, CdcModel.KeyCols, 8)
+      .withColumn("_khash", xxhash64(CdcModel.KeyCols.map(col): _*))
+    val saltExpr = pmod(col("_khash"), lit(4))
+    val partCols = Seq(col(LakeTable.BucketCol), saltExpr, col("_khash")) ++
+      CdcModel.KeyCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols: _*).orderBy(col("lsn").desc)
+    val merged = b
+      .repartition(4, col(LakeTable.BucketCol), saltExpr)
+      .sortWithinPartitions(partCols :+ col("lsn").desc: _*)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val plan = planOf(merged)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"salted shape added a shuffle:\n$plan")
+  }
+
   test("dedup operators never build a cartesian product") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
     val p1 = planOf(graft.operators.DedupOps.ngramJaccardPairs(docs, 3, 0.5))
