@@ -43,11 +43,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warm-up at small scale: the first merge pays classloading,
-    // JIT and codegen compilation (~15-20s on this JVM) that a long-running
-    // ingest amortizes to zero; warming up measures the engine, not first-use
-    // costs. Identical to ScalingBench's protocol.
-    cdcThroughput(spark, 100000L, 2)
+    // JVM/codegen warm-up with ONE FULL-SIZE batch: the first merge pays
+    // classloading, JIT and codegen compilation that a long-running ingest
+    // amortizes to zero, and the 1M-row batch shape exercises the exact
+    // memory/spill paths the timed reps hit (a 100k warm-up left rep 1 a JIT
+    // sample — 15.8k vs 92-108k ev/s in BENCH_r02). Best-of-N then spends
+    // its samples on host weather, not first-use costs.
+    cdcThroughput(spark, math.max(100000L, nEvents / nBatches), 1)
 
     // headline: synthetic CDC replay, LSN-ranged micro-batches. Best of two
     // runs: this host shows up to ~3x noisy-neighbor variance between
@@ -59,7 +61,12 @@ object Bench {
       System.err.println(s"[bench] replay rep $i: ${r._1.round} events/s")
       r
     }
-    val (eps, cdcSec) = runs.maxBy(_._1)
+    // headline = MEDIAN of the reps (an unbiased statistic, consistent with
+    // ScalingBench's median-of-pairs); every raw sample is published in
+    // runs_events_per_sec and the max rides along as best_events_per_sec
+    val sorted = runs.sortBy(_._1)
+    val (eps, cdcSec) = sorted(runs.size / 2)
+    val best = sorted.last._1
 
     // representative operator queries on the sf dir
     val headline = Seq("q1_agg", "j2_join_agg", "w1_top_per_group",
@@ -77,7 +84,8 @@ object Bench {
     val allRuns = runs.map(_._1.round).mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cdc_replay":{"events":$nEvents,"batches":$nBatches,"sec":$cdcSec,""" +
-      s""""events_per_sec":${eps.round},"runs_events_per_sec":$allRuns},""" +
+      s""""events_per_sec":${eps.round},"best_events_per_sec":${best.round},""" +
+      s""""runs_events_per_sec":$allRuns},""" +
       s""""cores":$cpus,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(java.nio.file.Paths.get("bench_last.json"), json + "\n")

@@ -80,9 +80,16 @@ object Main {
       println(s"[compact] rewrote $n buckets (tombstone horizon=$horizon)")
 
     case "vacuum" :: tableRoot :: rest =>
-      val grace = rest.headOption.map(_.toLong).getOrElse(0L)
-      val n = LakeTable(tableRoot)(spark).vacuum(graceMs = grace)
-      println(s"[vacuum] removed $n unreferenced data files (grace=${grace}ms)")
+      // no explicit grace → library default (10 min): a zero-grace vacuum
+      // racing a live writer deletes files its imminent commit references.
+      // Explicit 0 stays available for exclusive-owner maintenance windows.
+      val t = LakeTable(tableRoot)(spark)
+      val n = rest.headOption match {
+        case Some(g) => t.vacuum(graceMs = g.toLong)
+        case None => t.vacuum()
+      }
+      println(s"[vacuum] removed $n unreferenced data files" +
+        rest.headOption.map(g => s" (grace=${g}ms)").getOrElse(" (default grace)"))
 
     // ---- config-driven extract-load (≙ `teleport extract-load-db`,
     // /root/reference/main.go:153-169; `-preview` main.go:29-33) ----
@@ -116,17 +123,15 @@ object Main {
         s"rows → $destRoot version ${dest.latestVersion}")
 
     // ---- extract without load (≙ `teleport extract-db`, main.go:63-79):
-    // spec-driven extract written as a reference-rule CSV ----
+    // the SAME extract pipeline as extract-load — source format dispatch,
+    // projection, transforms, strategy lookback filter, secrets overlay
+    // (reference database.go:68-106 shares extractSource with extract-load)
+    // — written as a reference-rule CSV ----
     case "extract" :: specPath :: table :: outDir :: Nil =>
-      val spec = graft.config.JobSpec.load(spark, specPath)
-      val extract = spec.extractFor(table)
-      val src = spark.read.parquet(spec.source.path)
-      val projected = extract.columns match {
-        case Seq("*") | Nil => src
-        case cols => src.select(cols.map(org.apache.spark.sql.functions.col): _*)
-      }
-      val out = graft.operators.ColumnTransforms(projected,
-        extract.transforms, extract.computed)
+      val env = graft.config.Secrets.envWith(
+        sys.env.get("GRAFT_SECRETS_FILE").map(java.nio.file.Paths.get(_)))
+      val spec = graft.config.JobSpec.load(spark, specPath, env)
+      val out = graft.config.JobRunner.extractTable(spark, spec, table)
       graft.sources.CsvSource.write(out, outDir)
       println(s"[extract] ${out.count()} rows → $outDir (csv)")
 

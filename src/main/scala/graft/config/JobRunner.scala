@@ -27,35 +27,8 @@ object JobRunner {
   def run(spark: SparkSession, spec: JobSpec, table: String,
       preview: Boolean = false): Result = {
     val extract = spec.extractFor(table)
-    val source = readSource(spark, spec.source)
-
-    // column selection: '*' keeps everything (star.port), else project —
-    // projection happens BEFORE transforms so pushdown reaches the scan
-    val projected = extract.columns match {
-      case Seq("*") | Nil => source
-      case cols => source.select(cols.map(col): _*)
-    }
-    val transformed =
-      ColumnTransforms(projected, extract.transforms, extract.computed)
-
-    // strategy WHERE clause (database.go:178-187): ModifiedOnly filters to
-    // the lookback window; the cutoff anchors to the data's max modified-at
-    // (deterministic + replayable) rather than wall-clock now().
-    // Incremental takes the extract as-is — "the source decides what's new"
-    // (endpoint_configuration.go:214-217; at load time both strategies run
-    // the same delete-match upsert, load.go:148).
     val strategy = extract.loadStrategy
-    val loaded = strategy match {
-      case "ModifiedOnly" =>
-        val mcol = extract.modifiedAtColumn.getOrElse(
-          throw new IllegalArgumentException(s"$strategy needs modifiedAtColumn"))
-        val cutoff = transformed.agg(
-          (max(col(mcol)) - expr(s"INTERVAL ${extract.goBackHours} HOURS")).as("c"))
-        transformed.join(broadcast(cutoff)).filter(col(mcol) > col("c")).drop("c")
-      case "Full" | "Incremental" => transformed
-      case other => throw new IllegalArgumentException(
-        s"load strategy not implemented: $other") // ≙ database.go:185-186
-    }
+    val loaded = extractTable(spark, spec, table)
 
     if (preview) {
       println(s"[preview] $table strategy=$strategy — first 3 rows (not executed):")
@@ -86,6 +59,42 @@ object JobRunner {
         dest.overwrite(upserted, keys, "extract-load")
     }
     Result(table, strategy, loaded.count(), snap.version, previewed = false)
+  }
+
+  /** The extract side of the pipeline, shared by `run` and the CLI `extract`
+    * verb (≙ `teleport extract-db`, which applies the SAME strategy filter as
+    * extract-load, /root/reference/database.go:68-106 + 178-187): source read
+    * → column projection → transform chain → strategy WHERE clause. */
+  def extractTable(spark: SparkSession, spec: JobSpec, table: String): DataFrame = {
+    val extract = spec.extractFor(table)
+    val source = readSource(spark, spec.source)
+
+    // column selection: '*' keeps everything (star.port), else project —
+    // projection happens BEFORE transforms so pushdown reaches the scan
+    val projected = extract.columns match {
+      case Seq("*") | Nil => source
+      case cols => source.select(cols.map(col): _*)
+    }
+    val transformed =
+      ColumnTransforms(projected, extract.transforms, extract.computed)
+
+    // strategy WHERE clause (database.go:178-187): ModifiedOnly filters to
+    // the lookback window; the cutoff anchors to the data's max modified-at
+    // (deterministic + replayable) rather than wall-clock now().
+    // Incremental takes the extract as-is — "the source decides what's new"
+    // (endpoint_configuration.go:214-217; at load time both strategies run
+    // the same delete-match upsert, load.go:148).
+    extract.loadStrategy match {
+      case "ModifiedOnly" =>
+        val mcol = extract.modifiedAtColumn.getOrElse(
+          throw new IllegalArgumentException(s"ModifiedOnly needs modifiedAtColumn"))
+        val cutoff = transformed.agg(
+          (max(col(mcol)) - expr(s"INTERVAL ${extract.goBackHours} HOURS")).as("c"))
+        transformed.join(broadcast(cutoff)).filter(col(mcol) > col("c")).drop("c")
+      case "Full" | "Incremental" => transformed
+      case other => throw new IllegalArgumentException(
+        s"load strategy not implemented: $other") // ≙ database.go:185-186
+    }
   }
 
   private def readSource(spark: SparkSession, s: SourceSpec): DataFrame =

@@ -110,9 +110,13 @@ object Secrets {
   }
 
   /** Environment for [[JobSpec]] interpolation: process env overlaid with
-    * decrypted secrets (secrets win — they are the more specific source). */
+    * decrypted secrets (secrets win — they are the more specific source).
+    * A supplied secrets file with no `GRAFT_SECRET_KEY` in the environment
+    * FAILS FAST (via [[envSecret]] inside [[read]]) — silently interpolating
+    * `$SECRET` placeholders to empty strings would run misconfigured jobs
+    * against blank credentials, where the reference errors on a missing key. */
   def envWith(file: Option[java.nio.file.Path]): String => Option[String] = {
-    val s = file.filter(f => sys.env.contains(KeyEnvVariable)).map(read(_)).getOrElse(Map.empty)
+    val s = file.map(read(_)).getOrElse(Map.empty)
     name => s.get(name).orElse(sys.env.get(name))
   }
 }
