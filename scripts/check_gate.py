@@ -16,6 +16,11 @@ def main(sf, out):
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     failures = 0
     qdirs = [d for d in sorted(os.listdir(out)) if os.path.isdir(f"{out}/{d}")]
+    # an oracle entry whose dump dir is missing means the Spark query THREW —
+    # silently skipping it would mask the failure
+    for q in sorted(set(oracle) - set(qdirs)):
+        print(f"  {q:24s} MISSING DUMP (query failed in Verify)")
+        failures += 1
     for q in qdirs:
         spark_df = con.execute(
             f"select * from '{out}/{q}/*.parquet'").fetch_arrow_table().to_pandas()

@@ -233,9 +233,12 @@ object SparkEntry {
       .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
       .orderBy("doc_id")
 
+  /** Gate runs the CAPPED path (dfCap=100) — the plan every production call
+    * gets by default; the oracle applies the identical hot-shingle filter. */
   private def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     DedupOps.ngramJaccardPairs(
-      t(spark, dir, "documents").filter(col("doc_id") < 500), n = 3, threshold = 0.2)
+      t(spark, dir, "documents").filter(col("doc_id") < 500), n = 3, threshold = 0.2,
+      dfCap = 100)
       .select(col("a"), col("b")) // jaccard value checked via threshold only
       .orderBy("a", "b")
 
@@ -411,6 +414,46 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Incremental loads through the config frontend go through the engine's
+    * bucket-pruned MERGE, not a full-table rewrite: a Full load (128 buckets)
+    * tags every row 'full'; a ModifiedOnly load re-extracts only the
+    * 2h-lookback window tagged 'recent' and MERGE-upserts it. The `pruned`
+    * column asserts the physical claim — the second load rewrote strictly
+    * fewer files than the table holds (O(touched buckets), the property that
+    * keeps a 100 TB destination from being rewritten per load) — while the
+    * row values assert the reference's delete-match upsert semantics
+    * (dialect.go:26-29). */
+  private def cfgIncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("gate-cfg-inc")
+    def spec(strategy: String, tag: String, goBack: Int): String = s"""{
+      "source": {"format": "parquet", "path": "$dir/events.parquet"},
+      "destination": {"root": "$root/dest", "numBuckets": 128},
+      "tables": {
+        "events": {
+          "loadStrategy": "$strategy",
+          "primaryKey": ["event_id"],
+          "modifiedAtColumn": "ts",
+          "goBackHours": $goBack,
+          "columns": ["event_id", "ts"],
+          "computed": [{"column": "tag", "sqlExpr": "'$tag'"}]
+        }
+      }
+    }"""
+    Files.writeString(java.nio.file.Paths.get(s"$root/full.json"), spec("Full", "full", 0))
+    Files.writeString(java.nio.file.Paths.get(s"$root/inc.json"), spec("ModifiedOnly", "recent", 2))
+    graft.config.JobRunner.run(spark,
+      graft.config.JobSpec.load(spark, s"$root/full.json"), "events")
+    val dest = LakeTable(s"$root/dest")(spark)
+    val filesBefore = dest.currentSnapshot.get.files.size
+    val r = graft.config.JobRunner.run(spark,
+      graft.config.JobSpec.load(spark, s"$root/inc.json"), "events")
+    val stats = r.mergeStats.getOrElse(sys.error("incremental load did not MERGE"))
+    val pruned = stats.filesRewritten > 0 && stats.filesRewritten < filesBefore
+    dest.read()
+      .select(col("event_id"), col("tag"), lit(pruned).as("pruned"))
+      .orderBy("event_id")
+  }
+
   /** F5 yaml.loads (starlarkextensions.go:21-28) through the ColumnTransforms
     * op vocabulary, on Ruby-serialized YAML like
     * deserialize_ruby_yaml_column.port: strip the `ivars:` tail (the
@@ -488,6 +531,7 @@ object SparkEntry {
     "text_quality" -> (textQuality _),
     "cfg_extract_load" -> (cfgExtractLoad _),
     "cfg_modified_only" -> (cfgModifiedOnly _),
+    "cfg_incremental_merge" -> (cfgIncrementalMerge _),
     "f5_yaml" -> (f5Yaml _))
 
   // ------------------------------------------------------------- oracles ----
@@ -657,9 +701,11 @@ object SparkEntry {
           END)) AS s
         FROM tk),
       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 100),
+      paired AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
       shared AS (
         SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
-        FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+        FROM paired l JOIN paired r ON l.s = r.s AND l.doc_id < r.doc_id
         GROUP BY 1, 2)
       SELECT a, b FROM shared
       JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
@@ -814,6 +860,12 @@ object SparkEntry {
       SELECT event_id,
         CASE WHEN ts > (SELECT max(ts) - INTERVAL 36 HOUR FROM events)
           THEN 'recent' ELSE 'full' END AS tag
+      FROM events ORDER BY event_id""",
+    "cfg_incremental_merge" -> """
+      SELECT event_id,
+        CASE WHEN ts > (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+          THEN 'recent' ELSE 'full' END AS tag,
+        TRUE AS pruned
       FROM events ORDER BY event_id""",
     "f5_yaml" -> """
       SELECT event_id, upper(event_type) AS append,

@@ -100,10 +100,16 @@ object Merge {
     *        fragmented buckets back to one file. This is the sustained-
     *        throughput mode for 10^10-event tails; copy-on-write (false)
     *        keeps reads trivial and is right for bootstrap/low-rate tables. */
+  /** @param keyCols the target table's primary key (default: the CDC model's
+    *        (repo, path, commit)). The config frontend routes arbitrary-key
+    *        tables through the same merge — everything here is key-generic:
+    *        bucketing, pruning, salting and the LWW window all derive from
+    *        this sequence. */
   def apply(table: LakeTable, events: DataFrame, appId: String, batchId: Long,
       sourceOffsets: Map[String, Long] = Map.empty,
       orderedDelivery: Boolean = false,
-      mergeOnRead: Boolean = false): MergeStats = {
+      mergeOnRead: Boolean = false,
+      keyCols: Seq[String] = CdcModel.KeyCols): MergeStats = {
     val t0 = System.nanoTime()
     val spark = events.sparkSession
     val snap = table.currentSnapshot.getOrElse(
@@ -115,7 +121,6 @@ object Merge {
         schemaEvolved = false, skippedFenced = true, (System.nanoTime() - t0) / 1000000)
     }
 
-    val keyCols = CdcModel.KeyCols
     val numBuckets = snap.numBuckets
 
     // --- schema evolution: incoming payload vs table schema ---

@@ -46,9 +46,17 @@ object Lineage {
   def read(spark: SparkSession, tableRoot: String): DataFrame = {
     val dir = new org.apache.hadoop.fs.Path(tableRoot, "lineage")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.isDirectory(dir)) // table has no lineage records (lineage=false)
+    // explicit file listing, not a glob: Spark's glob resolution was observed
+    // to intermittently miss just-written files; listStatus is authoritative
+    val files =
+      if (!fs.isDirectory(dir)) Array.empty[String]
+      else fs.listStatus(dir).collect {
+        case st if st.isFile && st.getPath.getName.endsWith(".json") =>
+          st.getPath.toString
+      }
+    if (files.isEmpty) // table has no lineage records (lineage=false)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).json(s"$tableRoot/lineage/*.json")
+    else spark.read.schema(schema).json(files.toIndexedSeq: _*)
   }
 }
 

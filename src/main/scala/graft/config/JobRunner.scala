@@ -16,7 +16,8 @@ import graft.sources.CsvSource
 object JobRunner {
 
   case class Result(table: String, strategy: String, rowsLoaded: Long,
-      version: Long, previewed: Boolean)
+      version: Long, previewed: Boolean,
+      mergeStats: Option[graft.cdc.MergeStats] = None)
 
   /** Run the extract-load for `table` under `spec`.
     *
@@ -45,20 +46,33 @@ object JobRunner {
     // extract's schema when absent
     if (!dest.exists) dest.create(loaded.schema, spec.destination.numBuckets, "extract-load")
 
-    val snap = strategy match {
+    strategy match {
       case "Full" =>
-        // FullLoadQuery ≙ truncate + insert: one overwrite snapshot
-        dest.overwrite(loaded, keys, "extract-load")
+        // FullLoadQuery ≙ truncate + insert: one overwrite snapshot.
+        // Row count from the committed manifest (DataFile.rows) — the
+        // extract is scanned exactly once.
+        val snap = dest.overwrite(loaded, keys, "extract-load")
+        Result(table, strategy, snap.files.map(_.rows).sum, snap.version,
+          previewed = false)
       case "ModifiedOnly" | "Incremental" =>
-        // ModifiedOnlyLoadQuery ≙ DELETE matching pk; INSERT staging —
-        // anti-join + union, one overwrite commit (dialect.go:26-29)
-        val current = dest.read().drop(LakeTable.BucketCol)
-        val upserted = current
-          .join(loaded.select(keys.map(col): _*), keys, "left_anti")
-          .unionByName(loaded, allowMissingColumns = true)
-        dest.overwrite(upserted, keys, "extract-load")
+        // ModifiedOnlyLoadQuery ≙ DELETE matching pk; INSERT staging
+        // (dialect.go:26-29). The reference rewrites the whole primary table;
+        // here the extract becomes a change batch (op='U', one LSN per load —
+        // later loads beat earlier by LWW) applied through the engine's
+        // bucket-pruned MERGE: only buckets the batch touches are read and
+        // rewritten — O(touched buckets), not O(table), per load. The per-run
+        // LSN is the destination's next version: strictly monotonic because
+        // every load commits at least one snapshot.
+        val runLsn = dest.latestVersion + 1
+        val events = loaded
+          .withColumn(graft.model.CdcModel.LsnCol, lit(runLsn))
+          .withColumn(graft.model.CdcModel.OpCol, lit("U"))
+        val stats = graft.cdc.Merge(dest, events, appId = "extract-load",
+          batchId = -1L, keyCols = keys)
+        graft.cdc.Lineage.append(dest, stats)
+        Result(table, strategy, stats.eventsIn, stats.committedVersion,
+          previewed = false, mergeStats = Some(stats))
     }
-    Result(table, strategy, loaded.count(), snap.version, previewed = false)
   }
 
   /** The extract side of the pipeline, shared by `run` and the CLI `extract`

@@ -49,27 +49,34 @@ object DedupOps {
     * is the shingle-keyed join; no cartesian product ever forms.
     *
     * @param dfCap drop shingles appearing in more than `dfCap` documents
-    *        before pairing (0 = keep all). A boilerplate shingle shared by
-    *        `df` documents expands to O(df²) candidate rows — one hot
-    *        license header across 10⁶ files is a 10¹²-row join blowup. The
-    *        cap bounds each shingle's contribution to dfCap² at a known
-    *        recall cost: only pairs whose EVERY shared shingle is
-    *        boilerplate are missed, and those pairs' Jaccard is dominated by
-    *        boilerplate anyway. Jaccard denominators still use the uncapped
-    *        per-doc shingle counts, so surviving pairs' similarity is exact.
+    *        before pairing (≤0 = keep all — an explicit opt-OUT; the default
+    *        is a finite 1000). A boilerplate shingle shared by `df` documents
+    *        expands to O(df²) candidate rows — one hot license header across
+    *        10⁶ files is a 10¹²-row join blowup, so the uncapped plan must be
+    *        a deliberate choice, never the default. The cap bounds each
+    *        shingle's contribution to dfCap² at a known recall cost: only
+    *        pairs whose EVERY shared shingle is boilerplate are missed, and
+    *        those pairs' Jaccard is dominated by boilerplate anyway. Jaccard
+    *        denominators still use the uncapped per-doc shingle counts, so
+    *        surviving pairs' similarity is exact. The hot-shingle set is
+    *        computed with a map-side-combined groupBy (one small aggregate —
+    *        boilerplate shingles are few) and removed with an anti-join AQE
+    *        can broadcast; a window-over-the-shingle-stream DF count would
+    *        re-shuffle the whole exploded stream and serialize each hot
+    *        shingle into a single task.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
-      dfCap: Int = 0): DataFrame = {
+      dfCap: Int = 1000): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val paired =
       if (dfCap <= 0) sh
       else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
-        sh.withColumn("_df", count(lit(1)).over(w)).filter(col("_df") <= dfCap)
-          .drop("_df")
+        val hot = sh.groupBy("sh").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > dfCap).select("sh")
+        sh.join(hot, Seq("sh"), "left_anti")
       }
     val shared = paired.as("l").join(paired.as("r"),
         col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))

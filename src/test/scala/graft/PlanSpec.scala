@@ -151,6 +151,20 @@ class PlanSpec extends SparkSuite {
       s"forced broadcast hint in ngramJaccard logical plan:\n$logical")
   }
 
+  test("ngram df-cap plans an aggregated anti-join, never a window over the shingle stream") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    // default is capped now — both the default and an explicit cap must use
+    // groupBy (map-side combine) + anti-join; count().over(Window.partitionBy(sh))
+    // would re-shuffle the whole exploded stream and put each hot shingle in
+    // one task
+    for (df <- Seq(graft.operators.DedupOps.ngramJaccardPairs(docs, 3, 0.5),
+                   graft.operators.DedupOps.ngramJaccardPairs(docs, 3, 0.5, dfCap = 4))) {
+      val plan = planOf(df)
+      assert(!plan.contains("Window"), s"window in ngram DF-cap plan:\n$plan")
+      assert(plan.contains("HashAggregate"), s"expected aggregated DF count:\n$plan")
+    }
+  }
+
   test("ngram jaccard df-cap prunes boilerplate shingles but keeps exact pairs") {
     import spark.implicits._
     // 6 docs share the boilerplate trigram; two true near-dups share more
@@ -160,7 +174,7 @@ class PlanSpec extends SparkSuite {
       (2 to 7).map(i => s"alpha beta gamma doc$i unique$i text$i").zipWithIndex.map {
         case (t, i) => (t, i + 2) })
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
-    val uncapped = graft.operators.DedupOps.ngramJaccardPairs(docs, 3, 0.3)
+    val uncapped = graft.operators.DedupOps.ngramJaccardPairs(docs, 3, 0.3, dfCap = 0)
       .select("a", "b").as[(Long, Long)].collect().toSet
     val capped = graft.operators.DedupOps.ngramJaccardPairs(docs, 3, 0.3, dfCap = 4)
       .select("a", "b").as[(Long, Long)].collect().toSet
