@@ -95,20 +95,35 @@ object Main {
     // /root/reference/main.go:153-169; `-preview` main.go:29-33) ----
     case "extract-load" :: specPath :: table :: rest =>
       val preview = rest.contains("--preview")
+      val forceFull = rest.contains("--full") // ≙ `-full` (main.go:38-39)
       // secrets overlay for $VAR interpolation (≙ reference main.go:108 +
       // cli.go secrets exposure): GRAFT_SECRETS_FILE + GRAFT_SECRET_KEY
       val env = graft.config.Secrets.envWith(
         sys.env.get("GRAFT_SECRETS_FILE").map(java.nio.file.Paths.get(_)))
       val spec = graft.config.JobSpec.load(spark, specPath, env)
-      val r = graft.config.JobRunner.run(spark, spec, table, preview)
+      val r = graft.config.JobRunner.run(spark, spec, table, preview, forceFull)
       println(s"[extract-load] table=${r.table} strategy=${r.strategy} " +
         s"rows=${r.rowsLoaded} version=${r.version} preview=${r.previewed}")
+
+    // ---- schedule export (≙ `teleport schedule`, schedule.go:200-217):
+    // emit the cron-consumable JSON for every scheduled table in a spec ----
+    case "schedule" :: specPath :: Nil =>
+      val spec = graft.config.JobSpec.load(spark, specPath)
+      spec.tables.toSeq.sortBy(_._1).foreach { case (t, e) =>
+        e.schedule.foreach { s =>
+          println(s"""{"table":"$t","schedule":${graft.streaming.Schedule.toJson(s)}}""")
+        }
+      }
 
     // ---- in-warehouse SQL transform (≙ `teleport transform`,
     // /root/reference/transform.go:10-40): views are name=path pairs
     // (parquet dir or LakeTable root), the SQL result atomically replaces
     // the destination table ----
-    case "transform" :: destRoot :: sql :: views =>
+    case "transform" :: destRoot :: sql :: viewArgs =>
+      // `-preview` guards every mutating command in the reference
+      // (main.go:29-33, load.go:80-83,107-110) — here too
+      val preview = viewArgs.contains("--preview")
+      val views = viewArgs.filterNot(_ == "--preview")
       views.foreach { v =>
         val Array(name, path) = v.split("=", 2)
         val t = LakeTable(path)(spark)
@@ -117,10 +132,15 @@ object Main {
         df.createOrReplaceTempView(name)
       }
       val dest = LakeTable(destRoot)(spark)
-      graft.operators.SqlTransform(spark, sql, dest,
-        keyCols = Seq.empty, appId = "transform")
-      println(s"[transform] ${dest.currentSnapshot.map(_.files.map(_.rows).sum).getOrElse(0L)} " +
-        s"rows → $destRoot version ${dest.latestVersion}")
+      if (preview) {
+        println(s"[preview] transform → $destRoot — first 3 rows (not committed):")
+        spark.sql(sql).show(3, truncate = false)
+      } else {
+        graft.operators.SqlTransform(spark, sql, dest,
+          keyCols = Seq.empty, appId = "transform")
+        println(s"[transform] ${dest.currentSnapshot.map(_.files.map(_.rows).sum).getOrElse(0L)} " +
+          s"rows → $destRoot version ${dest.latestVersion}")
+      }
 
     // ---- extract without load (≙ `teleport extract-db`, main.go:63-79):
     // the SAME extract pipeline as extract-load — source format dispatch,
@@ -173,6 +193,17 @@ object Main {
         s"rows=${s.files.map(_.rows).sum} bytes=${s.files.map(_.bytes).sum} " +
         s"buckets=${s.numBuckets} watermarkLsn=${s.watermarkLsn}")
 
+    case "rebucket" :: tableRoot :: nb :: rest =>
+      // numBuckets escape hatch: full rewrite into a new bucket count.
+      // Keys: explicit arg > manifest keyCols > the CDC model's default.
+      val t = LakeTable(tableRoot)(spark)
+      val keys = rest.headOption.map(_.split(",").toSeq)
+        .orElse(t.currentSnapshot.map(_.keyCols.toSeq).filter(_.nonEmpty))
+        .getOrElse(graft.model.CdcModel.KeyCols)
+      val s = t.rebucket(nb.toInt, keys)
+      println(s"[rebucket] $tableRoot → ${nb.toInt} buckets " +
+        s"(${s.files.size} files, keys=${keys.mkString(",")}) at version ${s.version}")
+
     case "drop-table" :: tableRoot :: Nil => // ≙ `teleport drop-table`
       val p = new org.apache.hadoop.fs.Path(tableRoot)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -181,14 +212,20 @@ object Main {
       println(s"[drop-table] $tableRoot ${if (existed) "dropped" else "did not exist"}")
 
     case "import-csv" :: csvPath :: tableRoot :: rest => // ≙ `teleport import-csv`
-      val keys = rest.headOption.map(_.split(",").toSeq)
+      val preview = rest.contains("--preview") // ≙ load.go:107-110
+      val keys = rest.filterNot(_ == "--preview").headOption.map(_.split(",").toSeq)
       val df = spark.read.options(graft.sources.CsvSource.ReadOptions)
         .option("inferSchema", "true").csv(csvPath)
-      val dest = LakeTable(tableRoot)(spark)
-      val k = keys.getOrElse(df.columns.take(1).toSeq)
-      if (!dest.exists) dest.create(df.schema, 16, "import-csv")
-      val s = dest.overwrite(df, k, "import-csv")
-      println(s"[import-csv] ${df.count()} rows → $tableRoot version ${s.version}")
+      if (preview) {
+        println(s"[preview] import-csv → $tableRoot — first 3 rows (not loaded):")
+        df.show(3, truncate = false)
+      } else {
+        val dest = LakeTable(tableRoot)(spark)
+        val k = keys.getOrElse(df.columns.take(1).toSeq)
+        if (!dest.exists) dest.create(df.schema, 16, "import-csv", k)
+        val s = dest.overwrite(df, k, "import-csv")
+        println(s"[import-csv] ${df.count()} rows → $tableRoot version ${s.version}")
+      }
 
     case "create-destination-table" :: tableRoot :: ddl :: Nil =>
       // ≙ `teleport create-destination-table`: cols as "name:type,name:type"
@@ -214,10 +251,11 @@ object Main {
       System.err.println(s"unknown args: ${other.mkString(" ")}\n" +
         "usage: gen <dir> <n> [files] | replay <eventsDir> <tableRoot> <ckpt> [appId] [maxFiles] [mor] | " +
         "compact <tableRoot> [horizonLsn] | vacuum <tableRoot> [graceMs] | show <tableRoot> | " +
-        "extract-load <spec.json> <table> [--preview] | list-tables <dir> | " +
-        "describe-table <root> | table-metadata <root> | drop-table <root> | " +
-        "import-csv <csv> <root> [pk,cols] | create-destination-table <root> <name:type,...> | " +
-        "about-db <dir> | transform <destRoot> <sql> [view=path...] | extract <spec.json> <table> <csvDir> | secrets <generate-key|init|set|show|delete> ...")
+        "extract-load <spec.json> <table> [--preview] [--full] | schedule <spec.json> | " +
+        "list-tables <dir> | " +
+        "describe-table <root> | table-metadata <root> | drop-table <root> | rebucket <root> <numBuckets> | " +
+        "import-csv <csv> <root> [pk,cols] [--preview] | create-destination-table <root> <name:type,...> | " +
+        "about-db <dir> | transform <destRoot> <sql> [view=path...] [--preview] | extract <spec.json> <table> <csvDir> | secrets <generate-key|init|set|show|delete> ...")
       sys.exit(2)
   }
 }

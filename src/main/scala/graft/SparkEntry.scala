@@ -454,6 +454,46 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Endpoint-driven extract-load end-to-end (≙ `teleport extract-load-api`,
+    * api.go:47-76) through the REAL pipeline: a `format: "api"` job spec +
+    * an in-process fake endpoint (≙ the reference's httptest corpus,
+    * api_test.go:204-250) serving the events table as `{offset}`-paginated
+    * JSON pages; pages stream through transform + MERGE in bounded
+    * micro-batches; the gate reads the destination back. */
+  private def cfgApiLoad(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("gate-cfg-api")
+    val rows = t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id").collect()
+    val pageSize = 500
+    val fake: graft.sources.HttpRequest => graft.sources.HttpResponse = req => {
+      val off = "offset=(\\d+)".r.findFirstMatchIn(req.url).map(_.group(1).toInt).getOrElse(0)
+      val page = rows.slice(off, off + pageSize)
+      val items = page.map(r =>
+        s"""{"event_id":${r.getLong(0)},"event_type":"${r.getString(1)}","value":${r.getDouble(2)}}""")
+        .mkString(",")
+      val next = if (off + pageSize < rows.length) s""","offset":${off + pageSize}""" else ""
+      graft.sources.HttpResponse(200, s"""{"items":[$items]$next}""")
+    }
+    val spec = graft.config.JobSpec.parse(s"""{
+      "source": {"format": "api", "url": "http://fake/events?offset={offset}",
+        "schema": "event_id:integer,event_type:string,value:float",
+        "pagesPerBatch": 5},
+      "destination": {"root": "$root/dest", "numBuckets": 16},
+      "tables": {
+        "events": {
+          "loadStrategy": "Full",
+          "primaryKey": ["event_id"],
+          "transforms": [{"column": "event_type", "ops": ["upper"]}]
+        }
+      }
+    }""")
+    graft.config.JobRunner.run(spark, spec, "events", transport = fake)
+    LakeTable(s"$root/dest")(spark).read()
+      .select(col("event_id"), col("event_type").as("event_type_uc"), col("value"))
+      .orderBy("event_id")
+  }
+
   /** F5 yaml.loads (starlarkextensions.go:21-28) through the ColumnTransforms
     * op vocabulary, on Ruby-serialized YAML like
     * deserialize_ruby_yaml_column.port: strip the `ivars:` tail (the
@@ -532,6 +572,7 @@ object SparkEntry {
     "cfg_extract_load" -> (cfgExtractLoad _),
     "cfg_modified_only" -> (cfgModifiedOnly _),
     "cfg_incremental_merge" -> (cfgIncrementalMerge _),
+    "cfg_api_load" -> (cfgApiLoad _),
     "f5_yaml" -> (f5Yaml _))
 
   // ------------------------------------------------------------- oracles ----
@@ -866,6 +907,9 @@ object SparkEntry {
         CASE WHEN ts > (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
           THEN 'recent' ELSE 'full' END AS tag,
         TRUE AS pruned
+      FROM events ORDER BY event_id""",
+    "cfg_api_load" -> """
+      SELECT event_id, upper(event_type) AS event_type_uc, value
       FROM events ORDER BY event_id""",
     "f5_yaml" -> """
       SELECT event_id, upper(event_type) AS append,

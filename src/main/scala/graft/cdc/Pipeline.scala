@@ -78,7 +78,7 @@ final class CdcPipeline(val table: LakeTable, val appId: String,
 
   /** Create the target table (snapshot 0) if absent. */
   def bootstrap(schema: StructType = CdcModel.targetSchema, numBuckets: Int = 64): Unit =
-    if (!table.exists) table.create(schema, numBuckets, appId)
+    if (!table.exists) table.create(schema, numBuckets, appId, CdcModel.KeyCols)
 
   /** Full-refresh from a complete dataset (reference Full strategy,
     * /root/reference/dialect.go:22-24): one overwrite snapshot. `df` must
@@ -139,6 +139,10 @@ object CdcPipeline {
   def resolved(table: LakeTable): DataFrame = {
     val df = table.read()
     if (!df.columns.contains(CdcModel.RowLsnCol)) return df
+    // key columns from the manifest (recorded at create since round 3);
+    // pre-round-3 manifests carry none → the CDC model's key
+    val keys = table.currentSnapshot.map(_.keyCols.toSeq).filter(_.nonEmpty)
+      .getOrElse(CdcModel.KeyCols)
     val tie =
       if (df.columns.contains("content")) coalesce(col("content"), lit(""))
       else lit("")
@@ -147,7 +151,7 @@ object CdcPipeline {
         coalesce(col(CdcModel.DeletedCol), lit(false))
       else lit(false)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(CdcModel.KeyCols.map(col): _*)
+      .partitionBy(keys.map(col): _*)
       .orderBy(col(CdcModel.RowLsnCol).desc, del.cast("int").desc, tie.desc)
     df.withColumn("_gen_rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("_gen_rn") === 1).drop("_gen_rn")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.lake.LakeTable
 import graft.operators.ColumnTransforms
-import graft.sources.CsvSource
+import graft.sources.{CsvSource, Endpoint, EndpointConfig, HttpRequest, HttpResponse, SchemaTools}
 
 /** Executes a [[JobSpec]]: the reference's `teleport extract-load-db`
   * pipeline (extract → transform → staging → primary-table update,
@@ -24,9 +24,26 @@ object JobRunner {
     * @param preview reference `-preview` (main.go:29-33, load.go:80-83):
     *        print 3 rows and every step that WOULD run; no table create, no
     *        commit — the destination's version is untouched.
+    * @param forceFull reference `-full` (main.go:38-39,
+    *        database_configuration.go:142-144): force the Full strategy
+    *        regardless of what the spec declares.
+    * @param transport HTTP socket layer for `format: "api"` sources —
+    *        the production default is the JDK client; tests inject an
+    *        in-process fake (≙ the reference's httptest corpus).
     */
   def run(spark: SparkSession, spec: JobSpec, table: String,
-      preview: Boolean = false): Result = {
+      preview: Boolean = false, forceFull: Boolean = false,
+      transport: HttpRequest => HttpResponse = Endpoint.httpTransport): Result = {
+    val spec0 = if (!forceFull) spec else spec.copy(tables =
+      spec.tables.map { case (k, v) => k -> v.copy(loadStrategy = "Full") }
+        .updated(table, spec.extractFor(table).copy(loadStrategy = "Full")))
+    if (spec0.source.format == "api")
+      return runApi(spark, spec0, table, preview, transport)
+    runPath(spark, spec0, table, preview)
+  }
+
+  private def runPath(spark: SparkSession, spec: JobSpec, table: String,
+      preview: Boolean): Result = {
     val extract = spec.extractFor(table)
     val strategy = extract.loadStrategy
     val loaded = extractTable(spark, spec, table)
@@ -44,7 +61,8 @@ object JobRunner {
       else loaded.columns.take(1).toSeq
     // destination auto-create (load.go:33-85): CREATE TABLE from the
     // extract's schema when absent
-    if (!dest.exists) dest.create(loaded.schema, spec.destination.numBuckets, "extract-load")
+    if (!dest.exists)
+      dest.create(loaded.schema, spec.destination.numBuckets, "extract-load", keys)
 
     strategy match {
       case "Full" =>
@@ -74,6 +92,89 @@ object JobRunner {
           previewed = false, mergeStats = Some(stats))
     }
   }
+
+  /** Endpoint-driven extract-load (≙ `teleport extract-load-api`,
+    * /root/reference/api.go:47-76): pull `{offset}`-paginated pages through
+    * the configured transport, parse json/csv bodies against the declared
+    * schema (≙ TableDefinition), apply the extract's projection/transforms,
+    * and apply each bounded micro-batch of pages through the engine MERGE.
+    *
+    * Two deliberate differences from the reference, both scale-structural:
+    * the full result set is NEVER accumulated (api.go:178-227 holds every
+    * row in one slice — here each `pagesPerBatch` batch is merged and
+    * released, so driver memory is O(batch) for an unbounded endpoint), and
+    * the load is the same bucket-pruned upsert the DB path uses.
+    */
+  private def runApi(spark: SparkSession, spec: JobSpec, table: String,
+      preview: Boolean, transport: HttpRequest => HttpResponse): Result = {
+    val extract = spec.extractFor(table)
+    val s = spec.source
+    val cfg = EndpointConfig(url = s.url, method = s.method, headers = s.headers,
+      basicAuth = for { u <- s.basicAuthUser; p <- s.basicAuthPassword } yield (u, p),
+      responseType = s.responseType, itemsField = s.itemsField,
+      offsetField = s.offsetField, retryOn4xx = s.retryOn4xx)
+    val dest = LakeTable(spec.destination.root)(spark)
+    // page schema: explicit TableDefinition, else the existing destination's
+    // payload schema (≙ createEndpointdestinationTableIfNotExists + inspect,
+    // api.go:101-137 — one of the two must exist)
+    val pageSchema = s.schema match {
+      case Some(ddl) => parseSchemaSpec(ddl)
+      case None if dest.exists =>
+        org.apache.spark.sql.types.StructType(dest.currentSnapshot.get.schema
+          .filterNot(f => f.name.startsWith("_")))
+      case None => throw new IllegalArgumentException(
+        "api source needs source.schema (TableDefinition) or an existing destination")
+    }
+    val src = Endpoint.source(cfg, transport, pagesPerBatch = s.pagesPerBatch)
+    def shape(df: DataFrame): DataFrame = {
+      val projected = extract.columns match {
+        case Seq("*") | Nil => df
+        case cols => df.select(cols.map(col): _*)
+      }
+      ColumnTransforms(projected, extract.transforms, extract.computed)
+    }
+    val strategy = extract.loadStrategy
+    if (preview) {
+      val (recs, _) = src.pullBatch(0L)
+      println(s"[preview] $table api strategy=$strategy — first 3 rows (not executed):")
+      shape(Endpoint.pageFrame(spark, cfg, pageSchema, recs.take(10))).show(3, truncate = false)
+      return Result(table, strategy, 0L,
+        if (dest.exists) dest.latestVersion else -1L, previewed = true)
+    }
+    val shaped = shape(Endpoint.pageFrame(spark, cfg, pageSchema, Nil)).schema
+    val keys = if (extract.primaryKey.nonEmpty) extract.primaryKey
+      else shaped.fieldNames.take(1).toSeq
+    if (!dest.exists)
+      dest.create(shaped, spec.destination.numBuckets, "extract-load-api", keys)
+    // Full ≙ truncate + insert (dialect.go:22-24): clear once, stream batches in
+    if (strategy == "Full" && dest.currentSnapshot.exists(_.files.nonEmpty))
+      dest.overwrite(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shaped), keys, "extract-load-api")
+    var last: Option[graft.cdc.MergeStats] = None
+    val (_, records) = src.drainFrames(
+      recs => Endpoint.pageFrame(spark, cfg, pageSchema, recs),
+      df => {
+        val runLsn = dest.latestVersion + 1 // monotonic: every merge commits
+        val events = shape(df)
+          .withColumn(graft.model.CdcModel.LsnCol, lit(runLsn))
+          .withColumn(graft.model.CdcModel.OpCol, lit("U"))
+        val stats = graft.cdc.Merge(dest, events, appId = "extract-load-api",
+          batchId = -1L, keyCols = keys)
+        graft.cdc.Lineage.append(dest, stats)
+        last = Some(stats)
+      })
+    Result(table, strategy, records, dest.latestVersion, previewed = false,
+      mergeStats = last)
+  }
+
+  /** Parse a `"name:type,name:type"` TableDefinition string. */
+  def parseSchemaSpec(ddl: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(ddl.split(",").map { c =>
+      val Array(n, ty) = c.split(":", 2)
+      org.apache.spark.sql.types.StructField(n.trim,
+        SchemaTools.parseType(ty).getOrElse(
+          throw new IllegalArgumentException(s"unknown type: $ty")))
+    })
 
   /** The extract side of the pipeline, shared by `run` and the CLI `extract`
     * verb (≙ `teleport extract-db`, which applies the SAME strategy filter as

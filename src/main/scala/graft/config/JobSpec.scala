@@ -44,7 +44,25 @@ import graft.operators.ColumnTransforms.{ColumnSpec, ComputedSpec}
   *  - transform + castTo ≙ `TransformColumn(col, fn, "INTEGER")`
   *    (transform_column_and_change_type.port).
   */
-case class SourceSpec(format: String, path: String)
+/** `format`: parquet | csv | json (path-based) or `api` (endpoint-based —
+  * ≙ the reference's `.port` endpoint DSL, endpoint_configuration.go:28-90:
+  * Get/AddHeader/BasicAuth/ResponseType/Paginate map to the fields below;
+  * `schema` ≙ TableDefinition, required when the destination doesn't exist
+  * yet, api.go:101-137). */
+case class SourceSpec(
+    format: String,
+    path: String = "",
+    url: String = "", // may contain {offset}-style tokens (api.go:196-200)
+    method: String = "GET",
+    headers: Map[String, String] = Map.empty,
+    basicAuthUser: Option[String] = None,
+    basicAuthPassword: Option[String] = None,
+    responseType: String = "json", // json | csv (api.go:461-477)
+    itemsField: String = "items",
+    offsetField: String = "offset",
+    retryOn4xx: Boolean = false,
+    pagesPerBatch: Int = 100,
+    schema: Option[String] = None) // "name:type,..." ≙ TableDefinition
 case class DestinationSpec(root: String, numBuckets: Int = 16)
 case class TableExtractSpec(
     loadStrategy: String = "Full",
@@ -53,7 +71,8 @@ case class TableExtractSpec(
     goBackHours: Int = 0,
     columns: Seq[String] = Seq("*"),
     transforms: Seq[ColumnSpec] = Nil,
-    computed: Seq[ComputedSpec] = Nil)
+    computed: Seq[ComputedSpec] = Nil,
+    schedule: Option[String] = None) // "every 10 minutes" DSL (schedule.go:22-76)
 case class JobSpec(
     source: SourceSpec,
     destination: DestinationSpec,

@@ -41,7 +41,8 @@ case class Snapshot(
     appId: String,
     batchId: Long, // -1 when not produced by a stream batch
     watermarkLsn: Long, // highest LSN applied up to and including this snapshot
-    sourceOffsets: Map[String, Long] // per-source-partition last applied LSN
+    sourceOffsets: Map[String, Long], // per-source-partition last applied LSN
+    keyCols: Seq[String] = Nil // primary key the buckets hash (Nil in pre-round-3 manifests)
 ) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 }
@@ -260,8 +261,10 @@ final class LakeTable(val root: String, spark: SparkSession) {
     java.nio.file.Paths.get(p.toUri.getPath)
 
   /** Create the table with an initial (possibly empty) snapshot. */
-  def create(schema: StructType, numBuckets: Int, appId: String): Snapshot = {
-    val s = Snapshot(0L, -1L, schema.json, numBuckets, Nil, appId, -1L, -1L, Map.empty)
+  def create(schema: StructType, numBuckets: Int, appId: String,
+      keyCols: Seq[String] = Nil): Snapshot = {
+    val s = Snapshot(0L, -1L, schema.json, numBuckets, Nil, appId, -1L, -1L,
+      Map.empty, keyCols)
     commit(s, -1L)
   }
 
@@ -274,7 +277,7 @@ final class LakeTable(val root: String, spark: SparkSession) {
     val bucketed = withBucket(df, keyCols, parent.numBuckets)
     val files = writeDataFiles(bucketed, parent.numBuckets)
     val s = Snapshot(parent.version + 1, parent.version, df.schema.json, parent.numBuckets,
-      files, appId, batchId, watermarkLsn, offsets)
+      files, appId, batchId, watermarkLsn, offsets, keyCols)
     commit(s, parent.version)
   }
 
@@ -285,7 +288,7 @@ final class LakeTable(val root: String, spark: SparkSession) {
     val kept = parent.files.filterNot(f => removed.contains(f.path))
     val s = Snapshot(parent.version + 1, parent.version,
       newSchemaJson.getOrElse(parent.schemaJson), parent.numBuckets,
-      kept ++ added, appId, batchId, watermarkLsn, offsets)
+      kept ++ added, appId, batchId, watermarkLsn, offsets, parent.keyCols)
     val committed = commit(s, parent.version)
     // data files removed from the manifest stay on disk until vacuum() —
     // time-travel readers of older snapshots remain valid.
@@ -297,6 +300,28 @@ final class LakeTable(val root: String, spark: SparkSession) {
     val parent = currentSnapshot.getOrElse(throw new IllegalStateException("create() first"))
     commit(parent.copy(version = parent.version + 1, parentVersion = parent.version,
       schemaJson = newSchema.json, appId = appId, batchId = -1L), parent.version)
+  }
+
+  /** Full rewrite into a new bucket count — the escape hatch for a table
+    * whose numBuckets was sized wrong (it is otherwise fixed at create; see
+    * [[graft.cdc.Merge]]'s sizing rule — a bucket should hold ~0.5-2 GB live).
+    * Preserves every row generation (including `_lsn` / `_deleted`
+    * tombstones), so merge-on-read resolution and replay idempotence are
+    * untouched: only the physical bucketing changes. The commit CARRIES the
+    * parent's (appId, batchId) fencing identity, like [[graft.cdc.Compaction]],
+    * so a restarted stream replaying the last batch stays fenced. One
+    * snapshot commit; superseded files stay for time travel until vacuum().
+    */
+  def rebucket(newNumBuckets: Int, keyCols: Seq[String]): Snapshot = {
+    require(newNumBuckets > 0, "numBuckets must be positive")
+    require(keyCols.nonEmpty, "rebucket needs the table's key columns")
+    val parent = currentSnapshot.getOrElse(throw new IllegalStateException("create() first"))
+    val bucketed = withBucket(read(), keyCols, newNumBuckets)
+    val files = writeDataFiles(bucketed, newNumBuckets)
+    val s = Snapshot(parent.version + 1, parent.version, parent.schemaJson,
+      newNumBuckets, files, parent.appId, parent.batchId, parent.watermarkLsn,
+      parent.sourceOffsets, keyCols)
+    commit(s, parent.version)
   }
 
   /** Delete data files not referenced by the latest snapshot (no time travel

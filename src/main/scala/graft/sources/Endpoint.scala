@@ -54,11 +54,21 @@ object Endpoint {
     else if (status >= 400) Some(FetchError.Http4xx(status))
     else None
 
+  /** Parse one page body per the endpoint's `responseType` — json | csv,
+    * exactly the reference's `unmarshalBody` dispatch (api.go:461-477). */
+  def parsePage(cfg: EndpointConfig, body: String): Either[FetchError, Page] =
+    cfg.responseType match {
+      case "csv" => parseCsvPage(body)
+      case "json" => parseJsonPage(cfg, body)
+      case other => Left(FetchError.InvalidBody(
+        s"unsupported response type '$other'. Allowed values: json, csv"))
+    }
+
   /** Parse a JSON page body: records = compact JSON strings of the elements
     * under `itemsField` (or of a bare top-level array); next offset = the
     * `offsetField` value when present and non-null (the
     * api_offset_pagination.port protocol — null/absent offset stops). */
-  def parsePage(cfg: EndpointConfig, body: String): Either[FetchError, Page] = {
+  private def parseJsonPage(cfg: EndpointConfig, body: String): Either[FetchError, Page] = {
     try {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = mapper.readTree(body)
@@ -74,6 +84,102 @@ object Endpoint {
       Right(Page(recs, next))
     } catch {
       case e: Exception => Left(FetchError.InvalidBody(e.getMessage))
+    }
+  }
+
+  /** Parse a CSV page body (≙ api.go:461-477 `csv.ReadAll` → `table`): the
+    * first row is the header, the rest are rows — the api_csv.port fixture's
+    * Transform pops row 0 and zips (`{headers[i]: row[i] ...}`), which is
+    * exactly what this does, emitting one JSON record per row with ALL
+    * values as strings (the reference's `type table [][]string`); typing
+    * happens against the destination schema in [[pageFrame]]. CSV responses
+    * have no pagination token — the fixture corpus never paginates CSV. */
+  private def parseCsvPage(body: String): Either[FetchError, Page] = {
+    try {
+      val rows = parseCsv(body)
+      if (rows.isEmpty) return Right(Page(Nil, None))
+      val headers = rows.head
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val recs = rows.tail.map { r =>
+        val o = mapper.createObjectNode()
+        headers.zipWithIndex.foreach { case (h, i) =>
+          o.put(h, if (i < r.length) r(i) else "")
+        }
+        mapper.writeValueAsString(o)
+      }
+      Right(Page(recs, None))
+    } catch {
+      case e: Exception => Left(FetchError.InvalidBody(e.getMessage))
+    }
+  }
+
+  /** Minimal RFC-4180 CSV reader for page bodies (quoted fields, `""`
+    * escapes, CRLF/LF rows) — driver-side page parsing only; bulk CSV files
+    * go through Spark's reader ([[CsvSource]]). */
+  private[sources] def parseCsv(text: String): List[Seq[String]] = {
+    val rows = scala.collection.mutable.ListBuffer[Seq[String]]()
+    val field = new StringBuilder
+    var row = Vector.empty[String]
+    var inQ = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < text.length && text.charAt(i + 1) == '"') { field += '"'; i += 1 }
+          else inQ = false
+        } else field += c
+      } else c match {
+        case '"' => inQ = true
+        case ',' => row :+= field.result(); field.clear()
+        case '\r' => // row break handled at \n
+        case '\n' => row :+= field.result(); field.clear(); rows += row; row = Vector.empty
+        case other => field += other
+      }
+      i += 1
+    }
+    if (field.nonEmpty || row.nonEmpty) { row :+= field.result(); rows += row }
+    rows.toList.filter(_.exists(_.nonEmpty))
+  }
+
+  /** Build a typed DataFrame from one page's records. JSON pages parse
+    * directly against `schema`; CSV pages carry every value as a string and
+    * cast per the reference's load rules — empty string = NULL
+    * (EMPTYASNULL, load_redshift.go:36), timestamps via ANSI cast. */
+  def pageFrame(spark: org.apache.spark.sql.SparkSession, cfg: EndpointConfig,
+      schema: org.apache.spark.sql.types.StructType,
+      recs: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, when}
+    if (cfg.responseType == "csv") {
+      val strSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.map(_.copy(dataType = org.apache.spark.sql.types.StringType)))
+      spark.read.schema(strSchema).json(recs.toDS())
+        .select(schema.fields.toIndexedSeq.map { f =>
+          when(col(f.name) === "", lit(null)).otherwise(col(f.name))
+            .cast(f.dataType).as(f.name)
+        }: _*)
+    } else spark.read.schema(schema).json(recs.toDS())
+  }
+
+  /** Production transport over the JDK's `java.net.http.HttpClient` — the
+    * socket layer beneath the config surface (≙ the reference's http.Client
+    * call, api.go:245-260). Everything above it (auth headers, token
+    * substitution, status classification, pagination) is transport-agnostic;
+    * tests drive an in-process fake through the same seam. */
+  lazy val httpTransport: HttpRequest => HttpResponse = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(30))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+    req => {
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(req.url))
+        .timeout(java.time.Duration.ofSeconds(120))
+        .method(req.method, java.net.http.HttpRequest.BodyPublishers.noBody())
+      req.headers.foreach { case (k, v) => b.header(k, v) }
+      val resp = client.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      HttpResponse(resp.statusCode(), resp.body())
     }
   }
 

@@ -129,6 +129,31 @@ class ConfigSpec extends SparkSuite {
     assert(out === Set((9L, "old"), (1L, "a"), (2L, "b"))) // 3 rows, row 9 survives
   }
 
+  test("--full forces the Full strategy over the spec (main.go:38-39)") {
+    val dir = SparkTestBase.tmpDir("cfg-force")
+    val dest = s"$dir/dest"
+    // a ModifiedOnly spec loads only the lookback window...
+    val p = writeSpec(dir, "job.json", eventsSpec(dir, dest, strategy = "ModifiedOnly"))
+    JobRunner.run(spark, JobSpec.load(spark, p), "events")
+    val partial = LakeTable(dest)(spark).read().count()
+    val total = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(partial < total)
+    // ...forceFull overrides to a complete refresh (database_test.go:219-239)
+    val r = JobRunner.run(spark, JobSpec.load(spark, p), "events", forceFull = true)
+    assert(r.strategy === "Full")
+    assert(LakeTable(dest)(spark).read().count() === total)
+  }
+
+  test("schedule field parses and exports the reference's JSON shape") {
+    val spec = JobSpec.parse(
+      """{"source":{"format":"parquet","path":"p"},
+         "destination":{"root":"r"},
+         "tables":{"events":{"schedule":"every 10 minutes"}}}""")
+    val s = spec.extractFor("events").schedule
+    assert(s.contains("every 10 minutes"))
+    assert(graft.streaming.Schedule.toJson(s.get) === """{"every":600}""")
+  }
+
   test("yaml transform parses the reference's Ruby-YAML options column") {
     // the exact fixture value from /root/reference/database_test.go:171
     val rubyYaml = "--- !ruby/hash-with-ivars:ActionController::Parameters\n" +

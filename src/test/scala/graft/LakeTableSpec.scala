@@ -70,6 +70,25 @@ class LakeTableSpec extends SparkSuite {
     assert(r.filter(col("extra").isNull).count() === 1) // old file → null
   }
 
+  test("rebucket: state and generations preserved, bucket invariant holds at new count") {
+    val t = LakeTable(SparkTestBase.tmpDir("lake-rbk"))(spark)
+    t.create(schema, 2, "t", keyCols = Seq("k"))
+    val df = spark.range(500).select(concat(lit("k"), col("id")).as("k"), col("id").as("v"))
+    t.overwrite(df, Seq("k"), "t")
+    val before = t.read().orderBy("k").as[(String, Long)].collect().toSeq
+    val snap = t.rebucket(16, Seq("k"))
+    assert(snap.numBuckets === 16 && snap.keyCols === Seq("k"))
+    assert(t.read().orderBy("k").as[(String, Long)].collect().toSeq === before)
+    // the one-bucket-per-file invariant holds under the NEW bucket expr
+    snap.files.foreach { f =>
+      val b = spark.read.parquet(s"${t.root}/data/${f.path}")
+        .select(LakeTable.bucketExpr(Seq("k"), 16).as("b")).distinct().collect()
+      assert(b.length === 1 && b(0).getInt(0) === f.bucket)
+    }
+    // fencing identity carried from the parent (like Compaction)
+    assert(snap.appId === t.snapshot(snap.parentVersion).appId)
+  }
+
   test("vacuum removes only unreferenced files; time travel before, not after") {
     val t = LakeTable(SparkTestBase.tmpDir("lake-vac"))(spark)
     t.create(schema, 4, "t")

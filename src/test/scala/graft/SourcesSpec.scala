@@ -171,6 +171,121 @@ class SourcesSpec extends SparkSuite {
     assert(en.getMessage.contains("retryable"))
   }
 
+  test("csv page bodies: header row + quoted fields + typed cast with empty=NULL") {
+    import graft.sources.{Endpoint, EndpointConfig}
+    val cfg = EndpointConfig(url = "http://t/w.csv", responseType = "csv")
+    val body = "id,name,price,active\n" +
+      "1,\"Fender, Strat\",12.34,true\n" +
+      "2,\"say \"\"hi\"\"\",,false\n"
+    val page = Endpoint.parsePage(cfg, body).toOption.get
+    assert(page.records.size === 2 && page.nextOffset.isEmpty)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("price", DoubleType),
+      StructField("active", BooleanType)))
+    val df = Endpoint.pageFrame(spark, cfg, schema, page.records)
+      .orderBy("id").collect()
+    assert(df(0).getLong(0) === 1L && df(0).getString(1) === "Fender, Strat" &&
+      df(0).getDouble(2) === 12.34 && df(0).getBoolean(3))
+    // empty CSV cell → NULL (EMPTYASNULL), quoted "" escape preserved
+    assert(df(1).getString(1) === """say "hi"""" && df(1).isNullAt(2))
+    // bad response type classified as invalid body
+    assert(Endpoint.parsePage(cfg.copy(responseType = "xml"), body).isLeft)
+  }
+
+  test("api-format extract-load: paginated json endpoint → MERGE-loaded LakeTable") {
+    import graft.config.{JobRunner, JobSpec}
+    import graft.sources.{HttpRequest, HttpResponse}
+    val dir = SparkTestBase.tmpDir("api-el")
+    // 3 pages of 2 widgets via {offset} pagination (api_offset_pagination.port)
+    def fake(req: HttpRequest): HttpResponse = {
+      val off = "offset=(\\d+)".r.findFirstMatchIn(req.url).map(_.group(1).toInt).getOrElse(0)
+      val items = (off until math.min(off + 2, 6))
+        .map(i => s"""{"id":$i,"name":"w$i"}""").mkString(",")
+      val next = if (off + 2 < 6) s""","offset":${off + 2}""" else ""
+      HttpResponse(200, s"""{"items":[$items]$next}""")
+    }
+    def spec(strategy: String) = JobSpec.parse(s"""{
+      "source": {"format": "api", "url": "http://t/items?offset={offset}",
+        "schema": "id:integer,name:string", "pagesPerBatch": 1},
+      "destination": {"root": "$dir/dest", "numBuckets": 4},
+      "tables": {"t": {"loadStrategy": "$strategy", "primaryKey": ["id"],
+        "transforms": [{"column": "name", "ops": ["upper"]}]}}}""")
+    val r = JobRunner.run(spark, spec("Full"), "t", transport = fake)
+    assert(r.rowsLoaded === 6)
+    val out = LakeTable(s"$dir/dest")(spark).read()
+    assert(out.filter(!col("_deleted")).count() === 6)
+    assert(out.filter(col("name") === "W3").count() === 1)
+    // Incremental re-run upserts by pk — still 6 rows, not 12
+    // (≙ api_test.go:151-159: matching pre-existing rows are replaced)
+    JobRunner.run(spark, spec("Incremental"), "t", transport = fake)
+    val live = graft.cdc.CdcPipeline.liveState(LakeTable(s"$dir/dest")(spark))
+    assert(live.count() === 6)
+    // preview never creates/commits
+    val dir2 = SparkTestBase.tmpDir("api-prev")
+    val rp = JobRunner.run(spark,
+      spec("Full").copy(destination = graft.config.DestinationSpec(s"$dir2/dest", 4)),
+      "t", preview = true, transport = fake)
+    assert(rp.previewed && !LakeTable(s"$dir2/dest")(spark).exists)
+  }
+
+  test("api-format extract-load: csv response body end-to-end (api_csv.port)") {
+    import graft.config.{JobRunner, JobSpec}
+    import graft.sources.{HttpRequest, HttpResponse}
+    val dir = SparkTestBase.tmpDir("api-csv")
+    val body = "id,price,name,active\n1,12.34,w1,true\n2,,w2,false\n3,0.99,w3,true\n"
+    val fake: HttpRequest => HttpResponse = _ => HttpResponse(200, body)
+    val spec = JobSpec.parse(s"""{
+      "source": {"format": "api", "url": "http://t/widgets.csv",
+        "responseType": "csv",
+        "schema": "id:integer,price:double,name:string,active:boolean"},
+      "destination": {"root": "$dir/dest", "numBuckets": 4},
+      "tables": {"w": {"loadStrategy": "Full", "primaryKey": ["id"]}}}""")
+    val r = JobRunner.run(spark, spec, "w", transport = fake)
+    assert(r.rowsLoaded === 3)
+    val out = LakeTable(s"$dir/dest")(spark).read().orderBy("id").collect()
+    assert(out(0).getAs[Double]("price") === 12.34)
+    assert(out(1).isNullAt(out(1).fieldIndex("price"))) // empty = NULL
+    assert(out(2).getAs[Boolean]("active"))
+  }
+
+  test("http transport: real socket via JDK client against a localhost server") {
+    import graft.sources.{Endpoint, EndpointConfig}
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var seenAuth: Option[String] = None
+    @volatile var seenUa: Option[String] = None
+    server.createContext("/items", { ex =>
+      seenAuth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      seenUa = Option(ex.getRequestHeaders.getFirst("User-Agent"))
+      val off = Option(ex.getRequestURI.getQuery).getOrElse("")
+        .split("=").lastOption.filter(_.nonEmpty).map(_.toInt).getOrElse(0)
+      val body = (if (off == 0)
+        """{"items":[{"id":1},{"id":2}],"offset":2}"""
+      else """{"items":[{"id":3}],"offset":null}""").getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.createContext("/missing", { ex =>
+      ex.sendResponseHeaders(404, -1); ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val cfg = EndpointConfig(url = s"http://127.0.0.1:$port/items?offset={offset}",
+        basicAuth = Some(("user", "pass")))
+      val (recs, next) = Endpoint.source(cfg, Endpoint.httpTransport).pullBatch(0)
+      assert(recs.size === 3 && next.isEmpty)
+      // auth + UA headers actually crossed the socket
+      assert(seenAuth.exists(_.startsWith("Basic ")) && seenUa.contains("graft"))
+      // 404 classified fatal through the real transport too
+      val miss = EndpointConfig(url = s"http://127.0.0.1:$port/missing")
+      val e = intercept[RuntimeException] {
+        Endpoint.source(miss, Endpoint.httpTransport).pullBatch(0)
+      }
+      assert(e.getMessage.contains("fatal"))
+    } finally server.stop(0)
+  }
+
   test("sql transform: CTAS + atomic swap (times_by_day_of_week analogue)") {
     spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("ev_v")
     val dest = LakeTable(SparkTestBase.tmpDir("ctas"))(spark)
