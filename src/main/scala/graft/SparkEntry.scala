@@ -850,37 +850,7 @@ object SparkEntry {
         ORDER BY cos DESC, neighbor_id ASC) <= 3
       ORDER BY query_id, neighbor_id""",
     "dedup_simhash" -> simhashOracleSql,
-    "ann_ivf_cosine" -> """
-      WITH v AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
-        FROM embeddings),
-      cent AS (SELECT vec_id AS cid, dv AS centv FROM v WHERE vec_id < 16),
-      lists AS (
-        SELECT vec_id AS neighbor_id, dv AS cv, cid AS list_id FROM (
-          SELECT v.vec_id, v.dv, c.cid,
-            row_number() OVER (PARTITION BY v.vec_id ORDER BY
-              list_dot_product(v.dv, c.centv) /
-                (sqrt(list_dot_product(v.dv, v.dv)) * sqrt(list_dot_product(c.centv, c.centv))) DESC,
-              c.cid ASC) AS rn
-          FROM v, cent c) WHERE rn = 1),
-      probes AS (
-        SELECT vec_id AS query_id, dv AS qv, cid AS list_id FROM (
-          SELECT v.vec_id, v.dv, c.cid,
-            row_number() OVER (PARTITION BY v.vec_id ORDER BY
-              list_dot_product(v.dv, c.centv) /
-                (sqrt(list_dot_product(v.dv, v.dv)) * sqrt(list_dot_product(c.centv, c.centv))) DESC,
-              c.cid ASC) AS rn
-          FROM v, cent c WHERE v.vec_id < 5) WHERE rn <= 4),
-      scored AS (
-        SELECT query_id, neighbor_id,
-          list_dot_product(qv, cv) /
-            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
-        FROM lists JOIN probes USING (list_id)
-        WHERE query_id <> neighbor_id)
-      SELECT query_id, neighbor_id, round(cos, 6) AS cos_r FROM scored
-      QUALIFY row_number() OVER (PARTITION BY query_id
-        ORDER BY cos DESC, neighbor_id ASC) <= 3
-      ORDER BY query_id, neighbor_id""",
+    "ann_ivf_cosine" -> ivfOracleSql(nlist = 16, nprobe = 4, k = 3, iters = 2),
     "dedup_embedding_cosine" -> s"""
       WITH v AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
@@ -927,6 +897,66 @@ object SparkEntry {
            + 12345) % 2147483647) % 2000001) - 1000000) / 1000000.0))"""
     (0 until planes).map(m =>
       s"(CASE WHEN ${proj(m)} > 0 THEN ${1L << m} ELSE 0 END)").mkString("(", " + ", ")")
+  }
+
+  /** DuckDB rendering of [[graft.operators.SimilarityOps.ivfTopK]] with
+    * quantized-Lloyd k-means centroids: the `iters` assignment/update rounds
+    * are replayed as CTE pairs. Reproducibility rests on (a) centroid
+    * accumulation being EXACT BIGINT sums of round(x·10⁶)-quantized
+    * components — order-free, so GROUP BY order can't matter — and (b) every
+    * cosine folding the same doubles in the same sequential order in both
+    * engines (DuckDB's list_dot_product ≡ Spark's sequential `aggregate`
+    * fold, already verified bit-identical by the other ANN oracles). */
+  private def ivfOracleSql(nlist: Int, nprobe: Int, k: Int, iters: Int,
+      dim: Int = 64): String = {
+    def cosq(a: String, b: String): String = {
+      def d(x: String) = s"list_transform($x, q -> CAST(q AS DOUBLE))"
+      s"list_dot_product(${d(a)}, ${d(b)}) / " +
+        s"(sqrt(list_dot_product(${d(a)}, ${d(a)})) * sqrt(list_dot_product(${d(b)}, ${d(b)})))"
+    }
+    val iterCtes = (1 to iters).map { i =>
+      s"""a$i AS (SELECT vec_id, vq, cid FROM (
+          SELECT v.vec_id, v.vq, c.cid,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${cosq("v.vq", "c.csum")} DESC, c.cid ASC) AS rn
+          FROM v, c${i - 1} c) WHERE rn = 1),
+      n$i AS (SELECT cid, list(s ORDER BY d) AS csum FROM (
+          SELECT cid, d, sum(vq[d + 1]) AS s
+          FROM a$i, (SELECT unnest(range($dim)) AS d)
+          GROUP BY cid, d) GROUP BY cid),
+      c$i AS (SELECT c.cid, coalesce(n.csum, c.csum) AS csum
+          FROM c${i - 1} c LEFT JOIN n$i n ON c.cid = n.cid)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vq
+        FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, vq AS csum FROM v WHERE vec_id < $nlist),
+      $iterCtes,
+      lists AS (
+        SELECT vec_id AS neighbor_id, dv AS cv, cid AS list_id FROM (
+          SELECT v.vec_id, v.dv, c.cid,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${cosq("v.vq", "c.csum")} DESC, c.cid ASC) AS rn
+          FROM v, c$iters c) WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, dv AS qv, cid AS list_id FROM (
+          SELECT v.vec_id, v.dv, c.cid,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${cosq("v.vq", "c.csum")} DESC, c.cid ASC) AS rn
+          FROM v, c$iters c WHERE v.vec_id < 5) WHERE rn <= $nprobe),
+      scored AS (
+        SELECT query_id, neighbor_id,
+          list_dot_product(qv, cv) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        FROM lists JOIN probes USING (list_id)
+        WHERE query_id <> neighbor_id)
+      SELECT query_id, neighbor_id, round(cos, 6) AS cos_r FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, neighbor_id ASC) <= $k
+      ORDER BY query_id, neighbor_id"""
   }
 
   /** DuckDB rendering of [[graft.operators.DedupOps.simhashPairsPortable]]:

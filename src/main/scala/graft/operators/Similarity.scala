@@ -95,35 +95,83 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
+  /** Quantize a float vector to `round(x·10⁶)` BIGINTs — the domain where
+    * k-means centroid accumulation is EXACT integer arithmetic (order-free,
+    * so any engine reproduces it bit-for-bit; float sums would depend on
+    * aggregation order). */
+  private def quantized(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1000000).cast("long"))
+
+  /** Lloyd k-means for the IVF coarse quantizer over quantized vectors.
+    * Centroids are kept as (cid, component-SUM vector): cosine against the
+    * sum equals cosine against the mean (the count divides out), so
+    * centroids are never divided — no float-division nondeterminism anywhere
+    * in the loop. Seeds = the first `nlist` vectors by id; ties → min cid;
+    * empty clusters keep their previous centroid; `iters = 0` degrades to
+    * the seeded centroids. Assignment is the classic corpus × nlist
+    * broadcast-join scan per iteration; the centroid table itself is a
+    * driver-scale object (nlist × dim longs — coarse quantizers always are).
+    * The DuckDB oracle replays the identical iterations
+    * ([[graft.SparkEntry]] ivfOracleSql); dot products of the quantized
+    * values stay inside the 2⁵³ exact-integer range of doubles, and the
+    * residual sqrt/divide are IEEE-deterministic.
+    */
+  private[graft] def kmeansSums(corpus: DataFrame, nlist: Int, iters: Int): Seq[(Long, Seq[Long])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vq = corpus.select(col("vec_id"), quantized(col("embedding")).as("vq"))
+    var cents: Seq[(Long, Seq[Long])] = vq.filter(col("vec_id") < nlist)
+      .orderBy("vec_id").as[(Long, Seq[Long])].collect().toSeq
+    for (_ <- 0 until iters) {
+      val cdf = broadcast(cents.toDF("cid", "csum"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("cos_c").desc, col("cid").asc)
+      val assigned = vq.join(cdf)
+        .withColumn("cos_c", cosine(col("vq"), col("csum")))
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      val sums = assigned
+        .select(col("cid"), posexplode(col("vq")).as(Seq("d", "x")))
+        .groupBy("cid", "d").agg(sum("x").as("s")) // exact BIGINT sums
+        .collect().groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }
+      cents = cents.map { case (cid, old) => (cid, sums.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
   /** IVF-style ANN: a coarse quantizer partitions the corpus into inverted
     * lists keyed by nearest-centroid id; each query probes only its `nprobe`
     * nearest lists and exact-re-ranks those candidates — the classic
     * scan-fraction trade (nprobe/nlist of the data per query), with the
-    * inverted-list id as the ONLY shuffle key. Centroids here are the first
-    * `nlist` corpus vectors (deterministic sampled centroids — centroid
-    * QUALITY is orthogonal to the IVF plan shape and this choice is
-    * reproducible in any engine for the oracle; production would plug in
-    * k-means centroids through the same argmax-assignment).
+    * inverted-list id as the ONLY shuffle key. Centroids come from
+    * [[kmeansSums]] (quantized Lloyd iterations, `kmeansIters = 0` falls
+    * back to the seeded first-`nlist` vectors); the final re-rank uses the
+    * ORIGINAL float vectors — quantization only shapes the partitioning.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cent = broadcast(corpus.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cid"), col("embedding").as("centv")))
+      nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cent = broadcast(kmeansSums(corpus, nlist, kmeansIters).toDF("cid", "csum"))
     // corpus → inverted lists: argmax-cosine centroid per vector (ties → min cid)
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy("neighbor_id").orderBy(col("cos_c").desc, col("cid").asc)
-    val lists = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val lists = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        quantized(col("embedding")).as("vq"))
       .join(cent)
-      .withColumn("cos_c", cosine(col("cv"), col("centv")))
+      .withColumn("cos_c", cosine(col("vq"), col("csum")))
       .withColumn("_rn", row_number().over(wAssign)).filter(col("_rn") === 1)
       .select(col("neighbor_id"), col("cv"), col("cid").as("list_id"))
     // queries → nprobe nearest lists each
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos_c").desc, col("cid").asc)
     val probes = broadcast(queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        quantized(col("embedding")).as("qq"))
       .join(cent)
-      .withColumn("cos_c", cosine(col("qv"), col("centv")))
+      .withColumn("cos_c", cosine(col("qq"), col("csum")))
       .withColumn("_rn", row_number().over(wProbe)).filter(col("_rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid").as("list_id")))
     val scored = lists.join(probes, Seq("list_id"))

@@ -243,6 +243,51 @@ class CdcPipelineSpec extends SparkSuite {
     assert(digest(finalState(p)).sameElements(d1))
   }
 
+  test("long MOR replay: compaction+vacuum never change liveState, file count stays bounded, horizon GCs tombstones") {
+    // The invariant that keeps a 10^10-event tail healthy: over a long
+    // merge-on-read replay with interleaved maintenance, (a) compaction and
+    // vacuum NEVER change the live state, (b) per-bucket file counts stay
+    // bounded by the compaction policy instead of growing with the stream,
+    // (c) once every source offset passes the horizon, expired tombstones
+    // are physically gone, and (d) vacuum leaves exactly the live file set.
+    val ev = SyntheticEvents.generate(spark, 30000, nRepos = 20, filesPerRepo = 10).cache()
+    val p = new CdcPipeline(LakeTable(SparkTestBase.tmpDir("cdc-gc"))(spark), "app-gc",
+      mergeOnRead = true, compactEveryFiles = 4)
+    p.bootstrap(numBuckets = 8)
+    val nB = 10
+    val bounds = ev.agg(min("lsn"), max("lsn")).collect()(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo + nB) / nB)
+    for (i <- 0 until nB) {
+      val slice = ev.filter(col("lsn") >= lo + i * width && col("lsn") < lo + (i + 1) * width)
+      p.applyBatch(slice, batchId = i, orderedDelivery = true)
+      if (i % 3 == 2) { // periodic maintenance mid-stream
+        val d = digest(finalState(p))
+        graft.cdc.Compaction(p.table, horizonLsn = lo + (i + 1) * width - 1,
+          maxFilesPerBucket = 2)
+        p.table.vacuum(graceMs = 0)
+        assert(digest(finalState(p)).sameElements(d),
+          s"maintenance changed live state after batch $i")
+      }
+      val maxFiles = p.table.currentSnapshot.get.files.groupBy(_.bucket)
+        .values.map(_.size).max
+      assert(maxFiles <= 5, s"unbounded file growth at batch $i: $maxFiles files in a bucket")
+    }
+    val want = oracle(ev)
+    val got = finalState(p)
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+    // all offsets past the horizon → every tombstone is dead weight and GC'd
+    graft.cdc.Compaction(p.table, horizonLsn = hi, maxFilesPerBucket = 1)
+    assert(p.table.read().filter(coalesce(col("_deleted"), lit(false))).count() === 0,
+      "expired tombstones survived the horizon compaction")
+    p.table.vacuum(graceMs = 0)
+    val live = p.table.currentSnapshot.get.files.map(_.path).toSet
+    val onDisk = new java.io.File(p.table.root + "/data").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(onDisk === live, "vacuum left superseded files behind")
+  }
+
   test("synthetic generator is deterministic and skewed") {
     val a = SyntheticEvents.generate(spark, 10000)
     val b = SyntheticEvents.generate(spark, 10000)

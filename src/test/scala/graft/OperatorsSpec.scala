@@ -91,6 +91,22 @@ class OperatorsSpec extends SparkSuite {
     assert(part.filter(col("query_id") === col("neighbor_id")).count() === 0)
   }
 
+  test("ivf k-means centroids: recall@k vs brute force reported, seeds never better") {
+    val q = emb.filter(col("vec_id") < 20)
+    def hits(df: org.apache.spark.sql.DataFrame) = df.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(SimilarityOps.bruteForceTopK(q, emb, 3))
+    val seeded = hits(SimilarityOps.ivfTopK(q, emb, 3, nlist = 16, nprobe = 4, kmeansIters = 0))
+    val kmeans = hits(SimilarityOps.ivfTopK(q, emb, 3, nlist = 16, nprobe = 4, kmeansIters = 2))
+    val rSeed = seeded.intersect(exact).size.toDouble / exact.size
+    val rKm = kmeans.intersect(exact).size.toDouble / exact.size
+    info(f"ivf recall@3 probing 4/16 lists: seeded=$rSeed%.3f kmeans(2 iters)=$rKm%.3f")
+    // trained centroids must not lose recall vs the degenerate seeds at the
+    // same probe budget, and must stay a meaningful ANN (not collapse)
+    assert(rKm >= rSeed - 1e-9)
+    assert(rKm >= 0.5, f"ivf k-means recall collapsed: $rKm%.3f")
+  }
+
   test("cosine matches a hand-computed value") {
     val d = Seq((Array(1.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
     val c = d.select(SimilarityOps.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
