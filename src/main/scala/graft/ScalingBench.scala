@@ -43,6 +43,37 @@ object ScalingBench {
     spark.stop()
   }
 
+  /** Aggregate memcpy bandwidth (MB/s) of `threads` concurrent copiers over
+    * 64 MB buffers for ~1.2 s — the in-run host-bandwidth probe that
+    * normalizes each pair's ratio. A shuffle+sort+parquet merge is
+    * memory-bandwidth-bound, so its single-box N→4N ceiling is this probe's
+    * own scaling (measured ~0.54 on this host, BASELINE.md forensics), not
+    * 1.0: four cores alone enjoy the full LLC + DRAM bandwidth that sixteen
+    * must share. On a real cluster the 4N executors bring 4× the memory
+    * subsystems, which is exactly what engine-per-bandwidth captures.
+    * Interleaving the probe with each pair samples the same host weather
+    * the pair saw. */
+  private def memBw(threads: Int): Double = {
+    val per = 64 * 1024 * 1024
+    val durNs = 1200L * 1000000
+    val total = new java.util.concurrent.atomic.AtomicLong(0)
+    val ths = (0 until threads).map { _ =>
+      new Thread(() => {
+        val src = new Array[Byte](per)
+        val dst = new Array[Byte](per)
+        var copied = 0L
+        val t0 = System.nanoTime()
+        while (System.nanoTime() - t0 < durNs) {
+          System.arraycopy(src, 0, dst, 0, per); copied += per
+        }
+        total.addAndGet(copied)
+      })
+    }
+    val t0 = System.nanoTime()
+    ths.foreach(_.start()); ths.foreach(_.join())
+    total.get() / 1e6 / ((System.nanoTime() - t0) / 1e9)
+  }
+
   /** In-JVM cluster-size emulation: ONE session on all cores, but every
     * stage of a measurement is bounded to P concurrent tasks by setting
     * shuffle partitions = P and laying the event input out as exactly P
@@ -72,7 +103,19 @@ object ScalingBench {
       Bench.cdcThroughput(spark, n, batches, numBuckets = 128, eventFiles = p)._1
     }
     measure(p1); measure(p2) // warm-up both paths
-    val runs = (1 to reps).map(_ => (measure(p1), measure(p2)))
+    // Each rep: bandwidth probe at p1 → engine at p1 → engine at p2 →
+    // bandwidth probe at p2, so the probe brackets the same host weather
+    // the engine pair saw. Raw pair efficiency divided by that pair's own
+    // memcpy efficiency = ENGINE-PER-BANDWIDTH scaling — the number that
+    // transfers to a real cluster, where 4N executors multiply memory
+    // subsystems along with cores instead of sharing one.
+    val runs = (1 to reps).map { _ =>
+      val bw1 = memBw(p1)
+      val a = measure(p1)
+      val b = measure(p2)
+      val bw2 = memBw(p2)
+      (a, b, bw1, bw2)
+    }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     // Efficiency per adjacent A/B PAIR, then the median of pair ratios:
     // this host's noise arrives in multi-minute bursts, so a burst hits the
@@ -80,18 +123,27 @@ object ScalingBench {
     // pairs (that pair's ratio is an outlier the median discards); a median
     // over LEVELS instead lets one burst corrupt a single side and drag the
     // whole estimate. All raw samples are published either way.
-    val pairEff = runs.map { case (a, b) => (b / a) / (p2.toDouble / p1) }
+    val scale = p2.toDouble / p1
+    val pairEff = runs.map { case (a, b, _, _) => (b / a) / scale }
+    val bwEff = runs.map { case (_, _, w1, w2) => (w2 / w1) / scale }
+    val engPerBw = runs.map { case (a, b, w1, w2) => (b / a) / (w2 / w1) }
     val eff = median(pairEff)
     val m1 = median(runs.map(_._1))
     val m2 = median(runs.map(_._2))
-    val all = runs.map { case (a, b) => s"[${a.round},${b.round}]" }.mkString(",")
+    val all = runs.map { case (a, b, _, _) => s"[${a.round},${b.round}]" }.mkString(",")
     val ratios = pairEff.map(r => f"$r%.3f").mkString(",")
+    val bws = runs.map { case (_, _, w1, w2) => s"[${w1.round},${w2.round}]" }.mkString(",")
+    val bwR = bwEff.map(r => f"$r%.3f").mkString(",")
+    val epb = engPerBw.map(r => f"$r%.3f").mkString(",")
     println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio",""" +
-      f""""mode":"in-jvm-parallelism, median of per-pair ratios",""" +
+      f""""engine_per_bandwidth":${median(engPerBw)}%.3f,""" +
+      f""""host_bandwidth_efficiency":${median(bwEff)}%.3f,""" +
+      f""""mode":"in-jvm-parallelism, median of per-pair ratios; memcpy probe brackets each pair",""" +
       f""""n_cores":$p1,"n4_cores":$p2,""" +
       f""""events":$n,"batches":$batches,""" +
       f""""events_per_sec_n":${m1.round},"events_per_sec_4n":${m2.round},""" +
-      f""""pair_ratios":[$ratios],"runs_pairs":[$all]}""")
+      f""""pair_ratios":[$ratios],"engine_per_bandwidth_pairs":[$epb],""" +
+      f""""bw_pairs_mbps":[$bws],"bw_ratios":[$bwR],"runs_pairs":[$all]}""")
     spark.stop()
   }
 }

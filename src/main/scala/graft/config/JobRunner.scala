@@ -133,6 +133,11 @@ object JobRunner {
       }
       ColumnTransforms(projected, extract.transforms, extract.computed)
     }
+    // Endpoint strategies (endpoint_configuration.go:205-217): Full =
+    // truncate+insert; Incremental AND ModifiedOnly = the same delete-match
+    // upsert at load time (load.go:148) — the go_back_hours lookback is a
+    // DB-extract-time WHERE the API transport cannot apply, so for endpoints
+    // the source itself decides what is "modified".
     val strategy = extract.loadStrategy
     if (preview) {
       val (recs, _) = src.pullBatch(0L)
