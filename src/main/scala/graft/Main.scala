@@ -35,7 +35,16 @@ object Main {
         s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")}]"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, args.toList) finally spark.stop()
+    try run(spark, args.toList)
+    catch {
+      // ≙ the reference's workflow exit codes (workflow.go:29-35):
+      // fatal → Fail (3); retryable exhausted → Retry (4), so an external
+      // scheduler can re-run the job later exactly like the reference's
+      case e: graft.sources.FetchFailedException =>
+        System.err.println(s"[error] ${e.getMessage}")
+        spark.stop()
+        sys.exit(if (e.error.retryable) 4 else 3)
+    } finally spark.stop()
   }
 
   private def run(spark: SparkSession, args: List[String]): Unit = args match {

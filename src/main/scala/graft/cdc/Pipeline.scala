@@ -91,17 +91,39 @@ final class CdcPipeline(val table: LakeTable, val appId: String,
     table.overwrite(withLsn, CdcModel.KeyCols, appId, watermarkLsn = asOfLsn)
   }
 
-  /** Apply one micro-batch of change events. Idempotent per (appId, batchId). */
+  /** Apply one micro-batch of change events. Idempotent per (appId, batchId).
+    *
+    * Optimistic concurrency (the Iceberg commit model): when another writer
+    * (a second stream, a compaction daemon, a config load) publishes a
+    * snapshot between this merge's snapshot read and its commit, the commit
+    * CAS throws [[graft.lake.CommitConflictException]] — the merge then
+    * RE-RUNS against the fresh snapshot instead of dying. Safe because the
+    * whole apply is idempotent (fencing + LWW against stored `_lsn`); the
+    * loser's staged data files are unreferenced and vacuum() collects them
+    * (its grace window protects the retry in flight).
+    */
   def applyBatch(events: DataFrame, batchId: Long,
       sourceOffsets: Map[String, Long] = Map.empty,
-      orderedDelivery: Boolean = false): MergeStats = {
-    val stats = Merge(table, events, appId, batchId, sourceOffsets,
-      orderedDelivery, mergeOnRead)
-    if (lineage) Lineage.append(table, stats)
-    if (mergeOnRead && compactEveryFiles > 0 &&
-        table.currentSnapshot.exists(_.files.groupBy(_.bucket).exists(_._2.size > compactEveryFiles)))
-      Compaction(table, horizonLsn = -1L, maxFilesPerBucket = compactEveryFiles)
-    stats
+      orderedDelivery: Boolean = false,
+      maxCommitRetries: Int = 5): MergeStats = {
+    var attempt = 0
+    while (true) {
+      try {
+        val stats = Merge(table, events, appId, batchId, sourceOffsets,
+          orderedDelivery, mergeOnRead)
+        if (lineage) Lineage.append(table, stats)
+        if (mergeOnRead && compactEveryFiles > 0 &&
+            table.currentSnapshot.exists(_.files.groupBy(_.bucket).exists(_._2.size > compactEveryFiles)))
+          Compaction(table, horizonLsn = -1L, maxFilesPerBucket = compactEveryFiles)
+        return stats
+      } catch {
+        case e: graft.lake.CommitConflictException if attempt < maxCommitRetries =>
+          attempt += 1
+          System.err.println(s"[cdc] commit conflict on batch $batchId " +
+            s"(attempt $attempt/$maxCommitRetries), re-merging against the new snapshot: ${e.getMessage}")
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Replay an event stream deterministically in `numBatches` LSN-range

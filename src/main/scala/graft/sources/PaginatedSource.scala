@@ -21,6 +21,13 @@ object FetchError {
   * None (/root/reference/api.go:371-426). */
 case class Page(records: Seq[String], nextOffset: Option[Long])
 
+/** A fetch that exhausted its retries (retryable error) or hit a fatal one.
+  * Carries the classified [[FetchError]] so callers can map it to the
+  * reference's workflow exit codes — Fail=3, Retry=4 (workflow.go:29-35). */
+class FetchFailedException(val error: FetchError, offset: Long)
+  extends RuntimeException(
+    s"fetch at offset $offset failed (${if (error.retryable) "retryable" else "fatal"}): $error")
+
 /** Pull-based paginated record source — the reference's HTTP API extractor
   * (`requestAllPages`, api.go:176-243) re-expressed as a checkpointable
   * micro-batch puller. The fetch function is pluggable (an HTTP client in
@@ -46,9 +53,7 @@ final class PaginatedSource(
       fetch(off) match {
         case Right(p) => p
         case Left(e) if e.retryable && attempt < maxRetries => fetchRetry(off, attempt + 1)
-        case Left(e) =>
-          throw new RuntimeException(
-            s"fetch at offset $off failed (${if (e.retryable) "retryable" else "fatal"}): $e")
+        case Left(e) => throw new FetchFailedException(e, off)
       }
     @tailrec def loop(off: Long, pages: Int, acc: Vector[String]): (Seq[String], Option[Long]) = {
       val page = fetchRetry(off, 0)

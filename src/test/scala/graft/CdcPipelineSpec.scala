@@ -288,6 +288,29 @@ class CdcPipelineSpec extends SparkSuite {
     assert(onDisk === live, "vacuum left superseded files behind")
   }
 
+  test("two concurrent writers: commit conflict retried, both batches land (optimistic concurrency)") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val root = SparkTestBase.tmpDir("cdc-occ")
+    val p = new CdcPipeline(LakeTable(root)(spark), "app-occ")
+    p.bootstrap(numBuckets = 8)
+    def batch(tag: String, base: Long) = (0 until 200).map(i =>
+      (base + i, "I", s"r-$tag", s"p$i", s"c$i", "scala", s"content-$tag-$i", ts))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content", "eventTime")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // both writers read snapshot v0; the commit CAS serializes them — the
+    // loser must re-merge against the winner's snapshot, not die
+    val fa = Future { p.applyBatch(batch("a", 0), batchId = 0) }
+    val fb = Future { p.applyBatch(batch("b", 1000000), batchId = 1) }
+    Await.result(Future.sequence(Seq(fa, fb)), 180.seconds)
+    assert(p.state().count() === 400)
+    assert(p.state().filter(col("repo") === "r-a").count() === 200)
+    assert(p.state().filter(col("repo") === "r-b").count() === 200)
+    assert(p.table.latestVersion === 2) // two real commits, serialized
+  }
+
   test("synthetic generator is deterministic and skewed") {
     val a = SyntheticEvents.generate(spark, 10000)
     val b = SyntheticEvents.generate(spark, 10000)

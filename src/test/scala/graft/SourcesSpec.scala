@@ -112,10 +112,13 @@ class SourcesSpec extends SparkSuite {
     // batch boundary respected
     val (recs, next) = new PaginatedSource(serve(flaky = false), pagesPerBatch = 1).pullBatch(0)
     assert(recs.size === 2 && next.contains(2L))
-    // fatal 4xx throws immediately
+    // fatal 4xx throws immediately, typed with the classified error so the
+    // CLI can map it to the reference's exit codes (Fail=3 / Retry=4)
     val fatal = new PaginatedSource(_ => Left(FetchError.Http4xx(401)))
-    val e = intercept[RuntimeException] { fatal.pullBatch(0) }
-    assert(e.getMessage.contains("fatal"))
+    val e = intercept[graft.sources.FetchFailedException] { fatal.pullBatch(0) }
+    assert(e.getMessage.contains("fatal") && e.error === FetchError.Http4xx(401))
+    val flaky5 = new PaginatedSource(_ => Left(FetchError.Http5xx(503)), maxRetries = 1)
+    assert(intercept[graft.sources.FetchFailedException] { flaky5.pullBatch(0) }.error.retryable)
   }
 
   test("endpoint config: auth headers, {offset} substitution, pagination, status classes") {
