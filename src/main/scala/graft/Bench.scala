@@ -55,7 +55,7 @@ object Bench {
     // runs: this host shows up to ~3x noisy-neighbor variance between
     // identical runs (BASELINE.md), so a single sample grades host weather,
     // not the engine; both samples are published in the JSON.
-    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "5").toInt // median headline: odd count, robust to ~2 burst reps
     val runs = (1 to reps).map { i =>
       val r = cdcThroughput(spark, nEvents, nBatches)
       System.err.println(s"[bench] replay rep $i: ${r._1.round} events/s")
