@@ -57,15 +57,16 @@ object Bench {
     // not the engine; both samples are published in the JSON.
     val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "5").toInt // median headline: odd count, robust to ~2 burst reps
     val runs = (1 to reps).map { i =>
-      val r = cdcThroughput(spark, nEvents, nBatches)
-      System.err.println(s"[bench] replay rep $i: ${r._1.round} events/s")
-      r
+      val (r, steal) = withSteal(cdcThroughput(spark, nEvents, nBatches))
+      System.err.println(f"[bench] replay rep $i: ${r._1.round} events/s (steal ${steal}%.1f%%)")
+      (r._1, r._2, steal)
     }
     // headline = MEDIAN of the reps (an unbiased statistic, consistent with
     // ScalingBench's median-of-pairs); every raw sample is published in
-    // runs_events_per_sec and the max rides along as best_events_per_sec
+    // runs_events_per_sec (with kernel-reported hypervisor-steal% per rep)
+    // and the max rides along as best_events_per_sec
     val sorted = runs.sortBy(_._1)
-    val (eps, cdcSec) = sorted(runs.size / 2)
+    val (eps, cdcSec, _) = sorted(runs.size / 2)
     val best = sorted.last._1
 
     // representative operator queries on the sf dir
@@ -82,10 +83,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + cdcSec
     val allRuns = runs.map(_._1.round).mkString("[", ",", "]")
+    val allSteal = runs.map(r => f"${r._3}%.1f").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cdc_replay":{"events":$nEvents,"batches":$nBatches,"sec":$cdcSec,""" +
       s""""events_per_sec":${eps.round},"best_events_per_sec":${best.round},""" +
-      s""""runs_events_per_sec":$allRuns},""" +
+      s""""runs_events_per_sec":$allRuns,"runs_steal_pct":$allSteal},""" +
       s""""cores":$cpus,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(java.nio.file.Paths.get("bench_last.json"), json + "\n")
@@ -96,6 +98,29 @@ object Bench {
     * micro-batches; returns (events/sec, elapsed seconds). Shared by Bench
     * and ScalingBench so both cluster sizes run the identical job.
     */
+  /** Cumulative hypervisor-steal ticks from /proc/stat (field 8 of the
+    * aggregate cpu line; USER_HZ=100). The delta across a measurement,
+    * divided by elapsed×100×nCpus, is the fraction of machine capacity the
+    * hypervisor took DURING that measurement — kernel-reported, so a
+    * storm-throttled sample is attributed by data, not inference. */
+  private[graft] def stealTicks(): Long = {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val f = src.getLines().next().trim.split("\\s+")
+      if (f.length > 8) f(8).toLong else 0L
+    } catch { case _: Exception => 0L } finally src.close()
+  }
+
+  /** Run `f`, returning (result, steal% of machine capacity during it). */
+  private[graft] def withSteal[T](f: => T): (T, Double) = {
+    val cpus = Runtime.getRuntime.availableProcessors()
+    val s0 = stealTicks(); val t0 = System.nanoTime()
+    val r = f
+    val sec = (System.nanoTime() - t0) / 1e9
+    val pct = (stealTicks() - s0) / (sec * 100.0 * cpus) * 100.0
+    (r, pct)
+  }
+
   /** tmpfs-backed scratch when available (shuffle + bench tables). */
   def fastTmp: String = {
     val shm = java.nio.file.Paths.get("/dev/shm")

@@ -111,10 +111,10 @@ object ScalingBench {
     // subsystems along with cores instead of sharing one.
     val runs = (1 to reps).map { _ =>
       val bw1 = memBw(p1)
-      val a = measure(p1)
-      val b = measure(p2)
+      val (a, stA) = Bench.withSteal(measure(p1))
+      val (b, stB) = Bench.withSteal(measure(p2))
       val bw2 = memBw(p2)
-      (a, b, bw1, bw2)
+      (a, b, bw1, bw2, stA, stB)
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     // Efficiency per adjacent A/B PAIR, then the median of pair ratios:
@@ -124,17 +124,20 @@ object ScalingBench {
     // over LEVELS instead lets one burst corrupt a single side and drag the
     // whole estimate. All raw samples are published either way.
     val scale = p2.toDouble / p1
-    val pairEff = runs.map { case (a, b, _, _) => (b / a) / scale }
-    val bwEff = runs.map { case (_, _, w1, w2) => (w2 / w1) / scale }
-    val engPerBw = runs.map { case (a, b, w1, w2) => (b / a) / (w2 / w1) }
+    val pairEff = runs.map { case (a, b, _, _, _, _) => (b / a) / scale }
+    val bwEff = runs.map { case (_, _, w1, w2, _, _) => (w2 / w1) / scale }
+    val engPerBw = runs.map { case (a, b, w1, w2, _, _) => (b / a) / (w2 / w1) }
     val eff = median(pairEff)
     val m1 = median(runs.map(_._1))
     val m2 = median(runs.map(_._2))
-    val all = runs.map { case (a, b, _, _) => s"[${a.round},${b.round}]" }.mkString(",")
+    val all = runs.map { case (a, b, _, _, _, _) => s"[${a.round},${b.round}]" }.mkString(",")
     val ratios = pairEff.map(r => f"$r%.3f").mkString(",")
-    val bws = runs.map { case (_, _, w1, w2) => s"[${w1.round},${w2.round}]" }.mkString(",")
+    val bws = runs.map { case (_, _, w1, w2, _, _) => s"[${w1.round},${w2.round}]" }.mkString(",")
     val bwR = bwEff.map(r => f"$r%.3f").mkString(",")
     val epb = engPerBw.map(r => f"$r%.3f").mkString(",")
+    // kernel-reported hypervisor steal (% of machine capacity) during each
+    // half of each pair — attributes storm pairs by measurement, not guess
+    val steals = runs.map { case (_, _, _, _, sA, sB) => f"[$sA%.1f,$sB%.1f]" }.mkString(",")
     println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio",""" +
       f""""engine_per_bandwidth":${median(engPerBw)}%.3f,""" +
       f""""host_bandwidth_efficiency":${median(bwEff)}%.3f,""" +
@@ -143,6 +146,7 @@ object ScalingBench {
       f""""events":$n,"batches":$batches,""" +
       f""""events_per_sec_n":${m1.round},"events_per_sec_4n":${m2.round},""" +
       f""""pair_ratios":[$ratios],"engine_per_bandwidth_pairs":[$epb],""" +
+      f""""steal_pct_pairs":[$steals],""" +
       f""""bw_pairs_mbps":[$bws],"bw_ratios":[$bwR],"runs_pairs":[$all]}""")
     spark.stop()
   }
