@@ -517,6 +517,33 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** PII redaction over deterministically PII-laden text (the documents
+    * table carries no natural PII, so the gate plants emails, phones and
+    * IPs derived from doc_id — the oracle constructs the identical string
+    * and replays the identical regex chain). */
+  private def textRedactPii(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.redactPii(concat(
+          lit("contact u"), col("doc_id").cast("string"), lit("@example.com re: "),
+          col("text"),
+          lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" or +4479460"), lpad((col("doc_id") % 100000).cast("string"), 5, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7 EOF")))
+          .as("redacted"))
+      .orderBy("doc_id")
+
+  /** Within-document line dedup on planted duplicated lines (license header
+    * + body repeated) — first occurrence kept, order preserved. */
+  private def dedupLinesQ(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.dedupLines(concat_ws("\n",
+          lit("// SPDX-License-Identifier: MIT"), col("text"),
+          lit("// SPDX-License-Identifier: MIT"), col("text"),
+          lit("EOF"))).as("deduped"))
+      .orderBy("doc_id")
+
   /** Quality scoring over documents (length/stopword/punct/upper mix). */
   private def textQuality(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -569,6 +596,8 @@ object SparkEntry {
     "a2_transform_chain" -> (a2TransformChain _),
     "mm_frames" -> (mmFrames _),
     "text_quality" -> (textQuality _),
+    "text_redact_pii" -> (textRedactPii _),
+    "dedup_lines" -> (dedupLinesQ _),
     "cfg_extract_load" -> (cfgExtractLoad _),
     "cfg_modified_only" -> (cfgModifiedOnly _),
     "cfg_incremental_merge" -> (cfgIncrementalMerge _),
@@ -818,6 +847,29 @@ object SparkEntry {
       SELECT doc_id, greatest(0.0, least(1.0,
         len_score * 0.4 + sw * 0.3 + (1.0 - punct) * 0.2 + (1.0 - up) * 0.1)) AS quality
       FROM q ORDER BY doc_id""",
+    "text_redact_pii" -> """
+      SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        'contact u' || CAST(doc_id AS VARCHAR) || '@example.com re: ' || text ||
+        ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        ' or +4479460' || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0') ||
+        ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 EOF',
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        '\+\d{9,15}|\b\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+      FROM documents ORDER BY doc_id""",
+    "dedup_lines" -> """
+      WITH base AS (
+        SELECT doc_id,
+          '// SPDX-License-Identifier: MIT' || chr(10) || text || chr(10) ||
+          '// SPDX-License-Identifier: MIT' || chr(10) || text || chr(10) || 'EOF' AS s
+        FROM documents),
+      lines AS (
+        SELECT doc_id, unnest(split(s, chr(10))) AS line,
+          generate_subscripts(split(s, chr(10)), 1) AS i
+        FROM base),
+      firsts AS (SELECT doc_id, line, min(i) AS fi FROM lines GROUP BY doc_id, line)
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY fi) AS deduped
+      FROM firsts GROUP BY doc_id ORDER BY doc_id""",
     "ann_topk_cosine" -> s"""
       WITH q AS (SELECT vec_id AS query_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

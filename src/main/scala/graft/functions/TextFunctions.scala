@@ -59,6 +59,31 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
 
+  /** PII redaction for training corpora: emails → `<EMAIL>`, dotted-quad
+    * IPs → `<IP>`, phone-like tokens → `<PHONE>`. A pure `regexp_replace`
+    * chain — codegen'd, no UDF — using only regex syntax whose semantics are
+    * identical in Java regex and RE2, so a standard-SQL oracle replays it
+    * byte-for-byte. Order matters: emails first (may contain digits and
+    * dots), then IPs (a dotted quad would otherwise half-match the phone
+    * shape), then phones. */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+\\d{9,15}|\\b\\d{3}[-.]\\d{4}\\b"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        ip, "<IP>"),
+      phone, "<PHONE>")
+  }
+
+  /** Within-document line dedup (C4-style preprocessing: boilerplate lines —
+    * license headers, nav menus — repeat inside a page): keep each line's
+    * FIRST occurrence, preserve order. `array_distinct` is documented to
+    * keep first-occurrence order in Spark. */
+  def dedupLines(text: Column): Column =
+    array_join(array_distinct(split(text, "\n")), "\n")
+
   /** Language marker words per language for the n-gram/stopword langid
     * heuristic (tiny, deterministic; real pipelines plug fasttext here). */
   val langMarkers: Map[String, Seq[String]] = Map(

@@ -107,6 +107,19 @@ class OperatorsSpec extends SparkSuite {
     assert(rKm >= 0.5, f"ivf k-means recall collapsed: $rKm%.3f")
   }
 
+  test("pii redaction: emails, ips, phones; pattern order") {
+    val d = Seq("mail bob.smith+x@ex.co.uk, ip 10.0.3.77, call 555-1234 or +441234567890 end")
+      .toDF("text")
+    val r = d.select(TextFunctions.redactPii(col("text"))).collect()(0).getString(0)
+    assert(r === "mail <EMAIL>, ip <IP>, call <PHONE> or <PHONE> end")
+  }
+
+  test("line dedup keeps first occurrence, preserves order") {
+    val d = Seq("h\na\nh\nb\na\nEOF").toDF("text")
+    assert(d.select(TextFunctions.dedupLines(col("text"))).collect()(0).getString(0)
+      === "h\na\nb\nEOF")
+  }
+
   test("cosine matches a hand-computed value") {
     val d = Seq((Array(1.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
     val c = d.select(SimilarityOps.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
