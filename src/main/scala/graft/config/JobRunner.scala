@@ -151,23 +151,46 @@ object JobRunner {
       else shaped.fieldNames.take(1).toSeq
     if (!dest.exists)
       dest.create(shaped, spec.destination.numBuckets, "extract-load-api", keys)
-    // Full ≙ truncate + insert (dialect.go:22-24): clear once, stream batches in
-    if (strategy == "Full" && dest.currentSnapshot.exists(_.files.nonEmpty))
+    // Checkpoint-resume: each batch's merge commit records the NEXT page
+    // offset under "api:<table>" in the snapshot's sourceOffsets; a drain
+    // that died mid-run resumes from there instead of re-pulling every page
+    // (re-pulling is CORRECT — LWW makes it idempotent — just wasteful).
+    // A COMPLETED drain clears the marker to -1 so the next scheduled run
+    // re-extracts from page 0, per reference semantics (each run re-pulls
+    // and the source/strategy decide what's new).
+    val offsetKey = s"api:$table"
+    val resumeAt = dest.currentSnapshot
+      .flatMap(_.sourceOffsets.get(offsetKey)).filter(_ >= 0L)
+    // Full ≙ truncate + insert (dialect.go:22-24): clear once, stream
+    // batches in. An interrupted Full drain must NOT truncate again on
+    // resume — the already-merged batches are part of this run's load.
+    if (strategy == "Full" && resumeAt.isEmpty &&
+        dest.currentSnapshot.exists(_.files.nonEmpty))
       dest.overwrite(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shaped), keys, "extract-load-api")
     var last: Option[graft.cdc.MergeStats] = None
-    val (_, records) = src.drainFrames(
-      recs => Endpoint.pageFrame(spark, cfg, pageSchema, recs),
-      df => {
+    var records = 0L
+    var off = resumeAt.getOrElse(0L)
+    var more = true
+    while (more) {
+      val (recs, next) = src.pullBatch(off)
+      records += recs.size
+      if (recs.nonEmpty || next.isEmpty) {
         val runLsn = dest.latestVersion + 1 // monotonic: every merge commits
-        val events = shape(df)
+        val events = shape(Endpoint.pageFrame(spark, cfg, pageSchema, recs))
           .withColumn(graft.model.CdcModel.LsnCol, lit(runLsn))
           .withColumn(graft.model.CdcModel.OpCol, lit("U"))
         val stats = graft.cdc.Merge(dest, events, appId = "extract-load-api",
-          batchId = -1L, keyCols = keys)
+          batchId = -1L, keyCols = keys,
+          sourceOffsets = Map(offsetKey -> next.getOrElse(-1L)))
         graft.cdc.Lineage.append(dest, stats)
         last = Some(stats)
-      })
+      }
+      next match {
+        case Some(n) => off = n
+        case None => more = false
+      }
+    }
     Result(table, strategy, records, dest.latestVersion, previewed = false,
       mergeStats = last)
   }

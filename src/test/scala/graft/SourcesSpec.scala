@@ -231,6 +231,43 @@ class SourcesSpec extends SparkSuite {
     assert(rp.previewed && !LakeTable(s"$dir2/dest")(spark).exists)
   }
 
+  test("api drain resumes from the checkpointed page offset after a crash") {
+    import graft.config.{JobRunner, JobSpec}
+    import graft.sources.{HttpRequest, HttpResponse}
+    val dir = SparkTestBase.tmpDir("api-resume")
+    @volatile var failing = true
+    @volatile var pulls = Vector.empty[Int]
+    def fake(req: HttpRequest): HttpResponse = {
+      val off = "offset=(\\d+)".r.findFirstMatchIn(req.url).map(_.group(1).toInt).getOrElse(0)
+      pulls :+= off
+      if (failing && off == 4) return HttpResponse(404, "") // dies mid-drain
+      val items = (off until math.min(off + 2, 8))
+        .map(i => s"""{"id":$i,"name":"w$i"}""").mkString(",")
+      val next = if (off + 2 < 8) s""","offset":${off + 2}""" else ""
+      HttpResponse(200, s"""{"items":[$items]$next}""")
+    }
+    val spec = JobSpec.parse(s"""{
+      "source": {"format": "api", "url": "http://t/items?offset={offset}",
+        "schema": "id:integer,name:string", "pagesPerBatch": 1},
+      "destination": {"root": "$dir/dest", "numBuckets": 4},
+      "tables": {"t": {"loadStrategy": "Full", "primaryKey": ["id"]}}}""")
+    // run 1 dies at page offset 4 — but batches 0-2 and 2-4 are committed,
+    // and the snapshot records the next offset to pull
+    intercept[RuntimeException] { JobRunner.run(spark, spec, "t", transport = fake) }
+    val t = LakeTable(s"$dir/dest")(spark)
+    assert(t.currentSnapshot.get.sourceOffsets("api:t") === 4L)
+    assert(graft.cdc.CdcPipeline.liveState(t).count() === 4)
+    // run 2 resumes from the recorded offset: pages before 4 are NOT
+    // re-pulled, the completed drain clears the marker, state is complete,
+    // and the interrupted Full load was NOT re-truncated
+    failing = false
+    val before = pulls.size
+    val r = JobRunner.run(spark, spec, "t", transport = fake)
+    assert(pulls.drop(before).forall(_ >= 4), s"re-pulled early pages: ${pulls.drop(before)}")
+    assert(t.currentSnapshot.get.sourceOffsets("api:t") === -1L)
+    assert(graft.cdc.CdcPipeline.liveState(t).count() === 8)
+  }
+
   test("api-format extract-load: csv response body end-to-end (api_csv.port)") {
     import graft.config.{JobRunner, JobSpec}
     import graft.sources.{HttpRequest, HttpResponse}
