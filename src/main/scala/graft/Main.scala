@@ -238,14 +238,8 @@ object Main {
 
     case "create-destination-table" :: tableRoot :: ddl :: Nil =>
       // ≙ `teleport create-destination-table`: cols as "name:type,name:type"
-      val fields = ddl.split(",").map { c =>
-        val Array(n, ty) = c.split(":", 2)
-        org.apache.spark.sql.types.StructField(n.trim,
-          graft.sources.SchemaTools.parseType(ty).getOrElse(
-            sys.error(s"unknown type: $ty")))
-      }
       val t = LakeTable(tableRoot)(spark)
-      val s = t.create(org.apache.spark.sql.types.StructType(fields), 16, "create-dest")
+      val s = t.create(graft.config.JobRunner.parseSchemaSpec(ddl), 16, "create-dest")
       println(s"[create-destination-table] $tableRoot at version ${s.version}")
 
     case "about-db" :: dir :: Nil => // ≙ `teleport about-db`

@@ -106,16 +106,16 @@ final class CdcPipeline(val table: LakeTable, val appId: String,
       sourceOffsets: Map[String, Long] = Map.empty,
       orderedDelivery: Boolean = false,
       maxCommitRetries: Int = 5): MergeStats = {
+    // retry wraps ONLY the merge: a conflict from the post-merge compaction
+    // must never re-run an already-committed batch (it would re-append every
+    // row as duplicate generations and double-count lineage) — maintenance
+    // is best-effort and the next batch's auto-compaction check catches up
     var attempt = 0
-    while (true) {
+    var stats: MergeStats = null
+    while (stats == null) {
       try {
-        val stats = Merge(table, events, appId, batchId, sourceOffsets,
+        stats = Merge(table, events, appId, batchId, sourceOffsets,
           orderedDelivery, mergeOnRead)
-        if (lineage) Lineage.append(table, stats)
-        if (mergeOnRead && compactEveryFiles > 0 &&
-            table.currentSnapshot.exists(_.files.groupBy(_.bucket).exists(_._2.size > compactEveryFiles)))
-          Compaction(table, horizonLsn = -1L, maxFilesPerBucket = compactEveryFiles)
-        return stats
       } catch {
         case e: graft.lake.CommitConflictException if attempt < maxCommitRetries =>
           attempt += 1
@@ -123,7 +123,15 @@ final class CdcPipeline(val table: LakeTable, val appId: String,
             s"(attempt $attempt/$maxCommitRetries), re-merging against the new snapshot: ${e.getMessage}")
       }
     }
-    sys.error("unreachable")
+    if (lineage) Lineage.append(table, stats)
+    if (mergeOnRead && compactEveryFiles > 0 &&
+        table.currentSnapshot.exists(_.files.groupBy(_.bucket).exists(_._2.size > compactEveryFiles)))
+      try Compaction(table, horizonLsn = -1L, maxFilesPerBucket = compactEveryFiles)
+      catch {
+        case e: graft.lake.CommitConflictException =>
+          System.err.println(s"[cdc] auto-compaction lost a commit race (skipped): ${e.getMessage}")
+      }
+    stats
   }
 
   /** Replay an event stream deterministically in `numBatches` LSN-range

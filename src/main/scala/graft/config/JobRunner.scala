@@ -137,10 +137,17 @@ object JobRunner {
     // truncate+insert; Incremental AND ModifiedOnly = the same delete-match
     // upsert at load time (load.go:148) — the go_back_hours lookback is a
     // DB-extract-time WHERE the API transport cannot apply, so for endpoints
-    // the source itself decides what is "modified".
+    // the source itself decides what is "modified". Anything else fails
+    // loudly here exactly as the DB path does (≙ setLoadStrategy's
+    // "invalid strategy" error, endpoint_configuration.go:219).
     val strategy = extract.loadStrategy
+    if (!Set("Full", "Incremental", "ModifiedOnly").contains(strategy))
+      throw new IllegalArgumentException(
+        s"invalid strategy '$strategy', allowed values: Full, ModifiedOnly, Incremental")
     if (preview) {
-      val (recs, _) = src.pullBatch(0L)
+      // one page is enough for 3 rows — a preview must not pull a full
+      // pagesPerBatch micro-batch (100 requests) against a live endpoint
+      val (recs, _) = Endpoint.source(cfg, transport, pagesPerBatch = 1).pullBatch(0L)
       println(s"[preview] $table api strategy=$strategy — first 3 rows (not executed):")
       shape(Endpoint.pageFrame(spark, cfg, pageSchema, recs.take(10))).show(3, truncate = false)
       return Result(table, strategy, 0L,
@@ -152,13 +159,16 @@ object JobRunner {
     if (!dest.exists)
       dest.create(shaped, spec.destination.numBuckets, "extract-load-api", keys)
     // Checkpoint-resume: each batch's merge commit records the NEXT page
-    // offset under "api:<table>" in the snapshot's sourceOffsets; a drain
-    // that died mid-run resumes from there instead of re-pulling every page
-    // (re-pulling is CORRECT — LWW makes it idempotent — just wasteful).
-    // A COMPLETED drain clears the marker to -1 so the next scheduled run
-    // re-extracts from page 0, per reference semantics (each run re-pulls
-    // and the source/strategy decide what's new).
-    val offsetKey = s"api:$table"
+    // offset under "api:<table>:<strategy>" in the snapshot's sourceOffsets;
+    // a drain that died mid-run resumes from there instead of re-pulling
+    // every page (re-pulling is CORRECT — LWW makes it idempotent — just
+    // wasteful). A COMPLETED drain clears the marker to -1 so the next
+    // scheduled run re-extracts from page 0, per reference semantics (each
+    // run re-pulls and the source/strategy decide what's new). The STRATEGY
+    // is part of the key: a Full run must never resume an Incremental run's
+    // marker (it would skip the truncate AND pages 0..N — a silently
+    // incomplete refresh); cross-strategy runs restart from page 0.
+    val offsetKey = s"api:$table:$strategy"
     val resumeAt = dest.currentSnapshot
       .flatMap(_.sourceOffsets.get(offsetKey)).filter(_ >= 0L)
     // Full ≙ truncate + insert (dialect.go:22-24): clear once, stream
@@ -195,14 +205,17 @@ object JobRunner {
       mergeStats = last)
   }
 
-  /** Parse a `"name:type,name:type"` TableDefinition string. */
+  /** Parse a `"name:type,name:type"` TableDefinition string. Splits only on
+    * commas that start a new `name:` entry, so parameterized types keep
+    * their internal commas — `"price:decimal(18,4)"` is one field. */
   def parseSchemaSpec(ddl: String): org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(ddl.split(",").map { c =>
-      val Array(n, ty) = c.split(":", 2)
-      org.apache.spark.sql.types.StructField(n.trim,
-        SchemaTools.parseType(ty).getOrElse(
-          throw new IllegalArgumentException(s"unknown type: $ty")))
-    })
+    org.apache.spark.sql.types.StructType(
+      ddl.split(",(?=\\s*[A-Za-z_][A-Za-z0-9_]*\\s*:)").map { c =>
+        val Array(n, ty) = c.split(":", 2)
+        org.apache.spark.sql.types.StructField(n.trim,
+          SchemaTools.parseType(ty).getOrElse(
+            throw new IllegalArgumentException(s"unknown type: $ty")))
+      })
 
   /** The extract side of the pipeline, shared by `run` and the CLI `extract`
     * verb (≙ `teleport extract-db`, which applies the SAME strategy filter as

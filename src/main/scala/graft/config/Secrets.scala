@@ -116,7 +116,13 @@ object Secrets {
     * `$SECRET` placeholders to empty strings would run misconfigured jobs
     * against blank credentials, where the reference errors on a missing key. */
   def envWith(file: Option[java.nio.file.Path]): String => Option[String] = {
-    val s = file.map(read(_)).getOrElse(Map.empty)
+    val s = file.map { f =>
+      // a supplied-but-missing file is a misconfiguration, not "no secrets":
+      // read()'s missing-file → empty behavior is for optional callers only
+      if (!java.nio.file.Files.exists(f))
+        throw new IllegalStateException(s"secrets file not found: $f")
+      read(f)
+    }.getOrElse(Map.empty)
     name => s.get(name).orElse(sys.env.get(name))
   }
 }

@@ -139,7 +139,10 @@ object Endpoint {
       i += 1
     }
     if (field.nonEmpty || row.nonEmpty) { row :+= field.result(); rows += row }
-    rows.toList.filter(_.exists(_.nonEmpty))
+    // drop only BLANK LINES (a single empty field — the trailing-newline
+    // artifact); a multi-field all-empty row like ",," is a real record
+    // meaning all-NULL under the EMPTYASNULL rule and must survive
+    rows.toList.filterNot(r => r.length == 1 && r.head.isEmpty)
   }
 
   /** Build a typed DataFrame from one page's records. JSON pages parse

@@ -77,17 +77,10 @@ final class PaginatedSource(
   def drain(spark: SparkSession, schema: StructType,
       sink: DataFrame => Unit, offset: Long = 0L): (Int, Long) = {
     import spark.implicits._
-    drainFrames(recs => spark.read.schema(schema).json(recs.toDS()), sink, offset)
-  }
-
-  /** [[drain]] with a pluggable record→DataFrame reader (JSON vs CSV-typed
-    * pages differ only here — [[Endpoint.pageFrame]]). */
-  def drainFrames(toDf: Seq[String] => DataFrame,
-      sink: DataFrame => Unit, offset: Long = 0L): (Int, Long) = {
     @tailrec def loop(off: Long, batches: Int, records: Long): (Int, Long) = {
       val (recs, next) = pullBatch(off)
       if (recs.nonEmpty)
-        sink(toDf(recs))
+        sink(spark.read.schema(schema).json(recs.toDS()))
       val (b, r) = (batches + (if (recs.nonEmpty) 1 else 0), records + recs.size)
       next match {
         case None => (b, r)
@@ -95,5 +88,7 @@ final class PaginatedSource(
       }
     }
     loop(offset, 0, 0L)
+    // (checkpoint-resuming consumers that need each batch's nextOffset —
+    // JobRunner.runApi — drive pullBatch directly instead)
   }
 }

@@ -193,6 +193,15 @@ class SourcesSpec extends SparkSuite {
     assert(df(1).getString(1) === """say "hi"""" && df(1).isNullAt(2))
     // bad response type classified as invalid body
     assert(Endpoint.parsePage(cfg.copy(responseType = "xml"), body).isLeft)
+    // an all-empty multi-field row is a REAL all-NULL record (EMPTYASNULL);
+    // only blank lines (one empty field) are trailing-newline artifacts
+    val page2 = Endpoint.parsePage(cfg, "a,b\n1,x\n,\n\n").toOption.get
+    assert(page2.records.size === 2)
+    // schema specs keep parameterized types whole across commas
+    val dec = graft.config.JobRunner.parseSchemaSpec(
+      "id:integer, price:decimal(18,4), name:string")
+    assert(dec.fields.map(_.dataType).toSeq ===
+      Seq(LongType, DecimalType(18, 4), StringType))
   }
 
   test("api-format extract-load: paginated json endpoint → MERGE-loaded LakeTable") {
@@ -255,7 +264,7 @@ class SourcesSpec extends SparkSuite {
     // and the snapshot records the next offset to pull
     intercept[RuntimeException] { JobRunner.run(spark, spec, "t", transport = fake) }
     val t = LakeTable(s"$dir/dest")(spark)
-    assert(t.currentSnapshot.get.sourceOffsets("api:t") === 4L)
+    assert(t.currentSnapshot.get.sourceOffsets("api:t:Full") === 4L)
     assert(graft.cdc.CdcPipeline.liveState(t).count() === 4)
     // run 2 resumes from the recorded offset: pages before 4 are NOT
     // re-pulled, the completed drain clears the marker, state is complete,
@@ -264,8 +273,18 @@ class SourcesSpec extends SparkSuite {
     val before = pulls.size
     val r = JobRunner.run(spark, spec, "t", transport = fake)
     assert(pulls.drop(before).forall(_ >= 4), s"re-pulled early pages: ${pulls.drop(before)}")
-    assert(t.currentSnapshot.get.sourceOffsets("api:t") === -1L)
+    assert(t.currentSnapshot.get.sourceOffsets("api:t:Full") === -1L)
     assert(graft.cdc.CdcPipeline.liveState(t).count() === 8)
+    // the marker is STRATEGY-SCOPED: a different strategy never resumes it.
+    // Plant an in-flight Incremental marker and run Full — it must pull
+    // from page 0 (a Full refresh that skipped pages would be silently
+    // incomplete)
+    val snap0 = t.currentSnapshot.get
+    t.replaceFiles(snap0, Set.empty, Nil, None, "test", -1L, snap0.watermarkLsn,
+      snap0.sourceOffsets + ("api:t:Incremental" -> 6L))
+    val b2 = pulls.size
+    JobRunner.run(spark, spec, "t", transport = fake)
+    assert(pulls.drop(b2).headOption.contains(0), s"Full resumed a foreign marker: ${pulls.drop(b2)}")
   }
 
   test("api-format extract-load: csv response body end-to-end (api_csv.port)") {
