@@ -23,6 +23,24 @@ import org.json4s.jackson.Serialization
   */
 case class DataFile(path: String, bucket: Int, rows: Long, bytes: Long)
 
+/** Reference to one immutable manifest file (`meta/manifest-<uuid>.json`)
+  * holding the [[DataFile]] entries of one bucket GROUP (a fixed range of
+  * `bucketsPerGroup` consecutive buckets, group = bucket / bucketsPerGroup).
+  *
+  * This is the Iceberg-spec two-level metadata shape (snapshot → manifest
+  * list → manifests): a snapshot stores only these references, and a commit
+  * REUSES the parent's reference verbatim for every group whose file set did
+  * not change. A K-bucket MERGE therefore writes O(K/bucketsPerGroup)
+  * manifest files — bounded by the batch, not by the table — where the
+  * round-3 format serialized the full table file list into every snapshot
+  * (O(table files) driver bytes per micro-batch commit: the one cost that
+  * grew with table size).
+  *
+  * `files`/`rows`/`bytes` are group totals, so `show`-style stats and
+  * pruning decisions never need to open the manifest.
+  */
+case class ManifestRef(path: String, group: Int, files: Int, rows: Long, bytes: Long)
+
 /** An immutable table version. Commit protocol mirrors the reference's
   * staging-table + single-transaction swap (/root/reference/load.go:28-45,
   * 158-168 and transform.go:31-36) re-expressed as an atomic manifest
@@ -42,7 +60,14 @@ case class Snapshot(
     batchId: Long, // -1 when not produced by a stream batch
     watermarkLsn: Long, // highest LSN applied up to and including this snapshot
     sourceOffsets: Map[String, Long], // per-source-partition last applied LSN
-    keyCols: Seq[String] = Nil // primary key the buckets hash (Nil in pre-round-3 manifests)
+    keyCols: Seq[String] = Nil, // primary key the buckets hash (Nil in pre-round-3 manifests)
+    // Persisted form (round 4+): `manifests` carries the bucket-group
+    // manifest references and `files` is written EMPTY; [[LakeTable.snapshot]]
+    // re-inflates `files` on read so every in-memory consumer keeps the flat
+    // list. Pre-round-4 snapshots have `files` inline and `manifests` empty —
+    // both forms read transparently; the first commit on a legacy table
+    // migrates it.
+    manifests: List[ManifestRef] = Nil
 ) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 }
@@ -88,16 +113,73 @@ final class LakeTable(val root: String, spark: SparkSession) {
 
   def exists: Boolean = fs.isDirectory(metaDir) && latestVersion >= 0
 
-  def latestVersion: Long = {
-    if (!fs.isDirectory(metaDir)) return -1L
+  private def allVersions: List[Long] = {
+    if (!fs.isDirectory(metaDir)) return Nil
     fs.listStatus(metaDir).iterator
       .map(_.getPath.getName)
       .collect { case SnapshotName(n) => n.toLong }
-      .foldLeft(-1L)(math.max)
+      .toList.sorted
   }
 
-  def snapshot(version: Long): Snapshot =
+  def latestVersion: Long = allVersions.foldLeft(-1L)(math.max)
+
+  /** Snapshot with `files` inflated from its manifests (cached — manifests
+    * are immutable, so one read per path per process). */
+  def snapshot(version: Long): Snapshot = inflate(rawSnapshot(version))
+
+  /** The persisted snapshot record as-is: manifest REFERENCES only, no file
+    * entries (for round-4 snapshots). O(#groups) bytes — what commit and
+    * vacuum consult when the flat file list isn't needed. */
+  private def rawSnapshot(version: Long): Snapshot =
     Snapshot.fromJson(readString(fs, new HPath(metaDir, s"snapshot-$version.json")))
+
+  private def inflate(s: Snapshot): Snapshot =
+    if (s.manifests.isEmpty) s else s.copy(files = loadManifests(s.manifests))
+
+  /** Immutable manifest contents, cached by path. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, List[DataFile]]()
+
+  private def loadManifest(path: String): List[DataFile] =
+    manifestCache.computeIfAbsent(path, p => {
+      implicit val formats: Formats = DefaultFormats
+      Serialization.read[List[DataFile]](readString(fs, new HPath(metaDir, p)))
+    })
+
+  /** Parallel manifest loads: a 1e5-bucket table has O(10^3) small manifests
+    * and sequential opens would dominate driver-side snapshot resolution on
+    * an object store. Deterministic order: refs are stored sorted by group,
+    * entries sorted by path. */
+  private def loadManifests(refs: List[ManifestRef]): List[DataFile] = {
+    if (refs.isEmpty) return Nil
+    if (refs.size == 1) return loadManifest(refs.head.path)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, refs.size))
+    try {
+      refs.map { r =>
+        pool.submit(new java.util.concurrent.Callable[List[DataFile]] {
+          def call(): List[DataFile] = loadManifest(r.path)
+        })
+      }.flatMap(_.get())
+    } finally pool.shutdown()
+  }
+
+  private def writeManifest(group: Int, files: List[DataFile]): ManifestRef = {
+    val name = s"manifest-${UUID.randomUUID()}.json"
+    implicit val formats: Formats = DefaultFormats
+    writeString(fs, new HPath(metaDir, name), Serialization.write(files))
+    manifestCache.put(name, files)
+    ManifestRef(name, group, files.size, files.map(_.rows).sum, files.map(_.bytes).sum)
+  }
+
+  /** Buckets per manifest group — the rewrite granule of commit metadata.
+    * Bounded CONSTANT (not a fraction of numBuckets), so one manifest holds
+    * the entries of ≤32 buckets (~32-130 files once compacted) and a K-bucket
+    * batch rewrites ⌈K/32⌉ manifests regardless of table size. The snapshot
+    * record itself holds numBuckets/32 references — fixed by the table's
+    * bucket CONFIG (≈3e3 refs / ~300 KB at the 100 TB sizing rule's 1e5
+    * buckets), not growing with file count or commit history. */
+  private def bucketsPerGroup: Int =
+    spark.conf.get("graft.manifest.bucketsPerGroup", "32").toInt
 
   def currentSnapshot: Option[Snapshot] = latestVersion match {
     case -1L => None
@@ -223,16 +305,53 @@ final class LakeTable(val root: String, spark: SparkSession) {
     *    service for this one operation, exactly as Iceberg requires a
     *    catalog there; everything else in this class is plain HCFS IO.
     */
-  def commit(s: Snapshot, expectedParent: Long): Snapshot = {
+  def commit(s: Snapshot, expectedParent: Long): Snapshot =
+    commit(s, expectedParent, None)
+
+  /** @param changedGroups manifest groups whose file set differs from the
+    *        parent (writers that know their removed/added files pass this —
+    *        see [[replaceFiles]]); every other group REUSES the parent's
+    *        manifest reference with no IO. None = unknown: groups are
+    *        compared against the parent by stats + (cached) content, which
+    *        still reuses identical groups, just with a verification read.
+    */
+  private[lake] def commit(s: Snapshot, expectedParent: Long,
+      changedGroups: Option[Set[Int]]): Snapshot = {
     require(s.parentVersion == expectedParent, s"snapshot parent ${s.parentVersion} != expected $expectedParent")
     require(s.version == expectedParent + 1, s"snapshot version must be parent+1")
     fs.mkdirs(metaDir)
     val cur = latestVersion
     if (cur != expectedParent)
       throw new CommitConflictException(s"expected parent $expectedParent but table is at $cur")
+
+    // --- two-level metadata: group the file list into bucket-range
+    // manifests, reusing the parent's manifest files for unchanged groups.
+    // Only the changed groups' manifests + the O(#groups) snapshot record
+    // are written — O(batch) commit bytes at any table size. Orphans from a
+    // lost commit race are collected by vacuum (grace-guarded).
+    val bpg = bucketsPerGroup
+    val parentRefs: Map[Int, ManifestRef] =
+      if (expectedParent < 0) Map.empty
+      else rawSnapshot(expectedParent).manifests.map(m => m.group -> m).toMap
+    val refs = s.files.groupBy(_.bucket / bpg).toList.sortBy(_._1).map {
+      case (g, fl) =>
+        val sorted = fl.sortBy(_.path)
+        parentRefs.get(g) match {
+          // writer declared the group untouched — reuse (size sanity-checked)
+          case Some(ref) if changedGroups.exists(cg => !cg.contains(g)) &&
+              ref.files == sorted.size => ref
+          // no hint: reuse only on proven identity (stats fast-path, then
+          // path-set equality against the cached parent manifest)
+          case Some(ref) if changedGroups.isEmpty && ref.files == sorted.size &&
+              ref.rows == sorted.map(_.rows).sum && ref.bytes == sorted.map(_.bytes).sum &&
+              loadManifest(ref.path).map(_.path).sorted == sorted.map(_.path) => ref
+          case _ => writeManifest(g, sorted)
+        }
+    }
+
     val target = new HPath(metaDir, s"snapshot-${s.version}.json")
     val tmp = new HPath(metaDir, s".commit-${UUID.randomUUID()}.json")
-    writeString(fs, tmp, Snapshot.toJson(s))
+    writeString(fs, tmp, Snapshot.toJson(s.copy(files = Nil, manifests = refs)))
     try {
       if (isLocalFs) {
         // atomic-exclusive on posix: hard-link the temp file onto the slot
@@ -246,7 +365,9 @@ final class LakeTable(val root: String, spark: SparkSession) {
         if (fs.exists(target) || !fs.rename(tmp, target))
           throw new CommitConflictException(s"snapshot ${s.version} already committed")
       }
-      s
+      // in-memory result keeps the flat file list AND the manifest refs, so a
+      // follow-up commit with this snapshot as parent reuses refs with no IO
+      s.copy(manifests = refs)
     } finally {
       fs.delete(tmp, false)
     }
@@ -289,17 +410,23 @@ final class LakeTable(val root: String, spark: SparkSession) {
     val s = Snapshot(parent.version + 1, parent.version,
       newSchemaJson.getOrElse(parent.schemaJson), parent.numBuckets,
       kept ++ added, appId, batchId, watermarkLsn, offsets, parent.keyCols)
-    val committed = commit(s, parent.version)
+    // the writer knows exactly which manifest groups its removed+added files
+    // live in — every other group's manifest is reused verbatim
+    val bpg = bucketsPerGroup
+    val changed = (parent.files.filter(f => removed.contains(f.path)).map(_.bucket) ++
+      added.map(_.bucket)).map(_ / bpg).toSet
+    val committed = commit(s, parent.version, Some(changed))
     // data files removed from the manifest stay on disk until vacuum() —
     // time-travel readers of older snapshots remain valid.
     committed
   }
 
-  /** Schema-evolution commit with no data change. */
+  /** Schema-evolution commit with no data change (all manifests reused). */
   def updateSchema(newSchema: StructType, appId: String): Snapshot = {
     val parent = currentSnapshot.getOrElse(throw new IllegalStateException("create() first"))
     commit(parent.copy(version = parent.version + 1, parentVersion = parent.version,
-      schemaJson = newSchema.json, appId = appId, batchId = -1L), parent.version)
+      schemaJson = newSchema.json, appId = appId, batchId = -1L), parent.version,
+      Some(Set.empty))
   }
 
   /** Full rewrite into a new bucket count — the escape hatch for a table
@@ -324,19 +451,51 @@ final class LakeTable(val root: String, spark: SparkSession) {
     commit(s, parent.version)
   }
 
-  /** Delete data files not referenced by the latest snapshot (no time travel
-    * after this). Equivalent of Iceberg's expire-snapshots + orphan cleanup.
+  /** Expire-snapshots + orphan cleanup (the Iceberg maintenance pair),
+    * bounding BOTH directions of growth:
+    *  - `meta/`: snapshot records older than the last `retainSnapshots` are
+    *    deleted, then manifest files no retained snapshot references — so
+    *    metadata is O(retained versions × groups), not O(commit history).
+    *  - `data/`: files no RETAINED snapshot references are deleted (time
+    *    travel ends at the retention horizon).
+    * Returns the number of data files deleted.
     *
     * @param graceMs skip files modified within the last `graceMs` ms: a
-    *        concurrent writer stages + renames data files BEFORE its commit
-    *        publishes them, so a zero-grace vacuum racing that writer would
-    *        delete files its imminent snapshot references. Defaults to 10
-    *        minutes; tests that own the table exclusively pass 0.
+    *        concurrent writer stages + renames data files (and writes
+    *        manifests) BEFORE its commit publishes them, so a zero-grace
+    *        vacuum racing that writer would delete files its imminent
+    *        snapshot references. Defaults to 10 minutes; tests that own the
+    *        table exclusively pass 0.
+    * @param retainSnapshots how many latest snapshots stay readable
+    *        (min 1). The default keeps only the current version — the
+    *        round-3 data-file semantics, now also applied to metadata.
     */
-  def vacuum(graceMs: Long = 600000L): Int = {
-    val live = currentSnapshot.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
-    if (!fs.isDirectory(dataDir)) return 0
+  def vacuum(graceMs: Long = 600000L, retainSnapshots: Int = 1): Int = {
+    val keep = math.max(1, retainSnapshots)
     val cutoff = System.currentTimeMillis() - graceMs
+    val versions = allVersions
+    if (versions.isEmpty) return 0
+    val retained = versions.takeRight(keep).map(rawSnapshot)
+
+    // 1. expire old snapshot records (grace-guarded like everything else)
+    versions.dropRight(keep).foreach { v =>
+      val p = new HPath(metaDir, s"snapshot-$v.json")
+      if (fs.getFileStatus(p).getModificationTime < cutoff) fs.delete(p, false)
+    }
+
+    // 2. manifests (and stale commit temps) no retained snapshot references
+    val liveManifests = retained.flatMap(_.manifests.map(_.path)).toSet
+    fs.listStatus(metaDir).foreach { st =>
+      val n = st.getPath.getName
+      val dead = (n.startsWith("manifest-") && !liveManifests.contains(n)) ||
+        n.startsWith(".commit-")
+      if (st.isFile && dead && st.getModificationTime < cutoff)
+        fs.delete(st.getPath, false)
+    }
+
+    // 3. data files no retained snapshot references
+    val live = retained.flatMap(s => inflate(s).files.map(_.path)).toSet
+    if (!fs.isDirectory(dataDir)) return 0
     val dead = fs.listStatus(dataDir).toList.filter(st =>
       st.isFile && !live.contains(st.getPath.getName) &&
         st.getModificationTime < cutoff)

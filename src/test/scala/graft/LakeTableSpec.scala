@@ -89,6 +89,50 @@ class LakeTableSpec extends SparkSuite {
     assert(snap.appId === t.snapshot(snap.parentVersion).appId)
   }
 
+  test("commit writes O(changed groups) manifest bytes and vacuum bounds meta/") {
+    spark.conf.set("graft.manifest.bucketsPerGroup", "4")
+    try {
+      val t = LakeTable(SparkTestBase.tmpDir("lake-mf"))(spark)
+      t.create(schema, numBuckets = 32, appId = "t") // 32 buckets / 4 per group = 8 groups
+      val df = spark.range(2000).select(concat(lit("k"), col("id")).as("k"), col("id").as("v"))
+      val v1 = t.overwrite(df, Seq("k"), "t")
+      assert(v1.manifests.map(_.group).sorted === (0 until 8).toList)
+      // the persisted snapshot record holds manifest REFERENCES, not file entries
+      val fs = t.fs
+      val rawJson = scala.io.Source.fromInputStream(
+        fs.open(new org.apache.hadoop.fs.Path(t.root, "meta/snapshot-1.json"))).mkString
+      assert(!rawJson.contains(".parquet"), "snapshot record must not inline data files")
+      assert(v1.manifests.map(_.rows).sum === 2000 && v1.files.map(_.rows).sum === 2000)
+
+      // replace the files of ONE bucket → exactly one manifest group rewritten
+      val bucket = v1.files.head.bucket
+      val removed = v1.files.filter(_.bucket == bucket).map(_.path).toSet
+      val oneBucket = LakeTable.withBucket(df, Seq("k"), 32)
+        .filter(col(LakeTable.BucketCol) === bucket)
+      val added = t.writeDataFiles(oneBucket, 32)
+      val v2 = t.replaceFiles(v1, removed, added, None, "t", -1, -1, Map.empty)
+      val reused = v2.manifests.map(_.path).toSet.intersect(v1.manifests.map(_.path).toSet)
+      assert(reused.size === 7, "all untouched groups must reuse the parent manifest verbatim")
+      assert((v2.manifests.map(_.path).toSet -- v1.manifests.map(_.path).toSet).size === 1)
+      // a metadata-only commit (schema evolution) reuses EVERY manifest
+      val wider = StructType(schema.fields :+ StructField("x", StringType, nullable = true))
+      val v3 = t.updateSchema(wider, "t")
+      assert(v3.manifests.map(_.path).toSet === v2.manifests.map(_.path).toSet)
+
+      // a fresh reader inflates the same file list the writer committed
+      val reread = t.snapshot(v2.version)
+      assert(reread.files.map(_.path).sorted === v2.files.map(_.path).sorted)
+
+      // vacuum(retainSnapshots=1): meta/ ends bounded at one snapshot + its manifests
+      t.vacuum(graceMs = 0L, retainSnapshots = 1)
+      val metaNames = fs.listStatus(new org.apache.hadoop.fs.Path(t.root, "meta"))
+        .map(_.getPath.getName).toSeq
+      assert(metaNames.count(_.startsWith("snapshot-")) === 1)
+      assert(metaNames.count(_.startsWith("manifest-")) === v3.manifests.size)
+      assert(t.read().count() === 2000) // table still fully readable
+    } finally spark.conf.unset("graft.manifest.bucketsPerGroup")
+  }
+
   test("vacuum removes only unreferenced files; time travel before, not after") {
     val t = LakeTable(SparkTestBase.tmpDir("lake-vac"))(spark)
     t.create(schema, 4, "t")
