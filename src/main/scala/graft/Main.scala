@@ -47,7 +47,7 @@ object Main {
     } finally spark.stop()
   }
 
-  private def run(spark: SparkSession, args: List[String]): Unit = args match {
+  private[graft] def run(spark: SparkSession, args: List[String]): Unit = args match {
     case "gen" :: dir :: n :: rest =>
       val files = rest.headOption.map(_.toInt).getOrElse(8)
       SyntheticEvents.generate(spark, n.toLong)
@@ -160,9 +160,23 @@ object Main {
       val env = graft.config.Secrets.envWith(
         sys.env.get("GRAFT_SECRETS_FILE").map(java.nio.file.Paths.get(_)))
       val spec = graft.config.JobSpec.load(spark, specPath, env)
+      // row count observed ON the write job — a count() here would re-run
+      // the whole extract+transform a second time just for the log line
+      val obs = org.apache.spark.sql.Observation()
       val out = graft.config.JobRunner.extractTable(spark, spec, table)
+        .observe(obs, count(lit(1)).as("n"))
       graft.sources.CsvSource.write(out, outDir)
-      println(s"[extract] ${out.count()} rows → $outDir (csv)")
+      println(s"[extract] ${obs.get("n")} rows → $outDir (csv)")
+
+    // ---- endpoint extract WITHOUT load (≙ `teleport extract-api`,
+    // main.go:157-159 + api.go:78-99): drain the paginated endpoint to a
+    // reference-rule CSV, one appended batch per pagesPerBatch pull ----
+    case "extract-api" :: specPath :: table :: outDir :: Nil =>
+      val env = graft.config.Secrets.envWith(
+        sys.env.get("GRAFT_SECRETS_FILE").map(java.nio.file.Paths.get(_)))
+      val spec = graft.config.JobSpec.load(spark, specPath, env)
+      val n = graft.config.JobRunner.extractApi(spark, spec, table, outDir)
+      println(s"[extract-api] $n rows → $outDir (csv)")
 
     // ---- secrets verbs (≙ `teleport secrets ...`, cli.go:114-180) ----
     case "secrets" :: "generate-key" :: Nil =>
@@ -233,7 +247,9 @@ object Main {
         val k = keys.getOrElse(df.columns.take(1).toSeq)
         if (!dest.exists) dest.create(df.schema, 16, "import-csv", k)
         val s = dest.overwrite(df, k, "import-csv")
-        println(s"[import-csv] ${df.count()} rows → $tableRoot version ${s.version}")
+        // row count from the committed manifest — a count() here would scan
+        // the whole CSV a second time
+        println(s"[import-csv] ${s.files.map(_.rows).sum} rows → $tableRoot version ${s.version}")
       }
 
     case "create-destination-table" :: tableRoot :: ddl :: Nil =>
@@ -241,6 +257,95 @@ object Main {
       val t = LakeTable(tableRoot)(spark)
       val s = t.create(graft.config.JobRunner.parseSchemaSpec(ddl), 16, "create-dest")
       println(s"[create-destination-table] $tableRoot at version ${s.version}")
+
+    // ≙ `teleport create-destination-table-from-config-file`
+    // (main.go:133-134, database_commands.go:100-104): create the spec's
+    // destination table from its TableDefinition WITHOUT running the load
+    case "create-destination-table-from-config-file" :: specPath :: table :: Nil =>
+      val spec = graft.config.JobSpec.load(spark, specPath,
+        graft.config.Secrets.envWith(
+          sys.env.get("GRAFT_SECRETS_FILE").map(java.nio.file.Paths.get(_))))
+      val ddl = spec.source.schema.getOrElse(sys.error(
+        s"$specPath has no source.schema (TableDefinition) to create from"))
+      val schema = graft.config.JobRunner.parseSchemaSpec(ddl)
+      val extract = spec.extractFor(table)
+      val keys = if (extract.primaryKey.nonEmpty) extract.primaryKey
+        else schema.fieldNames.take(1).toSeq
+      val dest = LakeTable(spec.destination.root)(spark)
+      if (dest.exists) sys.error(s"destination ${spec.destination.root} already exists")
+      val s = dest.create(schema, spec.destination.numBuckets, "create-dest", keys)
+      println(s"[create-destination-table-from-config-file] ${spec.destination.root} " +
+        s"at version ${s.version} (keys=${keys.mkString(",")})")
+
+    // ≙ `teleport new <padpath>` (main.go:81-106, 178-238): scaffold the
+    // config workspace — same directory skeleton, .gitignore, commented
+    // starter configs, plus a JSON JobSpec example in OUR spec format
+    case "new" :: padPath :: Nil =>
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(padPath)
+      Files.createDirectories(root)
+      Seq("config", "sources", "sources/apis", "sources/databases", "transforms", "tmp")
+        .foreach { d =>
+          val p = root.resolve(d)
+          Files.createDirectories(p)
+          if (d != "sources" && d != "config") // ≙ no .keep in sources/ or config/
+            Files.write(p.resolve(".keep"), Array.empty[Byte])
+        }
+      Files.write(root.resolve(".gitignore"), "tmp/\n".getBytes("UTF-8"))
+      Files.write(root.resolve("config/databases.yml"),
+        "connections:\n# db1:\n#   url: postgres://$USER:$PASS@$HOST/$DBNAME\n".getBytes("UTF-8"))
+      Files.write(root.resolve("config/schedule.port"),
+        "# ExtractLoadAPI('example_api', to='db1', every='6 hours')\n".getBytes("UTF-8"))
+      Files.write(root.resolve("sources/apis/example_api.json"),
+        ("""{
+           |  "source": {
+           |    "format": "api",
+           |    "url": "https://example.com/widgets?offset={offset}",
+           |    "responseType": "json",
+           |    "itemsField": "items",
+           |    "offsetField": "offset",
+           |    "schema": "id:bigint,name:string",
+           |    "headers": {"Authorization": "Bearer $EXAMPLE_API_TOKEN"}
+           |  },
+           |  "destination": {"root": "tmp/lake/widgets", "numBuckets": 16},
+           |  "tables": {
+           |    "widgets": {
+           |      "primaryKey": ["id"],
+           |      "loadStrategy": "Full",
+           |      "columns": ["*"],
+           |      "schedule": "every 6 hours"
+           |    }
+           |  }
+           |}
+           |""").stripMargin.getBytes("UTF-8"))
+      println(s"[new] pad generated at $padPath")
+
+    // ≙ `teleport db-terminal` (main.go:125-126): interactive SQL against
+    // the lake — every table under <dir> is registered as a temp view
+    // (CDC tables as their LWW-resolved live state), stdin lines run
+    // through spark.sql until EOF/exit
+    case "db-terminal" :: dir :: Nil =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val names = fs.listStatus(p).filter(_.isDirectory).map(_.getPath).flatMap { tp =>
+        val t = LakeTable(tp.toString)(spark)
+        if (t.exists) {
+          graft.cdc.CdcPipeline.liveState(t).createOrReplaceTempView(tp.getName)
+          Some(tp.getName)
+        } else None
+      }
+      println(s"[db-terminal] tables: ${names.sorted.mkString(", ")} (exit/quit to leave)")
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
+      print("graft> "); Console.flush()
+      var line = in.readLine()
+      while (line != null && line.trim != "exit" && line.trim != "quit") {
+        if (line.trim.nonEmpty) {
+          try spark.sql(line).show(50, truncate = false)
+          catch { case e: Exception => println(s"error: ${e.getMessage}") }
+        }
+        print("graft> "); Console.flush()
+        line = in.readLine()
+      }
 
     case "about-db" :: dir :: Nil => // ≙ `teleport about-db`
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -258,7 +363,9 @@ object Main {
         "list-tables <dir> | " +
         "describe-table <root> | table-metadata <root> | drop-table <root> | rebucket <root> <numBuckets> | " +
         "import-csv <csv> <root> [pk,cols] [--preview] | create-destination-table <root> <name:type,...> | " +
-        "about-db <dir> | transform <destRoot> <sql> [view=path...] [--preview] | extract <spec.json> <table> <csvDir> | secrets <generate-key|init|set|show|delete> ...")
+        "create-destination-table-from-config-file <spec.json> <table> | new <padPath> | db-terminal <dir> | " +
+        "about-db <dir> | transform <destRoot> <sql> [view=path...] [--preview] | extract <spec.json> <table> <csvDir> | " +
+        "extract-api <spec.json> <table> <csvDir> | secrets <generate-key|init|set|show|delete> ...")
       sys.exit(2)
   }
 }

@@ -248,6 +248,18 @@ object SparkEntry {
       n = 3, bands = 4, rowsPerBand = 2)
       .orderBy("a", "b")
 
+  /** Pairs → duplicate clusters: connected components over the MinHash-LSH
+    * candidate pairs, cluster_id = component min doc id (the canonical
+    * survivor, [[DedupOps.clusters]]). Oracle = recursive-CTE transitive
+    * closure over the identical pair set. */
+  private def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.clusters(
+      DedupOps.minhashLshPairs(
+        t(spark, dir, "documents").filter(col("doc_id") < 500),
+        n = 3, bands = 4, rowsPerBand = 2))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+
   /** Portable md5-bit simhash at maxDist=3 — band blocking (maxDist+1
     * bands) is lossless, so the all-pairs DuckDB oracle is an exact match.
     * The xxhash64 fast-path variant is covered by OperatorsSpec. */
@@ -586,6 +598,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhashPairs _),
+    "dedup_clusters" -> (dedupClusters _),
     "ann_topk_cosine" -> (annTopK _),
     "ann_lsh_cosine" -> (annLsh _),
     "ann_ivf_cosine" -> (annIvf _),
@@ -806,6 +819,41 @@ object SparkEntry {
       FROM banded l JOIN banded r
         ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
       ORDER BY a, b""",
+    // same pair set as dedup_minhash_lsh, then connected components as a
+    // recursive-CTE transitive closure: cluster_id = min reachable doc id
+    "dedup_clusters" -> """
+      WITH RECURSIVE tk AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE doc_id < 500),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) <= 2
+          THEN [array_to_string(t, ' ')]
+          ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+          END)) AS s
+        FROM tk),
+      sig AS (
+        SELECT doc_id,
+          min(md5('0#' || s)) AS m0, min(md5('1#' || s)) AS m1,
+          min(md5('2#' || s)) AS m2, min(md5('3#' || s)) AS m3,
+          min(md5('4#' || s)) AS m4, min(md5('5#' || s)) AS m5,
+          min(md5('6#' || s)) AS m6, min(md5('7#' || s)) AS m7
+        FROM sh GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, band, bv FROM sig, LATERAL (VALUES
+          (0, m0 || '|' || m1), (1, m2 || '|' || m3),
+          (2, m4 || '|' || m5), (3, m6 || '|' || m7)) AS v(band, bv)),
+      pairs AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id),
+      edges AS (
+        SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+      reach(x, y) AS (
+        SELECT x, y FROM edges
+        UNION
+        SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x AND e.y <> r.x)
+      SELECT x AS doc_id, least(x, min(y)) AS cluster_id
+      FROM reach GROUP BY x ORDER BY doc_id""",
     "multimodal_meta" -> """
       SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         sha256(text) AS content_sha

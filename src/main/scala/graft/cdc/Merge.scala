@@ -157,7 +157,12 @@ object Merge {
         .agg(count(lit(1)).as("n"), min(col(CdcModel.LsnCol)).as("mn"),
           max(col(CdcModel.LsnCol)).as("mx"))
         .collect() })
-    if (pre.exists(_.map(_.getLong(1)).sum == 0L)) {
+    // MOR has no pre-pass, but an all-fenced/watermark-filtered batch must
+    // still short-circuit to the metadata-only commit: isEmpty is a narrow
+    // take(1) probe (no shuffle — stops at the first surviving row), vs the
+    // full shuffle+sort+write job an empty batch would otherwise run.
+    val morEmpty = mergeOnRead && phase("probe", batchId) { batchB.isEmpty }
+    if (morEmpty || pre.exists(_.map(_.getLong(1)).sum == 0L)) {
       // nothing to apply — metadata-only commit to record the epoch
       val s = table.replaceFiles(snap, Set.empty, Nil, None, appId, batchId,
         snap.watermarkLsn, snap.sourceOffsets ++ sourceOffsets)
@@ -193,19 +198,11 @@ object Merge {
       .withColumn(SrcCol, lit(0L))
       .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(keyCols, numBuckets))
 
-    // MOR: batch size + LSN range observed ON the merge job (replacing the
-    // CoW pre-pass) — CollectMetrics adds no pass and no shuffle
-    val obsIn = Observation(s"merge-in-$appId-$batchId-${snap.version}")
-    val batchConformed0 =
+    val batchConformed =
       SchemaEvolution.conform(
           batchB.withColumn(CdcModel.RowLsnCol, col(CdcModel.LsnCol))
             .withColumn(CdcModel.DeletedCol, col(CdcModel.OpCol) === "D"),
           evolvedSchema)
-    val batchConformed =
-      (if (mergeOnRead)
-         batchConformed0.observe(obsIn, count(lit(1)).as("n"),
-           min(col(CdcModel.RowLsnCol)).as("mn"), max(col(CdcModel.RowLsnCol)).as("mx"))
-       else batchConformed0)
         .withColumn(SrcCol, lit(1L))
         .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(keyCols, numBuckets))
 
@@ -267,13 +264,33 @@ object Merge {
       .orderBy(col(CdcModel.RowLsnCol).desc, col(OpRankCol).desc, col(TieCol).desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // ONE Observation for every lineage statistic, attached to the single
+    // job. MOR batch stats (events in, LSN range) ride the SAME sorted window
+    // pass as the LWW resolution — per-key batch-row count and batch-min/max
+    // LSN as three more unbounded aggs over the frame WindowExec is already
+    // evaluating — then fold to globals in the CollectMetrics node. The
+    // round-3 design put them in a second CollectMetrics on the batch
+    // side; inside a streaming foreachBatch only ONE of two CollectMetrics
+    // nodes on the write job ever reports its metrics, so the second
+    // Observation.get deadlocked the micro-batch (streaming+MOR hang, found
+    // by driving `replay ... mor` end-to-end).
     val obs = Observation(s"merge-$appId-$batchId-${snap.version}")
-    val winners = combined
+    val ranked = combined
       .sortWithinPartitions(sortKeys: _*)
       .withColumn("_rn", row_number().over(w))
       .withColumn("_hasBatch", max(col(SrcCol)).over(wAll))
-      .filter(col("_rn") === 1)
-      .observe(obs, sum("_hasBatch").as("distinctKeys"))
+    val withBatchStats =
+      if (!mergeOnRead) ranked
+      else ranked
+        .withColumn("_nB", sum(col(SrcCol)).over(wAll))
+        .withColumn("_mnL", min(when(col(SrcCol) === 1L, col(CdcModel.RowLsnCol))).over(wAll))
+        .withColumn("_mxL", max(when(col(SrcCol) === 1L, col(CdcModel.RowLsnCol))).over(wAll))
+    val filtered = withBatchStats.filter(col("_rn") === 1)
+    val observed =
+      if (!mergeOnRead) filtered.observe(obs, sum("_hasBatch").as("distinctKeys"))
+      else filtered.observe(obs, sum("_hasBatch").as("distinctKeys"),
+        sum("_nB").as("n"), min("_mnL").as("mn"), max("_mxL").as("mx"))
+    val winners = observed
       .select((col(LakeTable.BucketCol) +: keyCols.map(col)) ++
         payloadCols.map(col): _*)
 
@@ -283,11 +300,11 @@ object Merge {
     val (eventsIn, minLsn, maxLsn) = pre match {
       case Some(rows) =>
         (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).min, rows.map(_.getLong(3)).max)
-      case None => // MOR: from the main job's observation
-        val mi = obsIn.get
-        val n = mi("n").asInstanceOf[Long]
-        if (n == 0L) (0L, -1L, -1L)
-        else (n, mi("mn").asInstanceOf[Long], mi("mx").asInstanceOf[Long])
+      case None => // MOR: from the same observation (null when zero rows)
+        Option(m("n")).map(_.asInstanceOf[Long]).filter(_ > 0L) match {
+          case Some(n) => (n, m("mn").asInstanceOf[Long], m("mx").asInstanceOf[Long])
+          case None => (0L, -1L, -1L)
+        }
     }
     val bucketsTouched = if (mergeOnRead) added.map(_.bucket).distinct.size else buckets.size
 

@@ -68,8 +68,14 @@ object JobRunner {
       case "Full" =>
         // FullLoadQuery ≙ truncate + insert: one overwrite snapshot.
         // Row count from the committed manifest (DataFile.rows) — the
-        // extract is scanned exactly once.
-        val snap = dest.overwrite(loaded, keys, "extract-load")
+        // extract is scanned exactly once. Watermark and OTHER sources'
+        // resume markers pass through (same offsets-preserving rule as the
+        // api-path truncate): a Full refresh of this table must not erase a
+        // co-resident stream's checkpoint state.
+        val parent = dest.currentSnapshot.get
+        val snap = dest.overwrite(loaded, keys, "extract-load",
+          watermarkLsn = parent.watermarkLsn,
+          offsets = parent.sourceOffsets.filterNot(_._1.startsWith(s"api:$table:")))
         Result(table, strategy, snap.files.map(_.rows).sum, snap.version,
           previewed = false)
       case "ModifiedOnly" | "Incremental" =>
@@ -105,14 +111,62 @@ object JobRunner {
     * released, so driver memory is O(batch) for an unbounded endpoint), and
     * the load is the same bucket-pruned upsert the DB path uses.
     */
+  private def endpointCfg(s: SourceSpec): EndpointConfig =
+    EndpointConfig(url = s.url, method = s.method, headers = s.headers,
+      basicAuth = for { u <- s.basicAuthUser; p <- s.basicAuthPassword } yield (u, p),
+      responseType = s.responseType, itemsField = s.itemsField,
+      offsetField = s.offsetField, retryOn4xx = s.retryOn4xx)
+
+  /** Endpoint → CSV extract with NO load (≙ `teleport extract-api`,
+    * /root/reference/api.go:78-99: readEndpointConfiguration →
+    * performAPIExtraction → saveResultsToCSV). Same page drain as
+    * [[runApi]] but each pulled batch is shaped and APPENDED to the CSV
+    * directory immediately — driver memory stays O(batch) where the
+    * reference accumulates the full result slice. Returns rows extracted.
+    */
+  def extractApi(spark: SparkSession, spec: JobSpec, table: String, outDir: String,
+      transport: HttpRequest => HttpResponse = Endpoint.httpTransport): Long = {
+    val extract = spec.extractFor(table)
+    val s = spec.source
+    val cfg = endpointCfg(s)
+    val pageSchema = s.schema.map(parseSchemaSpec).getOrElse(
+      throw new IllegalArgumentException(
+        "extract-api needs source.schema (TableDefinition) — no destination to infer from"))
+    val src = Endpoint.source(cfg, transport, pagesPerBatch = s.pagesPerBatch)
+    def shape(df: DataFrame): DataFrame = {
+      val projected = extract.columns match {
+        case Seq("*") | Nil => df
+        case cols => df.select(cols.map(col): _*)
+      }
+      ColumnTransforms(projected, extract.transforms, extract.computed)
+    }
+    var off = 0L
+    var more = true
+    var total = 0L
+    var first = true
+    while (more) {
+      val (recs, next) = src.pullBatch(off)
+      if (recs.nonEmpty) {
+        CsvSource.write(shape(Endpoint.pageFrame(spark, cfg, pageSchema, recs)),
+          outDir, mode = if (first) "overwrite" else "append")
+        first = false
+        total += recs.size
+      }
+      next match {
+        case Some(n) => off = n
+        case None => more = false
+      }
+    }
+    if (first) // no pages: still leave a valid (empty) extract behind
+      CsvSource.write(shape(Endpoint.pageFrame(spark, cfg, pageSchema, Nil)), outDir)
+    total
+  }
+
   private def runApi(spark: SparkSession, spec: JobSpec, table: String,
       preview: Boolean, transport: HttpRequest => HttpResponse): Result = {
     val extract = spec.extractFor(table)
     val s = spec.source
-    val cfg = EndpointConfig(url = s.url, method = s.method, headers = s.headers,
-      basicAuth = for { u <- s.basicAuthUser; p <- s.basicAuthPassword } yield (u, p),
-      responseType = s.responseType, itemsField = s.itemsField,
-      offsetField = s.offsetField, retryOn4xx = s.retryOn4xx)
+    val cfg = endpointCfg(s)
     val dest = LakeTable(spec.destination.root)(spark)
     // page schema: explicit TableDefinition, else the existing destination's
     // payload schema (≙ createEndpointdestinationTableIfNotExists + inspect,
@@ -174,10 +228,18 @@ object JobRunner {
     // Full ≙ truncate + insert (dialect.go:22-24): clear once, stream
     // batches in. An interrupted Full drain must NOT truncate again on
     // resume — the already-merged batches are part of this run's load.
+    // The truncate clears only THIS table's api resume markers: a
+    // destination also fed by a CDC stream (watermark) or holding another
+    // load's in-flight marker must not lose that checkpoint state.
     if (strategy == "Full" && resumeAt.isEmpty &&
-        dest.currentSnapshot.exists(_.files.nonEmpty))
+        dest.currentSnapshot.exists(_.files.nonEmpty)) {
+      val parent = dest.currentSnapshot.get
       dest.overwrite(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shaped), keys, "extract-load-api")
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shaped),
+        keys, "extract-load-api",
+        watermarkLsn = parent.watermarkLsn,
+        offsets = parent.sourceOffsets.filterNot(_._1.startsWith(s"api:$table:")))
+    }
     var last: Option[graft.cdc.MergeStats] = None
     var records = 0L
     var off = resumeAt.getOrElse(0L)

@@ -221,4 +221,69 @@ object DedupOps {
   def simhashPairsPortable(docs: DataFrame, maxDist: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     simhashPairsOf(simhashSignaturesPortable(docs, idCol, textCol), maxDist)
+
+  /** Candidate pairs → duplicate CLUSTERS: connected components over the
+    * pair edges, labeling every member with the minimum doc id of its
+    * component (`cluster_id`) — the terminal step every near-dup operator
+    * above feeds: one canonical document (the min id, matching [[exact]]'s
+    * `keep_id` convention) survives per cluster, the rest are dropped.
+    *
+    * Algorithm: iterative min-label propagation over DataFrame joins — no
+    * GraphX, no RDDs. Each round does (1) a neighbor-min step (labels flow
+    * across edges) and (2) a pointer-jumping step (label := label of label),
+    * so label chains halve every round and convergence is O(log diameter)
+    * rounds, not O(diameter) — a 10⁶-long similarity chain resolves in ~20
+    * rounds. Each round is two shuffle joins on the id; edges are persisted
+    * once (2|pairs| rows), labels persist one generation at a time. The
+    * fixpoint test rides the same pass as the label computation (labels only
+    * ever decrease, so an unchanged monotone checksum ⇔ fixpoint — no
+    * row-diff join).
+    *
+    * Output: (id, cluster_id) for every doc appearing in ≥1 pair; docs with
+    * no candidate pair are their own cluster and are simply absent (join
+    * docs with "left" and coalesce to the doc's own id to materialize them).
+    */
+  def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .union(pairs.select(col(bCol).cast("long").as("x"), col(aCol).cast("long").as("y")))
+      .distinct()
+      .persist()
+    // every round joins the label set against itself TWICE, so without
+    // truncation the logical plan doubles per round (2^rounds nodes: analyzer
+    // and codegen die long before the data does) — localCheckpoint
+    // materializes each generation and cuts the lineage to O(1) depth
+    var labels = edges.groupBy("x").agg(min(col("y")).as("mn"))
+      .select(col("x"), least(col("x"), col("mn")).as("lbl"))
+      .localCheckpoint(true)
+    // monotone checksum: labels only decrease, so equal sums ⇔ no change
+    def checksum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prev = checksum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // (1) neighbor-min: each node adopts the smallest label among itself
+      // and its neighbors
+      val nbr = edges.join(labels.withColumnRenamed("x", "y"), "y")
+        .groupBy("x").agg(min(col("lbl")).as("nlbl"))
+      val stepped = labels.join(nbr, Seq("x"), "left")
+        .select(col("x"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // (2) pointer jumping: follow the label one hop (label of my label),
+      // halving chain length every round
+      val jumped = stepped.as("s")
+        .join(stepped.select(col("x").as("jx"), col("lbl").as("jlbl")),
+          col("s.lbl") === col("jx"), "left")
+        .select(col("s.x").as("x"), least(col("s.lbl"), coalesce(col("jlbl"), col("s.lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val cur = checksum(jumped)
+      labels.unpersist()
+      labels = jumped
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("x").as("id"), col("lbl").as("cluster_id"))
+  }
 }

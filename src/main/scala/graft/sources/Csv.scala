@@ -74,9 +74,11 @@ object CsvSource {
     df.select(cols: _*)
   }
 
-  /** Write a reference-compatible CSV extract. ≙ generateCSV (util.go:32-66). */
-  def write(df: DataFrame, path: String): Unit =
-    formatForCsv(df).write.options(WriteOptions).mode("overwrite").csv(path)
+  /** Write a reference-compatible CSV extract. ≙ generateCSV (util.go:32-66).
+    * `mode` = append lets a page-batched endpoint drain stream batches into
+    * one extract directory without accumulating rows in memory. */
+  def write(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    formatForCsv(df).write.options(WriteOptions).mode(mode).csv(path)
 }
 
 /** JSON ingestion matching the reference's API JSON rules (api.go:495-556):

@@ -50,8 +50,7 @@ object Endpoint {
     * ErrorHandling map: 5xx retryable, 4xx fatal (unless configured Retry). */
   def classify(cfg: EndpointConfig, status: Int): Option[FetchError] =
     if (status >= 500) Some(FetchError.Http5xx(status))
-    else if (status >= 400 && cfg.retryOn4xx) Some(FetchError.Http5xx(status))
-    else if (status >= 400) Some(FetchError.Http4xx(status))
+    else if (status >= 400) Some(FetchError.Http4xx(status, retryable = cfg.retryOn4xx))
     else None
 
   /** Parse one page body per the endpoint's `responseType` — json | csv,
@@ -99,12 +98,17 @@ object Endpoint {
       val rows = parseCsv(body)
       if (rows.isEmpty) return Right(Page(Nil, None))
       val headers = rows.head
+      // field-count mismatch is a malformed body, exactly Go encoding/csv's
+      // ErrFieldCount (the reference's csv.ReadAll errors, api.go:461-477) —
+      // padding/truncating would load silently-wrong data
+      rows.tail.zipWithIndex.find(_._1.length != headers.length).foreach {
+        case (r, i) => return Left(FetchError.InvalidBody(
+          s"record on line ${i + 2}: wrong number of fields (${r.length}, header has ${headers.length})"))
+      }
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val recs = rows.tail.map { r =>
         val o = mapper.createObjectNode()
-        headers.zipWithIndex.foreach { case (h, i) =>
-          o.put(h, if (i < r.length) r(i) else "")
-        }
+        headers.zipWithIndex.foreach { case (h, i) => o.put(h, r(i)) }
         mapper.writeValueAsString(o)
       }
       Right(Page(recs, None))
@@ -155,12 +159,21 @@ object Endpoint {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, when}
     if (cfg.responseType == "csv") {
+      import org.apache.spark.sql.functions.{coalesce, concat, raise_error}
       val strSchema = org.apache.spark.sql.types.StructType(
         schema.fields.map(_.copy(dataType = org.apache.spark.sql.types.StringType)))
       spark.read.schema(strSchema).json(recs.toDS())
         .select(schema.fields.toIndexedSeq.map { f =>
-          when(col(f.name) === "", lit(null)).otherwise(col(f.name))
-            .cast(f.dataType).as(f.name)
+          // ONLY the empty string maps to NULL (EMPTYASNULL); any other value
+          // that fails the cast errors loudly — the reference's typed COPY
+          // rejects malformed values, and a silent NULL would be
+          // indistinguishable from the intended empty-string rule
+          val casted = col(f.name).cast(f.dataType)
+          when(col(f.name).isNull || col(f.name) === "", lit(null).cast(f.dataType))
+            .otherwise(coalesce(casted, raise_error(concat(
+              lit(s"invalid value for ${f.name} ${f.dataType.simpleString}: '"),
+              col(f.name), lit("'"))).cast(f.dataType)))
+            .as(f.name)
         }: _*)
     } else spark.read.schema(schema).json(recs.toDS())
   }

@@ -12,7 +12,9 @@ sealed trait FetchError extends Product with Serializable { def retryable: Boole
 object FetchError {
   case class Network(msg: String) extends FetchError { val retryable = true }
   case class Http5xx(code: Int) extends FetchError { val retryable = true }
-  case class Http4xx(code: Int) extends FetchError { val retryable = false }
+  // 4xx is fatal by default; `ErrorHandling({Http4XXError: Retry})` flips the
+  // flag but keeps the error's 4xx IDENTITY (logs must not report a 404 as 5xx)
+  case class Http4xx(code: Int, retryable: Boolean = false) extends FetchError
   case class InvalidBody(msg: String) extends FetchError { val retryable = false }
 }
 

@@ -216,4 +216,65 @@ class ConfigSpec extends SparkSuite {
     val s = t.snapshot(1L)
     assert(results.collect { case Right(i) => s"app-$i" }.head === s.appId)
   }
+
+  test("new scaffold: pad skeleton + example spec round-trips through JobSpec.load") {
+    val pad = SparkTestBase.tmpDir("pad")
+    Main.run(spark, List("new", pad))
+    Seq("config", "sources/apis", "sources/databases", "transforms", "tmp").foreach { d =>
+      assert(Files.isDirectory(Paths.get(pad, d)), s"missing $d")
+    }
+    // ≙ main.go:184-211: .keep everywhere except sources/ and config/
+    assert(Files.exists(Paths.get(pad, "transforms/.keep")))
+    assert(!Files.exists(Paths.get(pad, "config/.keep")))
+    assert(Files.readString(Paths.get(pad, ".gitignore")) === "tmp/\n")
+    assert(Files.readString(Paths.get(pad, "config/databases.yml")).startsWith("connections:"))
+    assert(Files.readString(Paths.get(pad, "config/schedule.port")).contains("ExtractLoadAPI"))
+    // the starter JobSpec parses and interpolates
+    val spec = JobSpec.load(spark, s"$pad/sources/apis/example_api.json",
+      env = Map("EXAMPLE_API_TOKEN" -> "tok").get _)
+    assert(spec.source.format === "api" && spec.tables.contains("widgets"))
+    assert(spec.source.headers("Authorization") === "Bearer tok")
+    assert(spec.tables("widgets").primaryKey === Seq("id"))
+  }
+
+  test("create-destination-table-from-config-file: dest created from TableDefinition, no load") {
+    val dir = SparkTestBase.tmpDir("cdtcf")
+    val specPath = writeSpec(dir, "spec.json", s"""{
+      "source": {"format": "api", "url": "http://t/x?offset={offset}",
+        "schema": "id:bigint,name:string,price:decimal(18,4)"},
+      "destination": {"root": "$dir/dest", "numBuckets": 8},
+      "tables": {"t": {"loadStrategy": "Full", "primaryKey": ["id"]}}}""")
+    Main.run(spark, List("create-destination-table-from-config-file", specPath, "t"))
+    val t = LakeTable(s"$dir/dest")(spark)
+    assert(t.exists && t.read().count() === 0)
+    val s = t.currentSnapshot.get
+    assert(s.schema === JobRunner.parseSchemaSpec("id:bigint,name:string,price:decimal(18,4)"))
+    assert(s.keyCols === Seq("id") && s.numBuckets === 8)
+    // refuses to clobber an existing destination
+    intercept[RuntimeException] {
+      Main.run(spark, List("create-destination-table-from-config-file", specPath, "t"))
+    }
+  }
+
+  test("db-terminal: piped stdin SQL runs over registered lake views") {
+    val dir = SparkTestBase.tmpDir("dbterm")
+    val t = LakeTable(s"$dir/widgets")(spark)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    t.create(df.schema, 2, "t", Seq("id"))
+    t.overwrite(df, Seq("id"), "t")
+    val in = new java.io.ByteArrayInputStream(
+      "select count(*) as n from widgets\nnot valid sql\nexit\n".getBytes("UTF-8"))
+    val oldIn = System.in
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      System.setIn(in)
+      Console.withOut(new java.io.PrintStream(out)) {
+        Main.run(spark, List("db-terminal", dir))
+      }
+    } finally System.setIn(oldIn)
+    val printed = out.toString("UTF-8")
+    assert(printed.contains("widgets"))
+    // the count query ran (2 rows) and the bad line errored without aborting
+    assert(printed.contains("2") && printed.contains("error:"))
+  }
 }

@@ -37,6 +37,24 @@ class OperatorsSpec extends SparkSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
   }
 
+  test("clusters: min-id connected components over pair edges") {
+    // component {1,2,3} via chain 1-2, 2-3; component {7,9}; 5 absent (no pair)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val r = DedupOps.clusters(pairs).orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L)))
+  }
+
+  test("clusters converge on a long path (pointer jumping, O(log d) rounds)") {
+    // a 300-node path: naive propagation needs 300 rounds, maxIters=12 forces
+    // the pointer-jumping acceleration to be doing its job (2^12 ≫ 300 hops
+    // combined with neighbor-min, but 12 ≪ 300 plain rounds)
+    val path = (0L until 299L).map(i => (i, i + 1)).toDF("a", "b")
+    val r = DedupOps.clusters(path, maxIters = 12)
+    assert(r.agg(max("cluster_id")).collect()(0).getLong(0) === 0L)
+    assert(r.count() === 300)
+  }
+
   test("minhash LSH recalls the exact-duplicate and near-dup pairs") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

@@ -202,6 +202,25 @@ class SourcesSpec extends SparkSuite {
       "id:integer, price:decimal(18,4), name:string")
     assert(dec.fields.map(_.dataType).toSeq ===
       Seq(LongType, DecimalType(18, 4), StringType))
+    // inconsistent field count = malformed body (Go encoding/csv ErrFieldCount),
+    // never silently padded/truncated
+    val badCount = Endpoint.parsePage(cfg, "a,b,c\n1,2,3\n4,5\n")
+    assert(badCount.swap.toOption.get.isInstanceOf[graft.sources.FetchError.InvalidBody])
+    // a non-empty value that fails the typed cast errors loudly — only the
+    // EMPTY string maps to NULL
+    val badVal = Endpoint.parsePage(cfg, "id,name,price,active\n1,x,abc,true\n").toOption.get
+    // (ANSI mode: the cast itself throws CAST_INVALID_INPUT; non-ANSI: the
+    // raise_error guard fires — either way the malformed value is named)
+    val ex = intercept[Exception] {
+      Endpoint.pageFrame(spark, cfg, schema, badVal.records).collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(ex).exists(t => Option(t.getMessage).exists(_.contains("abc"))))
+    // retryable 4xx keeps its 4xx identity (not reported as Http5xx)
+    val r4 = Endpoint.classify(cfg.copy(retryOn4xx = true), 404).get
+    assert(r4 === graft.sources.FetchError.Http4xx(404, retryable = true) && r4.retryable)
+    assert(!Endpoint.classify(cfg, 404).get.retryable)
   }
 
   test("api-format extract-load: paginated json endpoint → MERGE-loaded LakeTable") {
@@ -238,6 +257,34 @@ class SourcesSpec extends SparkSuite {
       spec("Full").copy(destination = graft.config.DestinationSpec(s"$dir2/dest", 4)),
       "t", preview = true, transport = fake)
     assert(rp.previewed && !LakeTable(s"$dir2/dest")(spark).exists)
+  }
+
+  test("extract-api: endpoint drained to reference-rule CSV without a load") {
+    import graft.config.{JobRunner, JobSpec}
+    import graft.sources.{HttpRequest, HttpResponse}
+    val dir = SparkTestBase.tmpDir("api-ex")
+    def fake(req: HttpRequest): HttpResponse = {
+      val off = "offset=(\\d+)".r.findFirstMatchIn(req.url).map(_.group(1).toInt).getOrElse(0)
+      val items = (off until math.min(off + 2, 6))
+        .map(i => s"""{"id":$i,"name":"w$i"}""").mkString(",")
+      val next = if (off + 2 < 6) s""","offset":${off + 2}""" else ""
+      HttpResponse(200, s"""{"items":[$items]$next}""")
+    }
+    val spec = JobSpec.parse(s"""{
+      "source": {"format": "api", "url": "http://t/items?offset={offset}",
+        "schema": "id:integer,name:string", "pagesPerBatch": 1},
+      "destination": {"root": "$dir/unused", "numBuckets": 4},
+      "tables": {"t": {"loadStrategy": "Full",
+        "transforms": [{"column": "name", "ops": ["upper"]}]}}}""")
+    val n = JobRunner.extractApi(spark, spec, "t", s"$dir/out", transport = fake)
+    assert(n === 6)
+    // no table was created — extract only
+    assert(!LakeTable(s"$dir/unused")(spark).exists)
+    // the CSV reads back with the shaped (transformed) values, all 6 rows
+    val back = graft.sources.CsvSource.read(spark, s"$dir/out",
+      StructType(Seq(StructField("id", LongType), StructField("name", StringType))))
+    assert(back.count() === 6)
+    assert(back.filter(col("name") === "W3").count() === 1)
   }
 
   test("api drain resumes from the checkpointed page offset after a crash") {

@@ -46,6 +46,39 @@ class StreamingSpec extends SparkSuite {
     assert(streamTable.latestVersion === v)
   }
 
+  test("streaming merge-on-read replay equals copy-on-write state (foreachBatch + MOR)") {
+    // regression: round 3's MOR batch statistics used a SECOND CollectMetrics
+    // node, and inside foreachBatch only one of two ever reports — the second
+    // Observation.get deadlocked every streaming MOR micro-batch. This drives
+    // streaming + mergeOnRead end-to-end, which no spec did before.
+    val base = SparkTestBase.tmpDir("stream-mor")
+    val events = DerivedEvents.fromDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    events.repartition(4).write.parquet(s"$base/events")
+
+    val morTable = LakeTable(s"$base/t-mor")(spark)
+    val q = CdcStream.start(spark, s"$base/events", morTable,
+      s"$base/ckpt", "mor-app", maxFilesPerTrigger = Some(2), mergeOnRead = true)
+    assert(q.awaitTermination(180000), "streaming MOR replay timed out (observation deadlock?)")
+
+    val cowTable = LakeTable(s"$base/t-cow")(spark)
+    val p = new CdcPipeline(cowTable, "cow-app")
+    p.bootstrap(numBuckets = 64)
+    p.replay(events, numBatches = 3)
+
+    val s1 = CdcPipeline.liveState(morTable)
+      .select(col("repo"), col("path"), col("commit"), sha2(col("content"), 256))
+    val s2 = CdcPipeline.liveState(cowTable)
+      .select(col("repo"), col("path"), col("commit"), sha2(col("content"), 256))
+    assert(s1.count() === s2.count())
+    assert(s1.exceptAll(s2).count() === 0 && s2.exceptAll(s1).count() === 0)
+    // lineage carried real batch stats through the single-observation path
+    val lin = graft.cdc.Lineage.read(spark, s"$base/t-mor")
+      .filter(!col("skippedFenced"))
+    assert(lin.agg(sum("eventsIn")).collect()(0).getLong(0) === events.count())
+    assert(lin.filter(col("maxLsn") >= 0 && col("minLsn") >= 0).count() === lin.count())
+  }
+
   test("schedule DSL maps onto triggers") {
     assert(Schedule.trigger("every 5 minutes").toString.contains("300000"))
     assert(Schedule.drainTrigger.toString.toLowerCase.contains("availablenow"))
