@@ -286,8 +286,11 @@ object SparkEntry {
 
   private def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
+    // trainSampleMod=2: the quantizer trains on the deterministic half-sample
+    // (the scale path — each Lloyd iteration scans corpus/2), the full corpus
+    // is assigned once; the oracle replays the identical sampled iterations
     SimilarityOps.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 3,
-        nlist = 16, nprobe = 4)
+        nlist = 16, nprobe = 4, trainSampleMod = 2)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cos"), 6).as("cos_r"))
       .orderBy("query_id", "neighbor_id")
@@ -756,23 +759,7 @@ object SparkEntry {
         length(text) AS n_chars_m,
         sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       FROM documents ORDER BY doc_id""",
-    "text_langid" -> """
-      WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
-        FROM documents),
-      scores AS (
-        SELECT doc_id, lang_code, hits FROM toks, LATERAL (VALUES
-          ('de', len(list_filter(tk, x -> x IN ('der','die','und','das','ist')))),
-          ('en', len(list_filter(tk, x -> x IN ('the','and','of','to','is')))),
-          ('es', len(list_filter(tk, x -> x IN ('el','la','de','que','es')))),
-          ('fr', len(list_filter(tk, x -> x IN ('le','la','et','les','est'))))
-        ) AS v(lang_code, hits)),
-      best AS (
-        SELECT doc_id, lang_code, hits, row_number() OVER (
-          PARTITION BY doc_id ORDER BY hits DESC, lang_code DESC) AS rn
-        FROM scores)
-      SELECT doc_id, CASE WHEN hits = 0 THEN 'und' ELSE lang_code END AS pred_lang
-      FROM best WHERE rn = 1 ORDER BY doc_id""",
+    "text_langid" -> langIdOracleSql,
     "dedup_ngram_jaccard" -> """
       WITH tk AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -950,7 +937,8 @@ object SparkEntry {
         ORDER BY cos DESC, neighbor_id ASC) <= 3
       ORDER BY query_id, neighbor_id""",
     "dedup_simhash" -> simhashOracleSql,
-    "ann_ivf_cosine" -> ivfOracleSql(nlist = 16, nprobe = 4, k = 3, iters = 2),
+    "ann_ivf_cosine" -> ivfOracleSql(nlist = 16, nprobe = 4, k = 3, iters = 2,
+      sampleMod = 2),
     "dedup_embedding_cosine" -> s"""
       WITH v AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
@@ -1007,8 +995,34 @@ object SparkEntry {
     * cosine folding the same doubles in the same sequential order in both
     * engines (DuckDB's list_dot_product ≡ Spark's sequential `aggregate`
     * fold, already verified bit-identical by the other ANN oracles). */
+  /** text_langid oracle GENERATED from [[TextFunctions.langMarkers]] — the
+    * Spark expression and the DuckDB replay share one marker source, so
+    * widening the profile map can never desynchronize them. Tie-break
+    * parity: Spark's greatest(struct(hits, code)) picks the largest code on
+    * equal hits ⇔ ORDER BY hits DESC, lang_code DESC here. */
+  private def langIdOracleSql: String = {
+    val rows = TextFunctions.langMarkers.toSeq.sortBy(_._1)
+      .map { case (code, ms) =>
+        s"('$code', len(list_filter(tk, x -> x IN (${ms.map(m => s"'$m'").mkString(",")}))))"
+      }.mkString(",\n          ")
+    s"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+        FROM documents),
+      scores AS (
+        SELECT doc_id, lang_code, hits FROM toks, LATERAL (VALUES
+          $rows
+        ) AS v(lang_code, hits)),
+      best AS (
+        SELECT doc_id, lang_code, hits, row_number() OVER (
+          PARTITION BY doc_id ORDER BY hits DESC, lang_code DESC) AS rn
+        FROM scores)
+      SELECT doc_id, CASE WHEN hits = 0 THEN 'und' ELSE lang_code END AS pred_lang
+      FROM best WHERE rn = 1 ORDER BY doc_id"""
+  }
+
   private def ivfOracleSql(nlist: Int, nprobe: Int, k: Int, iters: Int,
-      dim: Int = 64): String = {
+      dim: Int = 64, sampleMod: Int = 1): String = {
     def cosq(a: String, b: String): String = {
       def d(x: String) = s"list_transform($x, q -> CAST(q AS DOUBLE))"
       s"list_dot_product(${d(a)}, ${d(b)}) / " +
@@ -1019,7 +1033,7 @@ object SparkEntry {
           SELECT v.vec_id, v.vq, c.cid,
             row_number() OVER (PARTITION BY v.vec_id
               ORDER BY ${cosq("v.vq", "c.csum")} DESC, c.cid ASC) AS rn
-          FROM v, c${i - 1} c) WHERE rn = 1),
+          FROM vs v, c${i - 1} c) WHERE rn = 1),
       n$i AS (SELECT cid, list(s ORDER BY d) AS csum FROM (
           SELECT cid, d, sum(vq[d + 1]) AS s
           FROM a$i, (SELECT unnest(range($dim)) AS d)
@@ -1033,7 +1047,9 @@ object SparkEntry {
           list_transform(embedding,
             x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vq
         FROM embeddings),
-      c0 AS (SELECT vec_id AS cid, vq AS csum FROM v WHERE vec_id < $nlist),
+      vs AS (SELECT * FROM v
+        WHERE ((48271 * vec_id + 12345) % 2147483647) % $sampleMod = 0),
+      c0 AS (SELECT vec_id AS cid, vq AS csum FROM vs ORDER BY vec_id LIMIT $nlist),
       $iterCtes,
       lists AS (
         SELECT vec_id AS neighbor_id, dv AS cv, cid AS list_id FROM (

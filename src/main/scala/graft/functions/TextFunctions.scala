@@ -84,13 +84,38 @@ object TextFunctions {
   def dedupLines(text: Column): Column =
     array_join(array_distinct(split(text, "\n")), "\n")
 
-  /** Language marker words per language for the n-gram/stopword langid
-    * heuristic (tiny, deterministic; real pipelines plug fasttext here). */
+  /** Function-word markers per language for the stopword-profile langid
+    * heuristic — the default scorer a real pipeline would swap for a
+    * fasttext-style model column. ~28 of each language's most frequent
+    * function words (all unaccented, so `lower()` behaves identically in
+    * every engine the oracle may run in). Cross-language collisions ("de" in
+    * es/pt/nl, "la" in es/fr/it) are expected: the argmax over the full
+    * profile resolves them, which is exactly how stopword-profile language
+    * identification works. */
   val langMarkers: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "is"),
-    "es" -> Seq("el", "la", "de", "que", "es"),
-    "fr" -> Seq("le", "la", "et", "les", "est"),
-    "de" -> Seq("der", "die", "und", "das", "ist"))
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was",
+      "for", "on", "are", "with", "as", "at", "by", "this", "have", "from",
+      "or", "not", "but", "what", "all", "were", "when", "there", "can",
+      "which", "you"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "se", "no",
+      "por", "con", "su", "para", "como", "le", "lo", "todo", "pero", "este",
+      "los", "las", "del", "al", "sin", "sobre", "entre", "muy"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "en", "un", "une", "du",
+      "que", "est", "pour", "qui", "dans", "ce", "il", "au", "pas", "sur",
+      "ne", "se", "par", "plus", "avec", "son", "mais", "nous", "vous"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "in", "den", "von", "zu",
+      "mit", "sich", "des", "auf", "dem", "nicht", "ein", "eine", "als",
+      "auch", "es", "an", "werden", "aus", "er", "hat", "dass", "sie",
+      "nach"),
+    "it" -> Seq("il", "la", "di", "che", "e", "in", "un", "una", "per",
+      "con", "non", "sono", "del", "le", "si", "da", "come", "lo", "al",
+      "dei", "nel", "questo", "ma", "se", "ha", "gli", "anche", "della"),
+    "pt" -> Seq("o", "a", "de", "que", "e", "do", "da", "em", "um", "uma",
+      "para", "com", "por", "os", "as", "dos", "se", "na", "no", "mais",
+      "como", "mas", "foi", "ele", "das", "tem", "seu", "sua"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "in", "is", "dat", "op",
+      "te", "zijn", "met", "voor", "niet", "aan", "er", "om", "maar", "dan",
+      "ook", "als", "bij", "uit", "nog", "door", "naar", "wordt", "heeft"))
 
   /** Marker-word hit count for one language over whitespace tokens. */
   def langHits(text: Column, markers: Seq[String]): Column = {
@@ -98,10 +123,12 @@ object TextFunctions {
     size(filter(toks, t => t.isin(markers: _*)))
   }
 
-  /** Predicted language = argmax of marker hits, 'und' when all zero.
-    * Deterministic tie-break by language code order. */
-  def langId(text: Column): Column = {
-    val scored = langMarkers.toSeq.sortBy(_._1).map { case (code, ms) =>
+  /** Predicted language = argmax of marker hits over `markers` (pluggable —
+    * pass a custom profile map to widen/replace languages), 'und' when all
+    * zero. Deterministic tie-break by language code order. */
+  def langId(text: Column,
+      markers: Map[String, Seq[String]] = langMarkers): Column = {
+    val scored = markers.toSeq.sortBy(_._1).map { case (code, ms) =>
       struct(langHits(text, ms).as("hits"), lit(code).as("code"))
     }
     val best = greatest(scored: _*) // struct compare: hits first, then code

@@ -116,12 +116,32 @@ object SimilarityOps {
     * values stay inside the 2⁵³ exact-integer range of doubles, and the
     * residual sqrt/divide are IEEE-deterministic.
     */
-  private[graft] def kmeansSums(corpus: DataFrame, nlist: Int, iters: Int): Seq[(Long, Seq[Long])] = {
+  /** Deterministic training-sample predicate: one MINSTD step over the id,
+    * pure int64 arithmetic with no overflow — both the Spark plan and the
+    * SQL oracle compute the identical bit pattern (a float `rand()` or an
+    * engine-specific hash could not be replayed). Selects ~1/mod of ids. */
+  private[graft] def trainSamplePredicate(id: Column, mod: Int): Column =
+    pmod(pmod(lit(48271L) * id + lit(12345L), lit(2147483647L)), lit(mod)) === 0
+
+  /** @param trainSampleMod train the quantizer on the deterministic
+    *        ~1/trainSampleMod id-hash sample ([[trainSamplePredicate]]);
+    *        1 = full corpus. Centroid QUALITY needs only a representative
+    *        sample (the standard IVF practice — faiss trains on ≤256·nlist
+    *        points), so this cuts each Lloyd iteration's scan from
+    *        O(corpus × nlist) to O(corpus/mod × nlist); the full corpus is
+    *        assigned to lists exactly once, after training. */
+  private[graft] def kmeansSums(corpus: DataFrame, nlist: Int, iters: Int,
+      trainSampleMod: Int = 1): Seq[(Long, Seq[Long])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val vq = corpus.select(col("vec_id"), quantized(col("embedding")).as("vq"))
-    var cents: Seq[(Long, Seq[Long])] = vq.filter(col("vec_id") < nlist)
-      .orderBy("vec_id").as[(Long, Seq[Long])].collect().toSeq
+    val vqAll = corpus.select(col("vec_id"), quantized(col("embedding")).as("vq"))
+    val vq =
+      if (trainSampleMod <= 1) vqAll
+      else vqAll.filter(trainSamplePredicate(col("vec_id"), trainSampleMod))
+    // seeds: first nlist SAMPLE vectors by id (= the old first-nlist-ids rule
+    // when the sample is the whole corpus and ids are dense)
+    var cents: Seq[(Long, Seq[Long])] = vq
+      .orderBy("vec_id").limit(nlist).as[(Long, Seq[Long])].collect().toSeq
     for (_ <- 0 until iters) {
       val cdf = broadcast(cents.toDF("cid", "csum"))
       val w = org.apache.spark.sql.expressions.Window
@@ -151,10 +171,12 @@ object SimilarityOps {
     * ORIGINAL float vectors — quantization only shapes the partitioning.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 2): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 2,
+      trainSampleMod: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cent = broadcast(kmeansSums(corpus, nlist, kmeansIters).toDF("cid", "csum"))
+    val cent = broadcast(
+      kmeansSums(corpus, nlist, kmeansIters, trainSampleMod).toDF("cid", "csum"))
     // corpus → inverted lists: argmax-cosine centroid per vector (ties → min cid)
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy("neighbor_id").orderBy(col("cos_c").desc, col("cid").asc)

@@ -125,6 +125,26 @@ class OperatorsSpec extends SparkSuite {
     assert(rKm >= 0.5, f"ivf k-means recall collapsed: $rKm%.3f")
   }
 
+  test("ivf training subsample: centroids from the hash sample only, full corpus assigned") {
+    val mod = 2
+    // training on the sample must equal full-training over the pre-filtered
+    // corpus — proof the Lloyd iterations scan ONLY corpus/mod vectors
+    val sampled = SimilarityOps.kmeansSums(emb, nlist = 8, iters = 2, trainSampleMod = mod)
+    val manual = SimilarityOps.kmeansSums(
+      emb.filter(SimilarityOps.trainSamplePredicate(col("vec_id"), mod)),
+      nlist = 8, iters = 2)
+    assert(sampled === manual)
+    // the sample is a real subsample (roughly 1/mod of ids, not all, not none)
+    val n = emb.count()
+    val ns = emb.filter(SimilarityOps.trainSamplePredicate(col("vec_id"), mod)).count()
+    assert(ns > 0 && ns < n && math.abs(ns.toDouble / n - 1.0 / mod) < 0.2)
+    // the query path still assigns and probes over the FULL corpus: every
+    // corpus vector lands in some inverted list (top-k results well-formed)
+    val r = SimilarityOps.ivfTopK(emb.filter(col("vec_id") < 3), emb, k = 2,
+      nlist = 8, nprobe = 8, kmeansIters = 1, trainSampleMod = mod)
+    assert(r.groupBy("query_id").count().collect().forall(_.getLong(1) === 2))
+  }
+
   test("pii redaction: emails, ips, phones; pattern order") {
     val d = Seq("mail bob.smith+x@ex.co.uk, ip 10.0.3.77, call 555-1234 or +441234567890 end")
       .toDF("text")
@@ -169,5 +189,29 @@ class OperatorsSpec extends SparkSuite {
     val r = docs.select(TextFunctions.langId(col("text")).as("l"))
       .groupBy("l").count().collect()
     assert(r.forall(_.getString(0) != null))
+  }
+
+  test("langid classifies planted multilingual docs across all 7 profiles") {
+    val planted = Seq(
+      ("en", "this is the story of a fox that ran from the dogs and hid in the barn when it was dark"),
+      ("es", "el perro corre por la casa y se esconde bajo la mesa para que no lo vean los gatos"),
+      ("fr", "le chien court dans la maison et se cache sous la table pour que les chats ne le voient pas"),
+      ("de", "der hund lauft durch das haus und versteckt sich unter dem tisch damit die katzen ihn nicht sehen"),
+      ("it", "il cane corre per la casa e si nasconde sotto il tavolo per non farsi vedere dai gatti"),
+      ("pt", "o cachorro corre pela casa e se esconde embaixo da mesa para que os gatos nao o vejam"),
+      ("nl", "de hond rent door het huis en verstopt zich onder de tafel zodat de katten hem niet zien"))
+      .toDF("expected", "text")
+    val got = planted.select(col("expected"),
+      TextFunctions.langId(col("text")).as("pred")).collect()
+    got.foreach(r => assert(r.getString(1) === r.getString(0),
+      s"expected ${r.getString(0)}"))
+    // pluggable profile map: a custom two-language map narrows the argmax
+    val custom = Map(
+      "en" -> TextFunctions.langMarkers("en"),
+      "de" -> TextFunctions.langMarkers("de"))
+    val c = planted.filter(col("expected").isin("en", "de"))
+      .select(col("expected"), TextFunctions.langId(col("text"), custom).as("pred"))
+      .collect()
+    c.foreach(r => assert(r.getString(1) === r.getString(0)))
   }
 }
