@@ -93,11 +93,13 @@ object Main {
       // racing a live writer deletes files its imminent commit references.
       // Explicit 0 stays available for exclusive-owner maintenance windows.
       val t = LakeTable(tableRoot)(spark)
+      val retain = rest.drop(1).headOption.map(_.toInt).getOrElse(1)
       val n = rest.headOption match {
-        case Some(g) => t.vacuum(graceMs = g.toLong)
+        case Some(g) => t.vacuum(graceMs = g.toLong, retainSnapshots = retain)
         case None => t.vacuum()
       }
-      println(s"[vacuum] removed $n unreferenced data files" +
+      println(s"[vacuum] removed $n unreferenced data files, " +
+        s"retained last $retain snapshot(s)" +
         rest.headOption.map(g => s" (grace=${g}ms)").getOrElse(" (default grace)"))
 
     // ---- config-driven extract-load (≙ `teleport extract-load-db`,
@@ -358,7 +360,7 @@ object Main {
     case other =>
       System.err.println(s"unknown args: ${other.mkString(" ")}\n" +
         "usage: gen <dir> <n> [files] | replay <eventsDir> <tableRoot> <ckpt> [appId] [maxFiles] [mor] | " +
-        "compact <tableRoot> [horizonLsn] | vacuum <tableRoot> [graceMs] | show <tableRoot> | " +
+        "compact <tableRoot> [horizonLsn] | vacuum <tableRoot> [graceMs] [retainSnapshots] | show <tableRoot> | " +
         "extract-load <spec.json> <table> [--preview] [--full] | schedule <spec.json> | " +
         "list-tables <dir> | " +
         "describe-table <root> | table-metadata <root> | drop-table <root> | rebucket <root> <numBuckets> | " +
