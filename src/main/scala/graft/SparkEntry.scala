@@ -475,6 +475,42 @@ object SparkEntry {
     * api_test.go:204-250) serving the events table as `{offset}`-paginated
     * JSON pages; pages stream through transform + MERGE in bounded
     * micro-batches; the gate reads the destination back. */
+  /** CSV endpoint body end-to-end (≙ the api_csv.port fixture): the fake
+    * serves ONE CSV page (csv responses never paginate in the reference
+    * corpus) with planted EMPTY cells — the gate proves header-row parse,
+    * RFC-4180 handling, the EMPTYASNULL typed cast and the MERGE load in one
+    * value-exact query. Doubles round-trip exactly: Scala's Double.toString
+    * is the shortest representation, and the typed cast parses it back to
+    * the identical bits the oracle reads from parquet. */
+  private def cfgApiCsv(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("gate-cfg-api-csv")
+    val rows = t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id").collect()
+    val body = "event_id,event_type,value\n" + rows.map { r =>
+      val v = if (r.getLong(0) % 97 == 0) "" else r.getDouble(2).toString
+      s"${r.getLong(0)},${r.getString(1)},$v"
+    }.mkString("\n") + "\n"
+    val fake: graft.sources.HttpRequest => graft.sources.HttpResponse =
+      _ => graft.sources.HttpResponse(200, body)
+    val spec = graft.config.JobSpec.parse(s"""{
+      "source": {"format": "api", "url": "http://fake/events.csv",
+        "responseType": "csv",
+        "schema": "event_id:integer,event_type:string,value:double"},
+      "destination": {"root": "$root/dest", "numBuckets": 16},
+      "tables": {
+        "events": {
+          "loadStrategy": "Full",
+          "primaryKey": ["event_id"]
+        }
+      }
+    }""")
+    graft.config.JobRunner.run(spark, spec, "events", transport = fake)
+    LakeTable(s"$root/dest")(spark).read()
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   private def cfgApiLoad(spark: SparkSession, dir: String): DataFrame = {
     val root = scratch("gate-cfg-api")
     val rows = t(spark, dir, "events")
@@ -618,6 +654,7 @@ object SparkEntry {
     "cfg_modified_only" -> (cfgModifiedOnly _),
     "cfg_incremental_merge" -> (cfgIncrementalMerge _),
     "cfg_api_load" -> (cfgApiLoad _),
+    "cfg_api_csv" -> (cfgApiCsv _),
     "f5_yaml" -> (f5Yaml _))
 
   // ------------------------------------------------------------- oracles ----
@@ -968,6 +1005,10 @@ object SparkEntry {
       FROM events ORDER BY event_id""",
     "cfg_api_load" -> """
       SELECT event_id, upper(event_type) AS event_type_uc, value
+      FROM events ORDER BY event_id""",
+    "cfg_api_csv" -> """
+      SELECT event_id, event_type,
+        CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value
       FROM events ORDER BY event_id""",
     "f5_yaml" -> """
       SELECT event_id, upper(event_type) AS append,

@@ -78,6 +78,29 @@ object Merge {
   private val TieCol = "_tb"
   private val SrcCol = "_src" // 1 = from batch, 0 = carried from target
   private val debugTiming = sys.env.contains("GRAFT_DEBUG_TIMING")
+
+  /** Bounded wait for an Observation's metrics. `Observation.get` blocks
+    * FOREVER if the execution's metrics event is never delivered — the
+    * failure mode behind the streaming-MOR deadlock this module used to
+    * have — and an unattended ingest must fail loudly with a diagnosis, not
+    * hang its micro-batch. The write job has already completed when this is
+    * called, so the event is normally milliseconds away; the timeout only
+    * fires on a genuine delivery bug. */
+  private def awaitMetrics(obs: Observation): Map[String, Any] = {
+    val sec = sys.props.getOrElse("graft.observation.timeoutSec", "900").toLong
+    try {
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(sec, java.util.concurrent.TimeUnit.SECONDS))
+      row.schema.fieldNames.zip(row.toSeq).toMap
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        throw new IllegalStateException(
+          s"observation '${obs.name}' metrics not delivered within ${sec}s after the " +
+          "merge job completed — inside foreachBatch this indicates more than one " +
+          "CollectMetrics node on the write job (only one ever reports); failing " +
+          "loudly instead of hanging the stream")
+    }
+  }
   private def phase[T](name: String, batchId: Long)(f: => T): T = {
     val t = System.nanoTime()
     val r = f
@@ -295,7 +318,7 @@ object Merge {
         payloadCols.map(col): _*)
 
     val added = phase("write", batchId) { table.writeDataFilesPrePartitioned(winners) }
-    val m = obs.get
+    val m = awaitMetrics(obs)
     val distinctKeys = m("distinctKeys").asInstanceOf[Long] // null→0 on empty batch
     val (eventsIn, minLsn, maxLsn) = pre match {
       case Some(rows) =>
