@@ -349,6 +349,29 @@ object Main {
         line = in.readLine()
       }
 
+    // ≙ `teleport plugin install|list` (plugins.go:24-66). The reference
+    // downloads cron/ecs wrapper scripts from GitHub at install time — an
+    // egress-dependent bootstrap this engine deliberately replaces with
+    // built-in equivalents, so the verb DOCUMENTS the mapping instead of
+    // downloading: the cron plugin's consumer is the `schedule` verb's JSON
+    // export; the ecs wrapper is `spark-submit` under any cluster scheduler.
+    case "plugin" :: rest =>
+      rest match {
+        case ("list" | "ls") :: Nil | Nil =>
+          println("plugins (reference parity — built-in here, nothing to download):")
+          println("  cron  → `graft.Main schedule <spec.json>` exports the cron-consumable")
+          println("          JSON the reference's cron plugin reads (schedule.go:200-217)")
+          println("  ecs   → run `spark-submit --class graft.Main <jar> ...` under your")
+          println("          scheduler (ECS/k8s/YARN); no wrapper script is needed")
+        case "install" :: name :: Nil if Set("cron", "ecs").contains(name) =>
+          println(s"[plugin] '$name' is built in — nothing to install " +
+            "(see `plugin list` for the equivalent verb)")
+        case other =>
+          System.err.println(s"unknown plugin args: ${other.mkString(" ")} " +
+            "(usage: plugin list | plugin install <cron|ecs>)")
+          sys.exit(2)
+      }
+
     case "about-db" :: dir :: Nil => // ≙ `teleport about-db`
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -366,6 +389,7 @@ object Main {
         "describe-table <root> | table-metadata <root> | drop-table <root> | rebucket <root> <numBuckets> | " +
         "import-csv <csv> <root> [pk,cols] [--preview] | create-destination-table <root> <name:type,...> | " +
         "create-destination-table-from-config-file <spec.json> <table> | new <padPath> | db-terminal <dir> | " +
+        "plugin <list|install cron|ecs> | " +
         "about-db <dir> | transform <destRoot> <sql> [view=path...] [--preview] | extract <spec.json> <table> <csvDir> | " +
         "extract-api <spec.json> <table> <csvDir> | secrets <generate-key|init|set|show|delete> ...")
       sys.exit(2)

@@ -31,6 +31,10 @@ object Compaction {
       maxFilesPerBucket: Int = 1): Int = {
     val snap = table.currentSnapshot.getOrElse(return 0)
     if (snap.files.isEmpty) return 0
+    // key-generic like Merge: the manifest records the table's key columns
+    // (round 3+); pre-round-3 manifests carry none → the CDC model's key.
+    // A config-frontend table with key ["id"] compacts on ITS buckets.
+    val keyCols = if (snap.keyCols.nonEmpty) snap.keyCols else CdcModel.KeyCols
     val filesPerBucket = snap.files.groupBy(_.bucket)
     val fragmented = filesPerBucket.filter(_._2.size > maxFilesPerBucket).keySet
 
@@ -42,7 +46,7 @@ object Compaction {
       else df
         .filter(coalesce(col(CdcModel.DeletedCol), lit(false)) &&
           col(CdcModel.RowLsnCol) <= horizonLsn)
-        .select(LakeTable.bucketExpr(CdcModel.KeyCols, snap.numBuckets).as("b"))
+        .select(LakeTable.bucketExpr(keyCols, snap.numBuckets).as("b"))
         .distinct().collect().map(_.getInt(0)).toSet
 
     val buckets = tombBuckets ++ fragmented
@@ -59,13 +63,13 @@ object Compaction {
         coalesce(col(CdcModel.DeletedCol), lit(false))
       else lit(false)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(CdcModel.KeyCols.map(col): _*)
+      .partitionBy(keyCols.map(col): _*)
       .orderBy(col(CdcModel.RowLsnCol).desc, del.cast("int").desc, tie.desc)
     val kept = raw
       .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
       .filter(!(del && col(CdcModel.RowLsnCol) <= horizonLsn))
-      .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(CdcModel.KeyCols, snap.numBuckets))
+      .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(keyCols, snap.numBuckets))
       .repartition(col(LakeTable.BucketCol))
     val added = table.writeDataFilesPrePartitioned(kept)
     val removed = snap.files.filter(f => buckets.contains(f.bucket)).map(_.path).toSet

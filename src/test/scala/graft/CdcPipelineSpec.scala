@@ -56,6 +56,35 @@ class CdcPipelineSpec extends SparkSuite {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("compaction is key-generic: manifest keyCols govern bucketing and LWW") {
+    import spark.implicits._
+    // a config-frontend-style table keyed on ["id"] — no repo/path/commit
+    val root = SparkTestBase.tmpDir("cdc-kgc")
+    val t = LakeTable(root)(spark)
+    val schema = Seq((1L, "a", 1L, false)).toDF("id", "name",
+      CdcModel.RowLsnCol, CdcModel.DeletedCol).schema
+    t.create(schema, numBuckets = 4, appId = "kg", keyCols = Seq("id"))
+    def batch(lsn: Long, tag: String) = spark.range(100)
+      .select(col("id"), concat(lit(tag), col("id")).as("name"),
+        lit(lsn).as(CdcModel.LsnCol), lit("U").as(CdcModel.OpCol))
+    // two MOR generations per key, then compact
+    graft.cdc.Merge(t, batch(1, "old"), "kg", 0, keyCols = Seq("id"), mergeOnRead = true)
+    graft.cdc.Merge(t, batch(2, "new"), "kg", 1, keyCols = Seq("id"), mergeOnRead = true)
+    val rewritten = graft.cdc.Compaction(t, horizonLsn = -1L, maxFilesPerBucket = 1)
+    assert(rewritten > 0)
+    // LWW winner per id survives; one-bucket-per-file invariant holds under
+    // the TABLE's key (id), which the pre-fix CdcModel-keyed compaction
+    // could not even resolve (no repo column)
+    val live = CdcPipeline.liveState(t)
+    assert(live.count() === 100)
+    assert(live.filter(!col("name").startsWith("new")).count() === 0)
+    t.currentSnapshot.get.files.foreach { f =>
+      val b = spark.read.parquet(s"$root/data/${f.path}")
+        .select(LakeTable.bucketExpr(Seq("id"), 4).as("b")).distinct().collect()
+      assert(b.length === 1 && b(0).getInt(0) === f.bucket)
+    }
+  }
+
   test("sub-bucket salt (hot-bucket skew path) leaves merged state unchanged") {
     val run = (salt: Int, tag: String) => {
       spark.conf.set("graft.merge.salt", salt.toString)
