@@ -244,7 +244,7 @@ object Merge {
     val shuffleKeys =
       if (salt <= 1) Seq(col(LakeTable.BucketCol))
       else Seq(col(LakeTable.BucketCol), saltExpr)
-    val combined = target
+    val combined0 = target
       .select(batchConformed.columns.map(col): _*) // align column order for union
       .unionByName(batchConformed)
       .withColumn(KeyHash, xxhash64(keyCols.map(col): _*))
@@ -254,6 +254,16 @@ object Merge {
       // content — identical values to computing them per-side pre-union
       .withColumn(OpRankCol, col(CdcModel.DeletedCol).cast("int"))
       .withColumn(TieCol, tieBreak)
+    // batch-row LSN as a PLAIN column projected BEFORE any window node:
+    // a computed window-function argument gets extracted into a Project
+    // BETWEEN window nodes, which blocks CollapseWindow — three WindowExec
+    // passes instead of one over the same sorted partition (observed in the
+    // real executed plan). Pre-projected, all five window functions below
+    // share ONE Window node.
+    val combined =
+      if (!mergeOnRead) combined0
+      else combined0.withColumn("_bLsn",
+        when(col(SrcCol) === 1L, col(CdcModel.RowLsnCol)))
 
     // --- job 2: merge + write. LWW winner per key via an explicit
     // sort-within-partitions + row_number window: the sort we provide is
@@ -306,8 +316,8 @@ object Merge {
       if (!mergeOnRead) ranked
       else ranked
         .withColumn("_nB", sum(col(SrcCol)).over(wAll))
-        .withColumn("_mnL", min(when(col(SrcCol) === 1L, col(CdcModel.RowLsnCol))).over(wAll))
-        .withColumn("_mxL", max(when(col(SrcCol) === 1L, col(CdcModel.RowLsnCol))).over(wAll))
+        .withColumn("_mnL", min(col("_bLsn")).over(wAll))
+        .withColumn("_mxL", max(col("_bLsn")).over(wAll))
     val filtered = withBatchStats.filter(col("_rn") === 1)
     val observed =
       if (!mergeOnRead) filtered.observe(obs, sum("_hasBatch").as("distinctKeys"))

@@ -94,6 +94,57 @@ class PlanSpec extends SparkSuite {
     assert(sorts <= 1, s"window added an extra sort:\n$plan")
   }
 
+  test("REAL MOR merge write job: one exchange, sort-satisfied window, stats on one CollectMetrics") {
+    // capture the ACTUAL executed plan of the merge's write job (not a
+    // mimic): regression net for the single-shuffle + no-extra-sort claims
+    // now that MOR batch stats ride the window pass
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        captured.add(qe.executedPlan.toString)
+      def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val root = SparkTestBase.tmpDir("plan-mor-real")
+      val p = new CdcPipeline(LakeTable(root)(spark), "planmor",
+        lineage = false, mergeOnRead = true, compactEveryFiles = 0)
+      p.bootstrap(numBuckets = 8)
+      val ev = DerivedEvents.fromDocuments(
+        spark.read.parquet(s"$sfDir/documents.parquet"))
+      p.applyBatch(ev, 0)
+      // listener delivery is async — poll for the write job's plan
+      var plan: Option[String] = None
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (plan.isEmpty && System.nanoTime() < deadline) {
+        import scala.jdk.CollectionConverters._
+        plan = captured.asScala.find(s =>
+          s.contains("CollectMetrics") && s.contains("WriteFiles"))
+        if (plan.isEmpty) Thread.sleep(100)
+      }
+      // AdaptiveSparkPlan.toString prints the final AND the initial plan —
+      // count nodes only in the final section
+      val pl = plan.getOrElse(fail("no write-job plan captured"))
+        .split("== Initial Plan ==")(0)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(pl).size
+      assert(exchanges === 1, s"expected exactly 1 shuffle in the MOR merge, got $exchanges:\n$pl")
+      // exactly ONE CollectMetrics node: a second one never reports inside
+      // foreachBatch (the round-3 deadlock) — this pins the invariant
+      assert("CollectMetrics".r.findAllIn(pl).size === 1, s"plan must carry one CollectMetrics:\n$pl")
+      // all five window functions (LWW row_number + the four stats) share
+      // ONE Window node over the explicit sort — a computed argument would
+      // split them into multiple WindowExec passes
+      assert("\\bWindow \\[".r.findAllIn(pl).size === 1, s"window functions did not collapse:\n$pl")
+      // our explicit sort satisfies both the window and the partitioned
+      // write's required ordering — no second Sort anywhere
+      val sorts = "\\bSort \\[".r.findAllIn(pl).size
+      assert(sorts <= 1, s"extra sort appeared in the MOR merge plan:\n$pl")
+      assert(!pl.contains("CartesianProduct"))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("salted MERGE shape still plans exactly one exchange") {
     // regression: HashPartitioning(bucket, khash mod S) satisfies the
     // window's clustered distribution ONLY if the salt expression is among
