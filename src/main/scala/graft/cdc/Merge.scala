@@ -22,7 +22,12 @@ case class MergeStats(
     maxLsn: Long,
     schemaEvolved: Boolean,
     skippedFenced: Boolean, // batch was already committed (exactly-once replay)
-    durationMs: Long)
+    durationMs: Long,
+    // per-source-partition offsets this batch advanced to (what the snapshot
+    // committed in sourceOffsets) — the lineage record carries the full
+    // offset range so any batch's provenance is queryable without reading
+    // snapshot history
+    sourceOffsets: Map[String, Long] = Map.empty)
 
 /** MERGE INTO for the LakeTable: applies one micro-batch of change events as
   * a key-bucket-pruned, single-shuffle upsert.
@@ -190,7 +195,8 @@ object Merge {
       val s = table.replaceFiles(snap, Set.empty, Nil, None, appId, batchId,
         snap.watermarkLsn, snap.sourceOffsets ++ sourceOffsets)
       return MergeStats(batchId, s.version, 0, 0, 0, 0, 0, 0, 0, -1, -1,
-        schemaEvolved = false, skippedFenced = false, (System.nanoTime() - t0) / 1000000)
+        schemaEvolved = false, skippedFenced = false, (System.nanoTime() - t0) / 1000000,
+        sourceOffsets = sourceOffsets)
     }
     val buckets = pre.map(_.map(_.getInt(0)).toSet).getOrElse(Set.empty)
 
@@ -239,15 +245,24 @@ object Merge {
     // to S files per touched bucket per batch instead of 1 — size S to the
     // observed skew, not to the cluster (graft.merge.salt, default 1).
     val KeyHash = "_khash"
+    val SaltCol = "_salt"
     val salt = spark.conf.getOption("graft.merge.salt").map(_.toInt).getOrElse(1)
-    val saltExpr = pmod(col(KeyHash), lit(salt))
+    // the salt is a PLAIN pre-projected column, not an inline expression: a
+    // computed expression in the window PARTITION spec gets extracted into a
+    // Project between window nodes, splitting the five window functions into
+    // five WindowExec passes (same CollapseWindow blocker as a computed
+    // window argument — both observed in the real executed plan). Cost: one
+    // int through the shuffle, salted mode only.
     val shuffleKeys =
       if (salt <= 1) Seq(col(LakeTable.BucketCol))
-      else Seq(col(LakeTable.BucketCol), saltExpr)
-    val combined0 = target
+      else Seq(col(LakeTable.BucketCol), col(SaltCol))
+    val unioned = target
       .select(batchConformed.columns.map(col): _*) // align column order for union
       .unionByName(batchConformed)
       .withColumn(KeyHash, xxhash64(keyCols.map(col): _*))
+    val combined0 =
+      (if (salt <= 1) unioned
+       else unioned.withColumn(SaltCol, pmod(col(KeyHash), lit(salt))))
       .repartition(shufflePartitions, shuffleKeys: _*)
       // LWW order columns derived post-shuffle (see above): both sides'
       // rank is exactly their tombstone flag, and the tie-break is their
@@ -286,7 +301,7 @@ object Merge {
     // function of khash, which already follows it)
     val partCols =
       (if (salt <= 1) Seq(col(LakeTable.BucketCol), col(KeyHash))
-       else Seq(col(LakeTable.BucketCol), saltExpr, col(KeyHash))) ++ keyCols.map(col)
+       else Seq(col(LakeTable.BucketCol), col(SaltCol), col(KeyHash))) ++ keyCols.map(col)
     val sortKeys = partCols ++ Seq(
       col(CdcModel.RowLsnCol).desc, col(OpRankCol).desc, col(TieCol).desc)
     val w = org.apache.spark.sql.expressions.Window
@@ -350,6 +365,7 @@ object Merge {
     MergeStats(batchId, committed.version, eventsIn, distinctKeys,
       eventsIn - distinctKeys, bucketsTouched, targetFiles.size,
       added.map(_.rows).sum, added.map(_.bytes).sum, minLsn, maxLsn, schemaEvolved,
-      skippedFenced = false, (System.nanoTime() - t0) / 1000000)
+      skippedFenced = false, (System.nanoTime() - t0) / 1000000,
+      sourceOffsets = sourceOffsets)
   }
 }

@@ -26,9 +26,16 @@ object Lineage {
     StructField("bytesWritten", LongType),
     StructField("minLsn", LongType), StructField("maxLsn", LongType),
     StructField("schemaEvolved", BooleanType), StructField("skippedFenced", BooleanType),
-    StructField("durationMs", LongType)))
+    StructField("durationMs", LongType),
+    // per-source-partition offsets the batch advanced to (null in records
+    // written before round 4) — batch provenance without snapshot history
+    StructField("sourceOffsets", MapType(StringType, LongType))))
 
   def append(table: LakeTable, s: MergeStats): Unit = {
+    val offsets = s.sourceOffsets.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + "\":" + v
+      }.mkString("{", ",", "}")
     val json = s"""{"batchId":${s.batchId},"version":${s.committedVersion},""" +
       s""""eventsIn":${s.eventsIn},"distinctKeys":${s.distinctKeys},""" +
       s""""lwwConflicts":${s.lwwConflicts},"bucketsTouched":${s.bucketsTouched},""" +
@@ -36,7 +43,7 @@ object Lineage {
       s""""bytesWritten":${s.bytesWritten},""" +
       s""""minLsn":${s.minLsn},"maxLsn":${s.maxLsn},""" +
       s""""schemaEvolved":${s.schemaEvolved},"skippedFenced":${s.skippedFenced},""" +
-      s""""durationMs":${s.durationMs}}""" + "\n"
+      s""""durationMs":${s.durationMs},"sourceOffsets":$offsets}""" + "\n"
     val dir = new org.apache.hadoop.fs.Path(table.root, "lineage")
     table.fs.mkdirs(dir)
     LakeTable.writeStringExclusive(table.fs,

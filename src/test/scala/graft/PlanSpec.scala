@@ -142,6 +142,27 @@ class PlanSpec extends SparkSuite {
       val sorts = "\\bSort \\[".r.findAllIn(pl).size
       assert(sorts <= 1, s"extra sort appeared in the MOR merge plan:\n$pl")
       assert(!pl.contains("CartesianProduct"))
+
+      // salted path, same invariants: the salt expr must appear among the
+      // window partition keys, or Catalyst inserts a SECOND exchange
+      captured.clear()
+      spark.conf.set("graft.merge.salt", "4")
+      try p.applyBatch(ev.withColumn("lsn", col("lsn") + 1000000L), 1)
+      finally spark.conf.unset("graft.merge.salt")
+      var plan2: Option[String] = None
+      val deadline2 = System.nanoTime() + 30L * 1000000000L
+      while (plan2.isEmpty && System.nanoTime() < deadline2) {
+        import scala.jdk.CollectionConverters._
+        plan2 = captured.asScala.find(s =>
+          s.contains("CollectMetrics") && s.contains("WriteFiles"))
+        if (plan2.isEmpty) Thread.sleep(100)
+      }
+      val pl2 = plan2.getOrElse(fail("no salted write-job plan captured"))
+        .split("== Initial Plan ==")(0)
+      assert("Exchange hashpartitioning".r.findAllIn(pl2).size === 1,
+        s"salted MOR merge must still plan one shuffle:\n$pl2")
+      assert("\\bWindow \\[".r.findAllIn(pl2).size === 1)
+      assert("\\bSort \\[".r.findAllIn(pl2).size <= 1)
     } finally spark.listenerManager.unregister(listener)
   }
 

@@ -77,6 +77,9 @@ class StreamingSpec extends SparkSuite {
       .filter(!col("skippedFenced"))
     assert(lin.agg(sum("eventsIn")).collect()(0).getLong(0) === events.count())
     assert(lin.filter(col("maxLsn") >= 0 && col("minLsn") >= 0).count() === lin.count())
+    // per-partition provenance: every record carries the source-offset map
+    assert(lin.filter(element_at(col("sourceOffsets"), s"$base/events").isNotNull)
+      .count() === lin.count())
   }
 
   test("schedule DSL maps onto triggers") {
