@@ -133,6 +133,46 @@ class LakeTableSpec extends SparkSuite {
     } finally spark.conf.unset("graft.manifest.bucketsPerGroup")
   }
 
+  test("legacy inline-file snapshots read transparently and migrate on the next commit") {
+    val t = LakeTable(SparkTestBase.tmpDir("lake-legacy"))(spark)
+    t.create(schema, 4, "t")
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val v1 = t.overwrite(df, Seq("k"), "t")
+    // rewrite snapshot-1 in the ROUND-3 format: file list inline, no manifests
+    val fs = t.fs
+    val p = new org.apache.hadoop.fs.Path(t.root, "meta/snapshot-1.json")
+    fs.delete(p, false)
+    val legacy = Snapshot(1L, 0L, v1.schemaJson, 4, v1.files, "t", -1L, -1L, Map.empty, Seq("k"))
+    val out = fs.create(p, true)
+    out.write(Snapshot.toJson(legacy).getBytes("UTF-8")); out.close()
+    // fresh instance (no caches): legacy form reads
+    val t2 = LakeTable(t.root)(spark)
+    assert(t2.read().orderBy("k").as[(String, Long)].collect().toSeq ===
+      Seq(("a", 1L), ("b", 2L)))
+    assert(t2.currentSnapshot.get.manifests.isEmpty)
+    // next commit migrates to the two-level form
+    val v2 = t2.overwrite(Seq(("c", 3L)).toDF("k", "v"), Seq("k"), "t")
+    assert(v2.manifests.nonEmpty)
+    assert(t2.snapshot(2L).files.map(_.rows).sum === 1)
+  }
+
+  test("vacuum collects orphan manifests from lost commit races") {
+    val t = LakeTable(SparkTestBase.tmpDir("lake-orph"))(spark)
+    t.create(schema, 4, "t")
+    val v1 = t.overwrite(Seq(("a", 1L)).toDF("k", "v"), Seq("k"), "t")
+    // a loser of the commit CAS leaves its freshly-written manifest behind —
+    // simulate the orphan directly
+    val fs = t.fs
+    val orphan = new org.apache.hadoop.fs.Path(t.root, "meta/manifest-orphan.json")
+    val out = fs.create(orphan, true); out.write("[]".getBytes("UTF-8")); out.close()
+    t.vacuum(graceMs = 0L)
+    assert(!fs.exists(orphan), "orphan manifest must be collected")
+    // live manifests survive and the table still reads
+    assert(t.currentSnapshot.get.manifests.forall(m =>
+      fs.exists(new org.apache.hadoop.fs.Path(t.root, s"meta/${m.path}"))))
+    assert(t.read().count() === 1)
+  }
+
   test("vacuum removes only unreferenced files; time travel before, not after") {
     val t = LakeTable(SparkTestBase.tmpDir("lake-vac"))(spark)
     t.create(schema, 4, "t")
