@@ -243,6 +243,21 @@ object DedupOps {
     * no candidate pair are their own cluster and are simply absent (join
     * docs with "left" and coalesce to the doc's own id to materialize them).
     */
+  /** The end-to-end dedup step: drop every document that belongs to a
+    * duplicate cluster but is not its canonical (min-id) member. Singleton
+    * documents (no candidate pair) pass through untouched — [[clusters]]
+    * only emits paired ids, so the left anti-join against the non-canonical
+    * member set is the whole operation: one broadcast-friendly join over
+    * the (small) duplicate-member list, no shuffle of the corpus by content.
+    */
+  def canonical(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val losers = clusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))

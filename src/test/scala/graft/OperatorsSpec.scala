@@ -55,6 +55,15 @@ class OperatorsSpec extends SparkSuite {
     assert(r.count() === 300)
   }
 
+  test("canonical keeps cluster minima and singletons, drops the rest") {
+    val d = Seq((1L, "x"), (2L, "x"), (3L, "x"), (5L, "alone"), (7L, "y"), (9L, "y"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val kept = DedupOps.canonical(d, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 5L, 7L))
+  }
+
   test("minhash LSH recalls the exact-duplicate and near-dup pairs") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
