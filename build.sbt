@@ -11,6 +11,8 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forward stdin to the forked JVM — db-terminal reads SQL from it
+run / connectInput := true
 // Forked run output goes straight to this process's stdout/stderr instead of
 // through sbt's logger — benchmark/verify JSON lines must print bare (no
 // "[info] " prefix) so external harnesses can parse them.

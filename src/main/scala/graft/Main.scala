@@ -333,6 +333,9 @@ object Main {
         val t = LakeTable(tp.toString)(spark)
         if (t.exists) {
           graft.cdc.CdcPipeline.liveState(t).createOrReplaceTempView(tp.getName)
+          // the metrics table rides along: per-batch lineage as <name>_lineage
+          graft.cdc.Lineage.read(spark, tp.toString)
+            .createOrReplaceTempView(s"${tp.getName}_lineage")
           Some(tp.getName)
         } else None
       }
