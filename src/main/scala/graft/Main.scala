@@ -332,11 +332,22 @@ object Main {
       val names = fs.listStatus(p).filter(_.isDirectory).map(_.getPath).flatMap { tp =>
         val t = LakeTable(tp.toString)(spark)
         if (t.exists) {
-          graft.cdc.CdcPipeline.liveState(t).createOrReplaceTempView(tp.getName)
-          // the metrics table rides along: per-batch lineage as <name>_lineage
-          graft.cdc.Lineage.read(spark, tp.toString)
-            .createOrReplaceTempView(s"${tp.getName}_lineage")
-          Some(tp.getName)
+          // view names must be valid SQL identifiers — sanitize directory
+          // names like `my-table` / `orders.v2` instead of aborting the
+          // whole terminal on the first unparseable one
+          val raw = tp.getName.replaceAll("[^A-Za-z0-9_]", "_")
+          val name = if (raw.headOption.exists(_.isDigit)) s"t_$raw" else raw
+          try {
+            graft.cdc.CdcPipeline.liveState(t).createOrReplaceTempView(name)
+            // the metrics table rides along: per-batch lineage as <name>_lineage
+            graft.cdc.Lineage.read(spark, tp.toString)
+              .createOrReplaceTempView(s"${name}_lineage")
+            Some(if (name == tp.getName) name else s"$name (= ${tp.getName})")
+          } catch {
+            case e: Exception =>
+              System.err.println(s"[db-terminal] skipping ${tp.getName}: ${e.getMessage}")
+              None
+          }
         } else None
       }
       println(s"[db-terminal] tables: ${names.sorted.mkString(", ")} (exit/quit to leave)")

@@ -830,99 +830,22 @@ object SparkEntry {
       JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
       WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.2
       ORDER BY a, b""",
-    "dedup_minhash_lsh" -> """
-      WITH tk AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        FROM documents WHERE doc_id < 500),
-      sh AS (
-        SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) <= 2
-          THEN [array_to_string(t, ' ')]
-          ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
-          END)) AS s
-        FROM tk),
-      sig AS (
-        SELECT doc_id,
-          min(md5('0#' || s)) AS m0, min(md5('1#' || s)) AS m1,
-          min(md5('2#' || s)) AS m2, min(md5('3#' || s)) AS m3,
-          min(md5('4#' || s)) AS m4, min(md5('5#' || s)) AS m5,
-          min(md5('6#' || s)) AS m6, min(md5('7#' || s)) AS m7
-        FROM sh GROUP BY doc_id),
-      banded AS (
-        SELECT doc_id, band, bv FROM sig, LATERAL (VALUES
-          (0, m0 || '|' || m1), (1, m2 || '|' || m3),
-          (2, m4 || '|' || m5), (3, m6 || '|' || m7)) AS v(band, bv))
+    "dedup_minhash_lsh" -> s"""
+      WITH $minhashBandedCtes
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
       FROM banded l JOIN banded r
         ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
       ORDER BY a, b""",
     // same pair set as dedup_minhash_lsh, then connected components as a
     // recursive-CTE transitive closure: cluster_id = min reachable doc id
-    "dedup_clusters" -> """
-      WITH RECURSIVE tk AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        FROM documents WHERE doc_id < 500),
-      sh AS (
-        SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) <= 2
-          THEN [array_to_string(t, ' ')]
-          ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
-          END)) AS s
-        FROM tk),
-      sig AS (
-        SELECT doc_id,
-          min(md5('0#' || s)) AS m0, min(md5('1#' || s)) AS m1,
-          min(md5('2#' || s)) AS m2, min(md5('3#' || s)) AS m3,
-          min(md5('4#' || s)) AS m4, min(md5('5#' || s)) AS m5,
-          min(md5('6#' || s)) AS m6, min(md5('7#' || s)) AS m7
-        FROM sh GROUP BY doc_id),
-      banded AS (
-        SELECT doc_id, band, bv FROM sig, LATERAL (VALUES
-          (0, m0 || '|' || m1), (1, m2 || '|' || m3),
-          (2, m4 || '|' || m5), (3, m6 || '|' || m7)) AS v(band, bv)),
-      pairs AS (
-        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        FROM banded l JOIN banded r
-          ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id),
-      edges AS (
-        SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
-      reach(x, y) AS (
-        SELECT x, y FROM edges
-        UNION
-        SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x AND e.y <> r.x)
+    "dedup_clusters" -> s"""
+      WITH RECURSIVE $minhashReachCtes
       SELECT x AS doc_id, least(x, min(y)) AS cluster_id
       FROM reach GROUP BY x ORDER BY doc_id""",
-    // the clusters chain again, terminal anti-join: corpus minus
-    // non-canonical duplicate-cluster members (singletons pass through)
-    "dedup_canonical" -> """
-      WITH RECURSIVE tk AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        FROM documents WHERE doc_id < 500),
-      sh AS (
-        SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) <= 2
-          THEN [array_to_string(t, ' ')]
-          ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
-          END)) AS s
-        FROM tk),
-      sig AS (
-        SELECT doc_id,
-          min(md5('0#' || s)) AS m0, min(md5('1#' || s)) AS m1,
-          min(md5('2#' || s)) AS m2, min(md5('3#' || s)) AS m3,
-          min(md5('4#' || s)) AS m4, min(md5('5#' || s)) AS m5,
-          min(md5('6#' || s)) AS m6, min(md5('7#' || s)) AS m7
-        FROM sh GROUP BY doc_id),
-      banded AS (
-        SELECT doc_id, band, bv FROM sig, LATERAL (VALUES
-          (0, m0 || '|' || m1), (1, m2 || '|' || m3),
-          (2, m4 || '|' || m5), (3, m6 || '|' || m7)) AS v(band, bv)),
-      pairs AS (
-        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        FROM banded l JOIN banded r
-          ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id),
-      edges AS (
-        SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
-      reach(x, y) AS (
-        SELECT x, y FROM edges
-        UNION
-        SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x AND e.y <> r.x),
+    // the clusters chain, terminal anti-join: corpus minus non-canonical
+    // duplicate-cluster members (singletons pass through)
+    "dedup_canonical" -> s"""
+      WITH RECURSIVE $minhashReachCtes,
       losers AS (
         SELECT x AS doc_id FROM reach GROUP BY x HAVING least(x, min(y)) <> x)
       SELECT doc_id, sha256(text) AS text_sha
@@ -952,14 +875,17 @@ object SparkEntry {
         CAST(octet_length(encode(text)) // 4 AS INT) AS frame_n_bytes
       FROM documents, (SELECT unnest(range(4)) AS k)
       ORDER BY media_id, frame_idx""",
-    "text_quality" -> """
+    // stopword list interpolated from the SAME langMarkers("en") the Spark
+    // query passes to qualityScore — widening the profile map cannot desync
+    // this oracle (same generated-from-one-source rule as text_langid)
+    "text_quality" -> s"""
       WITH q AS (
         SELECT doc_id,
           least(length(text) / 500.0, 1.0) AS len_score,
-          CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) = 0 THEN 0.0
-            ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-              x -> x IN ('the','and','of','to','is'))) * 1.0
-              / len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS sw,
+          CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) = 0 THEN 0.0
+            ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+              x -> x IN (${TextFunctions.langMarkers("en").map(m => s"'$m'").mkString(",")}))) * 1.0
+              / len(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS sw,
           CASE WHEN length(text) = 0 THEN 0.0
             ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0
               / length(text) END AS punct,
@@ -1087,6 +1013,45 @@ object SparkEntry {
     * cosine folding the same doubles in the same sequential order in both
     * engines (DuckDB's list_dot_product ≡ Spark's sequential `aggregate`
     * fold, already verified bit-identical by the other ANN oracles). */
+  /** Shared oracle CTE chain for the MinHash-LSH family: shingles →
+    * signatures → bands (single source — dedup_minhash_lsh, dedup_clusters
+    * and dedup_canonical all interpolate this, so a shingling or band-layout
+    * change can never desync the cluster oracles from the pair oracle). */
+  private val minhashBandedCtes: String = """tk AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE doc_id < 500),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) <= 2
+          THEN [array_to_string(t, ' ')]
+          ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+          END)) AS s
+        FROM tk),
+      sig AS (
+        SELECT doc_id,
+          min(md5('0#' || s)) AS m0, min(md5('1#' || s)) AS m1,
+          min(md5('2#' || s)) AS m2, min(md5('3#' || s)) AS m3,
+          min(md5('4#' || s)) AS m4, min(md5('5#' || s)) AS m5,
+          min(md5('6#' || s)) AS m6, min(md5('7#' || s)) AS m7
+        FROM sh GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, band, bv FROM sig, LATERAL (VALUES
+          (0, m0 || '|' || m1), (1, m2 || '|' || m3),
+          (2, m4 || '|' || m5), (3, m6 || '|' || m7)) AS v(band, bv))"""
+
+  /** [[minhashBandedCtes]] + candidate pairs + bidirectional edges +
+    * recursive transitive closure — the clusters chain. */
+  private val minhashReachCtes: String = s"""$minhashBandedCtes,
+      pairs AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id),
+      edges AS (
+        SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+      reach(x, y) AS (
+        SELECT x, y FROM edges
+        UNION
+        SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x AND e.y <> r.x)"""
+
   /** text_langid oracle GENERATED from [[TextFunctions.langMarkers]] — the
     * Spark expression and the DuckDB replay share one marker source, so
     * widening the profile map can never desynchronize them. Tie-break

@@ -111,6 +111,17 @@ object JobRunner {
     * released, so driver memory is O(batch) for an unbounded endpoint), and
     * the load is the same bucket-pruned upsert the DB path uses.
     */
+  /** The extract's projection + transform chain — one definition shared by
+    * every endpoint path (extract-load-api, extract-api, previews), so the
+    * two verbs can never shape the same spec differently. */
+  private def shapeFor(extract: TableExtractSpec)(df: DataFrame): DataFrame = {
+    val projected = extract.columns match {
+      case Seq("*") | Nil => df
+      case cols => df.select(cols.map(col): _*)
+    }
+    ColumnTransforms(projected, extract.transforms, extract.computed)
+  }
+
   private def endpointCfg(s: SourceSpec): EndpointConfig =
     EndpointConfig(url = s.url, method = s.method, headers = s.headers,
       basicAuth = for { u <- s.basicAuthUser; p <- s.basicAuthPassword } yield (u, p),
@@ -133,13 +144,7 @@ object JobRunner {
       throw new IllegalArgumentException(
         "extract-api needs source.schema (TableDefinition) — no destination to infer from"))
     val src = Endpoint.source(cfg, transport, pagesPerBatch = s.pagesPerBatch)
-    def shape(df: DataFrame): DataFrame = {
-      val projected = extract.columns match {
-        case Seq("*") | Nil => df
-        case cols => df.select(cols.map(col): _*)
-      }
-      ColumnTransforms(projected, extract.transforms, extract.computed)
-    }
+    def shape(df: DataFrame): DataFrame = shapeFor(extract)(df)
     var off = 0L
     var more = true
     var total = 0L
@@ -180,13 +185,7 @@ object JobRunner {
         "api source needs source.schema (TableDefinition) or an existing destination")
     }
     val src = Endpoint.source(cfg, transport, pagesPerBatch = s.pagesPerBatch)
-    def shape(df: DataFrame): DataFrame = {
-      val projected = extract.columns match {
-        case Seq("*") | Nil => df
-        case cols => df.select(cols.map(col): _*)
-      }
-      ColumnTransforms(projected, extract.transforms, extract.computed)
-    }
+    def shape(df: DataFrame): DataFrame = shapeFor(extract)(df)
     // Endpoint strategies (endpoint_configuration.go:205-217): Full =
     // truncate+insert; Incremental AND ModifiedOnly = the same delete-match
     // upsert at load time (load.go:148) — the go_back_hours lookback is a

@@ -136,15 +136,27 @@ final class LakeTable(val root: String, spark: SparkSession) {
   private def inflate(s: Snapshot): Snapshot =
     if (s.manifests.isEmpty) s else s.copy(files = loadManifests(s.manifests))
 
-  /** Immutable manifest contents, cached by path. */
+  /** Immutable manifest contents, cached by path — BOUNDED LRU: a streaming
+    * driver commits manifests every few seconds for weeks, and an unbounded
+    * map would retain every superseded generation forever (a slow driver
+    * leak). 8192 entries covers a 10^5-bucket table's full manifest set
+    * (~3e3 at 32 buckets/group) with headroom; eviction only costs a re-read.
+    */
   private val manifestCache =
-    new java.util.concurrent.ConcurrentHashMap[String, List[DataFile]]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, List[DataFile]](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, List[DataFile]]): Boolean = size() > 8192
+      })
 
-  private def loadManifest(path: String): List[DataFile] =
-    manifestCache.computeIfAbsent(path, p => {
-      implicit val formats: Formats = DefaultFormats
-      Serialization.read[List[DataFile]](readString(fs, new HPath(metaDir, p)))
-    })
+  private def loadManifest(path: String): List[DataFile] = {
+    val hit = manifestCache.get(path)
+    if (hit != null) return hit
+    implicit val formats: Formats = DefaultFormats
+    val files = Serialization.read[List[DataFile]](readString(fs, new HPath(metaDir, path)))
+    manifestCache.put(path, files) // idempotent on a racing double-load
+    files
+  }
 
   /** Parallel manifest loads: a 1e5-bucket table has O(10^3) small manifests
     * and sequential opens would dominate driver-side snapshot resolution on
@@ -316,7 +328,8 @@ final class LakeTable(val root: String, spark: SparkSession) {
     *        still reuses identical groups, just with a verification read.
     */
   private[lake] def commit(s: Snapshot, expectedParent: Long,
-      changedGroups: Option[Set[Int]]): Snapshot = {
+      changedGroups: Option[Set[Int]],
+      knownParentRefs: Option[List[ManifestRef]] = None): Snapshot = {
     require(s.parentVersion == expectedParent, s"snapshot parent ${s.parentVersion} != expected $expectedParent")
     require(s.version == expectedParent + 1, s"snapshot version must be parent+1")
     fs.mkdirs(metaDir)
@@ -330,9 +343,13 @@ final class LakeTable(val root: String, spark: SparkSession) {
     // are written — O(batch) commit bytes at any table size. Orphans from a
     // lost commit race are collected by vacuum (grace-guarded).
     val bpg = bucketsPerGroup
+    // callers that hold the parent Snapshot pass its refs down — saves one
+    // metadata read per commit (a per-micro-batch cost on an object store)
     val parentRefs: Map[Int, ManifestRef] =
       if (expectedParent < 0) Map.empty
-      else rawSnapshot(expectedParent).manifests.map(m => m.group -> m).toMap
+      else knownParentRefs.filter(_.nonEmpty)
+        .getOrElse(rawSnapshot(expectedParent).manifests)
+        .map(m => m.group -> m).toMap
     val refs = s.files.groupBy(_.bucket / bpg).toList.sortBy(_._1).map {
       case (g, fl) =>
         val sorted = fl.sortBy(_.path)
@@ -415,7 +432,8 @@ final class LakeTable(val root: String, spark: SparkSession) {
     val bpg = bucketsPerGroup
     val changed = (parent.files.filter(f => removed.contains(f.path)).map(_.bucket) ++
       added.map(_.bucket)).map(_ / bpg).toSet
-    val committed = commit(s, parent.version, Some(changed))
+    val committed = commit(s, parent.version, Some(changed),
+      knownParentRefs = Some(parent.manifests))
     // data files removed from the manifest stay on disk until vacuum() —
     // time-travel readers of older snapshots remain valid.
     committed
@@ -426,7 +444,7 @@ final class LakeTable(val root: String, spark: SparkSession) {
     val parent = currentSnapshot.getOrElse(throw new IllegalStateException("create() first"))
     commit(parent.copy(version = parent.version + 1, parentVersion = parent.version,
       schemaJson = newSchema.json, appId = appId, batchId = -1L), parent.version,
-      Some(Set.empty))
+      Some(Set.empty), knownParentRefs = Some(parent.manifests))
   }
 
   /** Full rewrite into a new bucket count — the escape hatch for a table
@@ -477,10 +495,14 @@ final class LakeTable(val root: String, spark: SparkSession) {
     if (versions.isEmpty) return 0
     val retained = versions.takeRight(keep).map(rawSnapshot)
 
-    // 1. expire old snapshot records (grace-guarded like everything else)
+    // 1. expire old snapshot records (grace-guarded like everything else;
+    // an overlapping maintenance run may have deleted an entry between our
+    // listing and the stat — skip, don't abort the rest of the cleanup)
     versions.dropRight(keep).foreach { v =>
       val p = new HPath(metaDir, s"snapshot-$v.json")
-      if (fs.getFileStatus(p).getModificationTime < cutoff) fs.delete(p, false)
+      try {
+        if (fs.getFileStatus(p).getModificationTime < cutoff) fs.delete(p, false)
+      } catch { case _: java.io.FileNotFoundException => }
     }
 
     // 2. manifests (and stale commit temps) no retained snapshot references

@@ -264,6 +264,17 @@ object DedupOps {
       .union(pairs.select(col(bCol).cast("long").as("x"), col(aCol).cast("long").as("y")))
       .distinct()
       .persist()
+    // a clean corpus (zero candidate pairs) is the COMMON case: return the
+    // empty labeling up front — the checksum below would otherwise read a
+    // null sum and the fixpoint compare would NPE
+    if (edges.isEmpty) {
+      edges.unpersist()
+      return pairs.sparkSession.createDataFrame(
+        pairs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType))))
+    }
     // every round joins the label set against itself TWICE, so without
     // truncation the logical plan doubles per round (2^rounds nodes: analyzer
     // and codegen die long before the data does) — localCheckpoint

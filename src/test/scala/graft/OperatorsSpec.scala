@@ -55,6 +55,15 @@ class OperatorsSpec extends SparkSuite {
     assert(r.count() === 300)
   }
 
+  test("clusters/canonical on a clean corpus (zero pairs) return it unchanged") {
+    // regression: the empty edge set used to NPE in the fixpoint checksum —
+    // the COMMON case (no near-duplicates found) must be a clean no-op
+    val d = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(DedupOps.clusters(noPairs).count() === 0)
+    assert(DedupOps.canonical(d, noPairs).count() === 2)
+  }
+
   test("canonical keeps cluster minima and singletons, drops the rest") {
     val d = Seq((1L, "x"), (2L, "x"), (3L, "x"), (5L, "alone"), (7L, "y"), (9L, "y"))
       .toDF("doc_id", "text")
