@@ -47,6 +47,14 @@ class PropertySpec extends SparkSuite {
     digestOf(p.state())
   }
 
+  test("gate registry: every query has an oracle and every oracle a query") {
+    // the driver records a weaker rows-only check for a query without an
+    // oracle, and an orphan oracle is dead SQL — keep the two maps in
+    // lockstep so coverage can't silently decay
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
+    assert(SparkEntry.oracleSql.values.forall(_.trim.nonEmpty))
+  }
+
   test("property: final state is independent of the batch split (exactly-once replay)") {
     (1 to 4).foreach { seed =>
       val events = sample(Gen.listOfN(60, genEvent), seed)
