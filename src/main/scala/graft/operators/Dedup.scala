@@ -310,6 +310,10 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      System.err.println(s"[dedup] clusters stopped at maxIters=$maxIters without " +
+        "reaching the fixpoint — labels are an upper bound (some clusters may be " +
+        "split); raise maxIters for extremely long similarity chains")
     labels.select(col("x").as("id"), col("lbl").as("cluster_id"))
   }
 }
