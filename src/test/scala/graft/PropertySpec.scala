@@ -55,6 +55,32 @@ class PropertySpec extends SparkSuite {
     assert(SparkEntry.oracleSql.values.forall(_.trim.nonEmpty))
   }
 
+  test("property: clusters equals brute-force connected components on random graphs") {
+    // deterministic random edge sets; oracle = in-memory union-find
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 5 + rnd.nextInt(30)
+      val m = rnd.nextInt(2 * n)
+      val edges = Seq.fill(m) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a)
+      }.filter(e => e._1 != e._2).distinct
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        .map(v => (v, find(v.toInt).toLong))
+      val got =
+        if (edges.isEmpty) Seq.empty
+        else graft.operators.DedupOps.clusters(edges.toDF("a", "b"))
+          .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === want, s"trial $trial: n=$n edges=$edges")
+    }
+  }
+
   test("property: final state is independent of the batch split (exactly-once replay)") {
     (1 to 4).foreach { seed =>
       val events = sample(Gen.listOfN(60, genEvent), seed)
