@@ -24,6 +24,23 @@ import graft.streaming.CdcStream
   * at local[*].
   */
 object Main {
+  /** Engine version (≙ `teleport version`, reference main.go:110-113). Bumped
+    * per round; the spark/scala build triple rides along for bug reports. */
+  val Version = "0.5.0"
+
+  private[graft] val usage: String =
+    "usage: gen <dir> <n> [files] | replay <eventsDir> <tableRoot> <ckpt> [appId] [maxFiles] [mor] | " +
+    "compact <tableRoot> [horizonLsn] | vacuum <tableRoot> [graceMs] [retainSnapshots] | show <tableRoot> | " +
+    "extract-load <spec.json> <table> [--preview] [--full] | schedule <spec.json> | " +
+    "list-tables <dir> | " +
+    "describe-table <root> | table-metadata <root> | drop-table <root> | rebucket <root> <numBuckets> | " +
+    "import-csv <csv> <root> [pk,cols] [--preview] | create-destination-table <root> <name:type,...> | " +
+    "create-destination-table-from-config-file <spec.json> <table> | new <padPath> | db-terminal <dir> | " +
+    "plugin <list|install cron|ecs> | " +
+    "about-db <dir> | transform <destRoot> <sql> [view=path...] [--preview] | extract <spec.json> <table> <csvDir> | " +
+    "extract-api <spec.json> <table> <csvDir> | secrets <generate-key|init|set|show|delete> ... | " +
+    "version | help"
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .appName("graft-cdc")
@@ -168,7 +185,10 @@ object Main {
       val out = graft.config.JobRunner.extractTable(spark, spec, table)
         .observe(obs, count(lit(1)).as("n"))
       graft.sources.CsvSource.write(out, outDir)
-      println(s"[extract] ${obs.get("n")} rows → $outDir (csv)")
+      // bounded metrics wait (not bare obs.get): fail loudly on a metrics
+      // delivery bug instead of hanging the CLI — same guard as Merge
+      val n = graft.cdc.Merge.awaitMetrics(obs)("n")
+      println(s"[extract] $n rows → $outDir (csv)")
 
     // ---- endpoint extract WITHOUT load (≙ `teleport extract-api`,
     // main.go:157-159 + api.go:78-99): drain the paginated endpoint to a
@@ -327,37 +347,53 @@ object Main {
     // (CDC tables as their LWW-resolved live state), stdin lines run
     // through spark.sql until EOF/exit
     case "db-terminal" :: dir :: Nil =>
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val names = fs.listStatus(p).filter(_.isDirectory).map(_.getPath).flatMap { tp =>
-        val t = LakeTable(tp.toString)(spark)
-        if (t.exists) {
-          // view names must be valid SQL identifiers — sanitize directory
-          // names like `my-table` / `orders.v2` instead of aborting the
-          // whole terminal on the first unparseable one
-          val raw = tp.getName.replaceAll("[^A-Za-z0-9_]", "_")
-          val name = if (raw.headOption.exists(_.isDigit)) s"t_$raw" else raw
-          try {
-            graft.cdc.CdcPipeline.liveState(t).createOrReplaceTempView(name)
-            // the metrics table rides along: per-batch lineage as <name>_lineage
-            graft.cdc.Lineage.read(spark, tp.toString)
-              .createOrReplaceTempView(s"${name}_lineage")
-            Some(if (name == tp.getName) name else s"$name (= ${tp.getName})")
-          } catch {
-            case e: Exception =>
-              System.err.println(s"[db-terminal] skipping ${tp.getName}: ${e.getMessage}")
-              None
-          }
-        } else None
+      // (re)list the lake dir and (re)register every table's LIVE state: the
+      // liveState plan pins the file listing resolved at registration, so a
+      // terminal left open during ingest would otherwise serve a stale
+      // point-in-time view forever. Re-resolving per query line keeps the
+      // terminal live (commits land between two queries → the second sees
+      // them) and picks up NEW tables too; the cost is one snapshot metadata
+      // read per table per line — driver-side microseconds on a local lake.
+      def registerViews(): Seq[String] = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq.flatMap { tp =>
+          val t = LakeTable(tp.toString)(spark)
+          if (t.exists) {
+            // view names must be valid SQL identifiers — sanitize directory
+            // names like `my-table` / `orders.v2` instead of aborting the
+            // whole terminal on the first unparseable one
+            val raw = tp.getName.replaceAll("[^A-Za-z0-9_]", "_")
+            val name = if (raw.headOption.exists(_.isDigit)) s"t_$raw" else raw
+            try {
+              graft.cdc.CdcPipeline.liveState(t).createOrReplaceTempView(name)
+              // the metrics table rides along: per-batch lineage as <name>_lineage
+              graft.cdc.Lineage.read(spark, tp.toString)
+                .createOrReplaceTempView(s"${name}_lineage")
+              Some(if (name == tp.getName) name else s"$name (= ${tp.getName})")
+            } catch {
+              case e: Exception =>
+                System.err.println(s"[db-terminal] skipping ${tp.getName}: ${e.getMessage}")
+                None
+            }
+          } else None
+        }
       }
-      println(s"[db-terminal] tables: ${names.sorted.mkString(", ")} (exit/quit to leave)")
+      val names = registerViews()
+      println(s"[db-terminal] tables: ${names.sorted.mkString(", ")} " +
+        "(refresh to re-list, exit/quit to leave)")
       val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
       print("graft> "); Console.flush()
       var line = in.readLine()
       while (line != null && line.trim != "exit" && line.trim != "quit") {
-        if (line.trim.nonEmpty) {
-          try spark.sql(line).show(50, truncate = false)
-          catch { case e: Exception => println(s"error: ${e.getMessage}") }
+        line.trim match {
+          case "" =>
+          case "refresh" =>
+            println(s"[db-terminal] tables: ${registerViews().sorted.mkString(", ")}")
+          case sql =>
+            registerViews() // re-resolve live state so this query sees commits
+            try spark.sql(sql).show(50, truncate = false)
+            catch { case e: Exception => println(s"error: ${e.getMessage}") }
         }
         print("graft> "); Console.flush()
         line = in.readLine()
@@ -394,18 +430,18 @@ object Main {
       val rows = tables.flatMap(_.currentSnapshot).map(_.files.map(_.rows).sum).sum
       println(s"lake at $dir: ${tables.length} tables, $rows rows")
 
+    // ≙ `teleport version` (main.go:110-113): a plain build identifier
+    case "version" :: Nil =>
+      println(s"graft $Version (spark ${org.apache.spark.SPARK_VERSION}, " +
+        s"scala ${scala.util.Properties.versionNumberString})")
+
+    // ≙ `teleport help` (main.go:114-121, cli.go): the usage dump as a verb
+    // with exit 0 — `unknown args` keeps exit 2 for actual mistakes
+    case "help" :: Nil =>
+      println(usage)
+
     case other =>
-      System.err.println(s"unknown args: ${other.mkString(" ")}\n" +
-        "usage: gen <dir> <n> [files] | replay <eventsDir> <tableRoot> <ckpt> [appId] [maxFiles] [mor] | " +
-        "compact <tableRoot> [horizonLsn] | vacuum <tableRoot> [graceMs] [retainSnapshots] | show <tableRoot> | " +
-        "extract-load <spec.json> <table> [--preview] [--full] | schedule <spec.json> | " +
-        "list-tables <dir> | " +
-        "describe-table <root> | table-metadata <root> | drop-table <root> | rebucket <root> <numBuckets> | " +
-        "import-csv <csv> <root> [pk,cols] [--preview] | create-destination-table <root> <name:type,...> | " +
-        "create-destination-table-from-config-file <spec.json> <table> | new <padPath> | db-terminal <dir> | " +
-        "plugin <list|install cron|ecs> | " +
-        "about-db <dir> | transform <destRoot> <sql> [view=path...] [--preview] | extract <spec.json> <table> <csvDir> | " +
-        "extract-api <spec.json> <table> <csvDir> | secrets <generate-key|init|set|show|delete> ...")
+      System.err.println(s"unknown args: ${other.mkString(" ")}\n" + usage)
       sys.exit(2)
   }
 }

@@ -1105,7 +1105,7 @@ object SparkEntry {
             x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vq
         FROM embeddings),
       vs AS (SELECT * FROM v
-        WHERE ((48271 * vec_id + 12345) % 2147483647) % $sampleMod = 0),
+        WHERE ((48271 * (vec_id % 2147483647) + 12345) % 2147483647) % $sampleMod = 0),
       c0 AS (SELECT vec_id AS cid, vq AS csum FROM vs ORDER BY vec_id LIMIT $nlist),
       $iterCtes,
       lists AS (

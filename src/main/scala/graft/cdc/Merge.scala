@@ -88,10 +88,12 @@ object Merge {
     * FOREVER if the execution's metrics event is never delivered — the
     * failure mode behind the streaming-MOR deadlock this module used to
     * have — and an unattended ingest must fail loudly with a diagnosis, not
-    * hang its micro-batch. The write job has already completed when this is
-    * called, so the event is normally milliseconds away; the timeout only
-    * fires on a genuine delivery bug. */
-  private def awaitMetrics(obs: Observation): Map[String, Any] = {
+    * hang its micro-batch. The observed job has already completed when this
+    * is called, so the event is normally milliseconds away; the timeout only
+    * fires on a genuine delivery bug. Shared (private[graft]) so EVERY
+    * Observation consumer — the CLI extract verb included — fails loudly
+    * instead of hanging on a delivery bug. */
+  private[graft] def awaitMetrics(obs: Observation): Map[String, Any] = {
     val sec = sys.props.getOrElse("graft.observation.timeoutSec", "900").toLong
     try {
       val row = scala.concurrent.Await.result(obs.future,

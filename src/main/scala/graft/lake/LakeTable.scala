@@ -67,7 +67,17 @@ case class Snapshot(
     // list. Pre-round-4 snapshots have `files` inline and `manifests` empty —
     // both forms read transparently; the first commit on a legacy table
     // migrates it.
-    manifests: List[ManifestRef] = Nil
+    manifests: List[ManifestRef] = Nil,
+    // The bucket-group granule `manifests` was grouped with — PERSISTED so a
+    // chain of commits always groups consistently with its parent's refs. A
+    // session configured with a different `graft.manifest.bucketsPerGroup`
+    // than the table was committed with would otherwise compute group numbers
+    // in a new layout while reusing parent references from the old one: a
+    // coincidental file-count match could then record a manifest whose file
+    // set is not the group's actual files (silent snapshot corruption). The
+    // conf only applies to NEW tables (and to legacy tables on their
+    // migration commit); 0 = pre-round-5 snapshot with no recorded granule.
+    bucketsPerGroup: Int = 0
 ) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 }
@@ -161,19 +171,11 @@ final class LakeTable(val root: String, spark: SparkSession) {
   /** Parallel manifest loads: a 1e5-bucket table has O(10^3) small manifests
     * and sequential opens would dominate driver-side snapshot resolution on
     * an object store. Deterministic order: refs are stored sorted by group,
-    * entries sorted by path. */
-  private def loadManifests(refs: List[ManifestRef]): List[DataFile] = {
-    if (refs.isEmpty) return Nil
-    if (refs.size == 1) return loadManifest(refs.head.path)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, refs.size))
-    try {
-      refs.map { r =>
-        pool.submit(new java.util.concurrent.Callable[List[DataFile]] {
-          def call(): List[DataFile] = loadManifest(r.path)
-        })
-      }.flatMap(_.get())
-    } finally pool.shutdown()
-  }
+    * entries sorted by path. Runs on the shared [[LakeTable.ioPool]] — a
+    * streaming driver resolves a snapshot every micro-batch for weeks, and a
+    * per-call thread pool would churn 16 threads per batch. */
+  private def loadManifests(refs: List[ManifestRef]): List[DataFile] =
+    LakeTable.inParallel(refs)(r => loadManifest(r.path)).flatten
 
   private def writeManifest(group: Int, files: List[DataFile]): ManifestRef = {
     val name = s"manifest-${UUID.randomUUID()}.json"
@@ -189,7 +191,9 @@ final class LakeTable(val root: String, spark: SparkSession) {
     * batch rewrites ⌈K/32⌉ manifests regardless of table size. The snapshot
     * record itself holds numBuckets/32 references — fixed by the table's
     * bucket CONFIG (≈3e3 refs / ~300 KB at the 100 TB sizing rule's 1e5
-    * buckets), not growing with file count or commit history. */
+    * buckets), not growing with file count or commit history.
+    * NOTE: this conf seeds NEW tables only — commits on an existing table
+    * use the granule persisted in the parent snapshot (see [[commit]]). */
   private def bucketsPerGroup: Int =
     spark.conf.get("graft.manifest.bucketsPerGroup", "32").toInt
 
@@ -278,19 +282,12 @@ final class LakeTable(val root: String, spark: SparkSession) {
           (name, bucket, dst)
         }
     }
-    // footer row-counts in parallel — a merge can produce hundreds of files
-    // and sequential footer opens would dominate small-batch latency
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, math.max(1, moved.size)))
-    try {
-      val tasks = moved.map { case (name, bucket, dst) =>
-        pool.submit(new java.util.concurrent.Callable[DataFile] {
-          def call(): DataFile =
-            DataFile(name, bucket, parquetRowCount(dst), fs.getFileStatus(dst).getLen)
-        })
-      }
-      tasks.map(_.get())
-    } finally pool.shutdown()
+    // footer row-counts in parallel (shared pool) — a merge can produce
+    // hundreds of files and sequential footer opens would dominate
+    // small-batch latency
+    LakeTable.inParallel(moved) { case (name, bucket, dst) =>
+      DataFile(name, bucket, parquetRowCount(dst), fs.getFileStatus(dst).getLen)
+    }
   }
 
   /** Row count from the parquet footer (no data read). */
@@ -329,7 +326,7 @@ final class LakeTable(val root: String, spark: SparkSession) {
     */
   private[lake] def commit(s: Snapshot, expectedParent: Long,
       changedGroups: Option[Set[Int]],
-      knownParentRefs: Option[List[ManifestRef]] = None): Snapshot = {
+      knownParent: Option[Snapshot] = None): Snapshot = {
     require(s.parentVersion == expectedParent, s"snapshot parent ${s.parentVersion} != expected $expectedParent")
     require(s.version == expectedParent + 1, s"snapshot version must be parent+1")
     fs.mkdirs(metaDir)
@@ -342,14 +339,19 @@ final class LakeTable(val root: String, spark: SparkSession) {
     // Only the changed groups' manifests + the O(#groups) snapshot record
     // are written — O(batch) commit bytes at any table size. Orphans from a
     // lost commit race are collected by vacuum (grace-guarded).
-    val bpg = bucketsPerGroup
-    // callers that hold the parent Snapshot pass its refs down — saves one
-    // metadata read per commit (a per-micro-batch cost on an object store)
+    // Callers that hold the parent Snapshot pass it down — saves one
+    // metadata read per commit (a per-micro-batch cost on an object store).
+    val parentSnap: Option[Snapshot] =
+      if (expectedParent < 0) None
+      else Some(knownParent.getOrElse(rawSnapshot(expectedParent)))
+    // THE STORED GRANULE GOVERNS: group numbers must be computed in the same
+    // layout the parent's manifest refs were grouped with, or ref reuse would
+    // silently record wrong file sets (see [[Snapshot.bucketsPerGroup]]).
+    // The session conf applies only to new tables and to legacy (pre-round-5
+    // or inline-file) parents, whose refs are empty/unreusable anyway.
+    val bpg = parentSnap.map(_.bucketsPerGroup).filter(_ > 0).getOrElse(bucketsPerGroup)
     val parentRefs: Map[Int, ManifestRef] =
-      if (expectedParent < 0) Map.empty
-      else knownParentRefs.filter(_.nonEmpty)
-        .getOrElse(rawSnapshot(expectedParent).manifests)
-        .map(m => m.group -> m).toMap
+      parentSnap.map(_.manifests).getOrElse(Nil).map(m => m.group -> m).toMap
     val refs = s.files.groupBy(_.bucket / bpg).toList.sortBy(_._1).map {
       case (g, fl) =>
         val sorted = fl.sortBy(_.path)
@@ -368,7 +370,8 @@ final class LakeTable(val root: String, spark: SparkSession) {
 
     val target = new HPath(metaDir, s"snapshot-${s.version}.json")
     val tmp = new HPath(metaDir, s".commit-${UUID.randomUUID()}.json")
-    writeString(fs, tmp, Snapshot.toJson(s.copy(files = Nil, manifests = refs)))
+    writeString(fs, tmp,
+      Snapshot.toJson(s.copy(files = Nil, manifests = refs, bucketsPerGroup = bpg)))
     try {
       if (isLocalFs) {
         // atomic-exclusive on posix: hard-link the temp file onto the slot
@@ -382,9 +385,10 @@ final class LakeTable(val root: String, spark: SparkSession) {
         if (fs.exists(target) || !fs.rename(tmp, target))
           throw new CommitConflictException(s"snapshot ${s.version} already committed")
       }
-      // in-memory result keeps the flat file list AND the manifest refs, so a
-      // follow-up commit with this snapshot as parent reuses refs with no IO
-      s.copy(manifests = refs)
+      // in-memory result keeps the flat file list AND the manifest refs (and
+      // the granule they were grouped with), so a follow-up commit with this
+      // snapshot as parent reuses refs with no IO
+      s.copy(manifests = refs, bucketsPerGroup = bpg)
     } finally {
       fs.delete(tmp, false)
     }
@@ -416,7 +420,7 @@ final class LakeTable(val root: String, spark: SparkSession) {
     val files = writeDataFiles(bucketed, parent.numBuckets)
     val s = Snapshot(parent.version + 1, parent.version, df.schema.json, parent.numBuckets,
       files, appId, batchId, watermarkLsn, offsets, keyCols)
-    commit(s, parent.version)
+    commit(s, parent.version, None, knownParent = Some(parent))
   }
 
   /** Replace a subset of files (MERGE rewrite unit) and/or evolve schema. */
@@ -428,12 +432,15 @@ final class LakeTable(val root: String, spark: SparkSession) {
       newSchemaJson.getOrElse(parent.schemaJson), parent.numBuckets,
       kept ++ added, appId, batchId, watermarkLsn, offsets, parent.keyCols)
     // the writer knows exactly which manifest groups its removed+added files
-    // live in — every other group's manifest is reused verbatim
-    val bpg = bucketsPerGroup
+    // live in — every other group's manifest is reused verbatim. Group
+    // numbers MUST be computed in the parent's stored granule (commit()
+    // resolves the same value), or the changed-set would name groups in a
+    // different layout than the refs being reused.
+    val bpg = if (parent.bucketsPerGroup > 0) parent.bucketsPerGroup else bucketsPerGroup
     val changed = (parent.files.filter(f => removed.contains(f.path)).map(_.bucket) ++
       added.map(_.bucket)).map(_ / bpg).toSet
     val committed = commit(s, parent.version, Some(changed),
-      knownParentRefs = Some(parent.manifests))
+      knownParent = Some(parent))
     // data files removed from the manifest stay on disk until vacuum() —
     // time-travel readers of older snapshots remain valid.
     committed
@@ -444,7 +451,7 @@ final class LakeTable(val root: String, spark: SparkSession) {
     val parent = currentSnapshot.getOrElse(throw new IllegalStateException("create() first"))
     commit(parent.copy(version = parent.version + 1, parentVersion = parent.version,
       schemaJson = newSchema.json, appId = appId, batchId = -1L), parent.version,
-      Some(Set.empty), knownParentRefs = Some(parent.manifests))
+      Some(Set.empty), knownParent = Some(parent))
   }
 
   /** Full rewrite into a new bucket count — the escape hatch for a table
@@ -466,7 +473,7 @@ final class LakeTable(val root: String, spark: SparkSession) {
     val s = Snapshot(parent.version + 1, parent.version, parent.schemaJson,
       newNumBuckets, files, parent.appId, parent.batchId, parent.watermarkLsn,
       parent.sourceOffsets, keyCols)
-    commit(s, parent.version)
+    commit(s, parent.version, None, knownParent = Some(parent))
   }
 
   /** Expire-snapshots + orphan cleanup (the Iceberg maintenance pair),
@@ -529,6 +536,39 @@ final class LakeTable(val root: String, spark: SparkSession) {
 object LakeTable {
   /** Name of the physical bucket column carried inside data files. */
   val BucketCol = "_bucket"
+
+  /** Shared daemon pool for driver-side metadata/footer IO fan-out. One
+    * process-wide pool (not per call): a streaming driver does this fan-out
+    * every micro-batch, and creating+abandoning a 16-thread pool per batch
+    * churned threads and, on task failure, leaked in-flight reads with no
+    * awaitTermination. Daemon threads never block JVM exit. */
+  private lazy val ioPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(16,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-lake-io-${n.incrementAndGet()}")
+          t.setDaemon(true); t
+        }
+      })
+
+  /** Map `f` over `items` on [[ioPool]], preserving order. Failures rethrow
+    * the UNDERLYING cause (not ExecutionException), so callers see the real
+    * IO error. Single-item lists run inline — no pool round-trip. */
+  private[lake] def inParallel[A, B](items: List[A])(f: A => B): List[B] = {
+    if (items.isEmpty) return Nil
+    if (items.size == 1) return List(f(items.head))
+    val futures = items.map { a =>
+      ioPool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(a) })
+    }
+    futures.map { fu =>
+      try fu.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e)
+      }
+    }
+  }
 
   def apply(root: String)(implicit spark: SparkSession): LakeTable = new LakeTable(root, spark)
 

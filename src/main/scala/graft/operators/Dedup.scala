@@ -277,11 +277,21 @@ object DedupOps {
     }
     // every round joins the label set against itself TWICE, so without
     // truncation the logical plan doubles per round (2^rounds nodes: analyzer
-    // and codegen die long before the data does) — localCheckpoint
-    // materializes each generation and cuts the lineage to O(1) depth
-    var labels = edges.groupBy("x").agg(min(col("y")).as("mn"))
-      .select(col("x"), least(col("x"), col("mn")).as("lbl"))
-      .localCheckpoint(true)
+    // and codegen die long before the data does). Each generation is
+    // materialized through an explicitly persisted RDD + createDataFrame
+    // (plan truncated to one LogicalRDD scan) instead of localCheckpoint:
+    // unpersist() does NOT free localCheckpoint blocks (checkpoint RDDs are
+    // only released when the ContextCleaner GCs the RDD), so block-manager
+    // storage grew with round count on large graphs — here the previous
+    // generation's RDD is unpersisted deterministically each round.
+    val spark = pairs.sparkSession
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, df.schema), rdd) // lazy; checksum() forces it
+    }
+    var (labels, labelsRdd) = materialize(
+      edges.groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("lbl")))
     // monotone checksum: labels only decrease, so equal sums ⇔ no change
     def checksum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
@@ -297,14 +307,14 @@ object DedupOps {
         .select(col("x"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       // (2) pointer jumping: follow the label one hop (label of my label),
       // halving chain length every round
-      val jumped = stepped.as("s")
+      val (jumped, jumpedRdd) = materialize(stepped.as("s")
         .join(stepped.select(col("x").as("jx"), col("lbl").as("jlbl")),
           col("s.lbl") === col("jx"), "left")
-        .select(col("s.x").as("x"), least(col("s.lbl"), coalesce(col("jlbl"), col("s.lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      val cur = checksum(jumped)
-      labels.unpersist()
+        .select(col("s.x").as("x"), least(col("s.lbl"), coalesce(col("jlbl"), col("s.lbl"))).as("lbl")))
+      val cur = checksum(jumped) // forces jumpedRdd — the old generation is read
+      labelsRdd.unpersist(blocking = false) // exactly once above, then freed here
       labels = jumped
+      labelsRdd = jumpedRdd
       converged = cur.compareTo(prev) == 0
       prev = cur
       iter += 1

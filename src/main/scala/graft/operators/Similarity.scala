@@ -117,11 +117,23 @@ object SimilarityOps {
     * residual sqrt/divide are IEEE-deterministic.
     */
   /** Deterministic training-sample predicate: one MINSTD step over the id,
-    * pure int64 arithmetic with no overflow — both the Spark plan and the
-    * SQL oracle compute the identical bit pattern (a float `rand()` or an
-    * engine-specific hash could not be replayed). Selects ~1/mod of ids. */
+    * pure int64 arithmetic — both the Spark plan and the SQL oracle compute
+    * the identical bit pattern (a float `rand()` or an engine-specific hash
+    * could not be replayed). The id is pre-reduced mod 2³¹−1 so the product
+    * stays ≤ 48271·(2³¹−2) ≈ 1.04e14 — inside int64 for ANY id (a bare
+    * 48271·id overflows Long for id ≳ 1.9e14, where Spark wraps silently but
+    * DuckDB raises, desyncing engine and oracle). Selects ~1/mod of ids. */
   private[graft] def trainSamplePredicate(id: Column, mod: Int): Column =
-    pmod(pmod(lit(48271L) * id + lit(12345L), lit(2147483647L)), lit(mod)) === 0
+    pmod(pmod(lit(48271L) * pmod(id, lit(2147483647L)) + lit(12345L),
+      lit(2147483647L)), lit(mod)) === 0
+
+  /** Default training-sample modulus for a corpus of `corpusSize` vectors:
+    * target ~256·nlist training points (the faiss convention — centroid
+    * quality needs a representative sample, not the corpus). Small corpora
+    * derive 1 (train on everything); a 10⁹-vector corpus at nlist=1024
+    * derives ~3800 — each Lloyd iteration scans ~0.03% of it. */
+  private[graft] def derivedTrainSampleMod(corpusSize: Long, nlist: Int): Int =
+    math.min(math.max(1L, corpusSize / (256L * math.max(1, nlist))), Int.MaxValue.toLong).toInt
 
   /** @param trainSampleMod train the quantizer on the deterministic
     *        ~1/trainSampleMod id-hash sample ([[trainSamplePredicate]]);
@@ -172,11 +184,18 @@ object SimilarityOps {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 2,
-      trainSampleMod: Int = 1): DataFrame = {
+      trainSampleMod: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // trainSampleMod = 0 (the default) derives the faiss-convention sample
+    // size from the corpus count — one narrow count() job (metadata-only on
+    // parquet), trivially amortized by the training scans it bounds. An
+    // explicit mod ≥ 1 overrides (the gate pins 2 so the oracle can replay).
+    val mod =
+      if (trainSampleMod >= 1) trainSampleMod
+      else derivedTrainSampleMod(corpus.count(), nlist)
     val cent = broadcast(
-      kmeansSums(corpus, nlist, kmeansIters, trainSampleMod).toDF("cid", "csum"))
+      kmeansSums(corpus, nlist, kmeansIters, mod).toDF("cid", "csum"))
     // corpus → inverted lists: argmax-cosine centroid per vector (ties → min cid)
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy("neighbor_id").orderBy(col("cos_c").desc, col("cid").asc)

@@ -277,4 +277,61 @@ class ConfigSpec extends SparkSuite {
     // the count query ran (2 rows) and the bad line errored without aborting
     assert(printed.contains("2") && printed.contains("error:"))
   }
+
+  test("db-terminal views are live: a commit between two queries is visible") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = SparkTestBase.tmpDir("dbterm-live")
+    val t = LakeTable(s"$dir/widgets")(spark)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    t.create(df.schema, 2, "t", Seq("id"))
+    t.overwrite(df, Seq("id"), "t")
+    val pin = new java.io.PipedInputStream(8192)
+    val pw = new java.io.PrintStream(new java.io.PipedOutputStream(pin), true, "UTF-8")
+    val out = new java.io.ByteArrayOutputStream()
+    val oldIn = System.in
+    try {
+      System.setIn(pin)
+      val term = Future {
+        Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+          Main.run(spark, List("db-terminal", dir))
+        }
+      }
+      pw.println("select count(*) as n1 from widgets")
+      // the terminal is single-threaded: once n1's result is printed it is
+      // blocked on readLine, so the commit below lands strictly between the
+      // two queries
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (!out.toString("UTF-8").contains("n1") && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"), Seq("id"), "t")
+      pw.println("select count(*) as n2 from widgets")
+      pw.println("exit")
+      Await.result(term, 60.seconds)
+    } finally System.setIn(oldIn)
+    val printed = out.toString("UTF-8")
+    val afterN2 = printed.substring(printed.indexOf("n2").max(0))
+    assert(printed.contains("|2"), s"first query should see 2 rows:\n$printed")
+    assert(afterN2.contains("|3"), s"second query must see the new commit:\n$printed")
+  }
+
+  test("version and help verbs (≙ reference main.go:110-121)") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Main.run(spark, List("version"))
+      Main.run(spark, List("help"))
+    }
+    val printed = out.toString("UTF-8")
+    assert(printed.contains(s"graft ${Main.Version}"))
+    assert(printed.contains(s"spark ${org.apache.spark.SPARK_VERSION}"))
+    // help lists every verb the dispatcher knows
+    Seq("gen", "replay", "compact", "vacuum", "show", "extract-load", "schedule",
+      "list-tables", "describe-table", "table-metadata", "drop-table", "rebucket",
+      "import-csv", "create-destination-table", "create-destination-table-from-config-file",
+      "new", "db-terminal", "plugin", "about-db", "transform", "extract",
+      "extract-api", "secrets", "version", "help").foreach { verb =>
+      assert(printed.contains(verb), s"help output missing verb '$verb'")
+    }
+  }
 }

@@ -133,6 +133,37 @@ class LakeTableSpec extends SparkSuite {
     } finally spark.conf.unset("graft.manifest.bucketsPerGroup")
   }
 
+  test("bucketsPerGroup persists in the snapshot: a changed conf cannot desync group layout") {
+    spark.conf.set("graft.manifest.bucketsPerGroup", "4")
+    try {
+      val t = LakeTable(SparkTestBase.tmpDir("lake-bpg"))(spark)
+      t.create(schema, numBuckets = 32, appId = "t") // 8 groups at granule 4
+      val df = spark.range(2000).select(concat(lit("k"), col("id")).as("k"), col("id").as("v"))
+      val v1 = t.overwrite(df, Seq("k"), "t")
+      assert(v1.bucketsPerGroup === 4 && v1.manifests.size === 8)
+      // a session reconfigured with a DIFFERENT granule commits next — group
+      // numbers must still be computed in the STORED granule, or a
+      // coincidental file-count match against a parent ref would record a
+      // manifest whose file set is not the group's actual files
+      spark.conf.set("graft.manifest.bucketsPerGroup", "16")
+      val bucket = v1.files.head.bucket
+      val removed = v1.files.filter(_.bucket == bucket).map(_.path).toSet
+      val added = t.writeDataFiles(
+        LakeTable.withBucket(df, Seq("k"), 32).filter(col(LakeTable.BucketCol) === bucket), 32)
+      val v2 = t.replaceFiles(v1, removed, added, None, "t", -1, -1, Map.empty)
+      assert(v2.bucketsPerGroup === 4, "stored granule governs over the conf")
+      assert(v2.manifests.size === 8)
+      assert(v2.manifests.map(_.path).toSet.intersect(v1.manifests.map(_.path).toSet).size === 7)
+      // a fresh reader (no caches) inflates exactly the file set the writer
+      // committed — the corruption the granule persistence prevents
+      val t2 = LakeTable(t.root)(spark)
+      val reread = t2.snapshot(v2.version)
+      assert(reread.files.map(_.path).sorted === v2.files.map(_.path).sorted)
+      assert(reread.bucketsPerGroup === 4)
+      assert(t2.read().count() === 2000)
+    } finally spark.conf.unset("graft.manifest.bucketsPerGroup")
+  }
+
   test("legacy inline-file snapshots read transparently and migrate on the next commit") {
     val t = LakeTable(SparkTestBase.tmpDir("lake-legacy"))(spark)
     t.create(schema, 4, "t")

@@ -163,6 +163,23 @@ class OperatorsSpec extends SparkSuite {
     assert(r.groupBy("query_id").count().collect().forall(_.getLong(1) === 2))
   }
 
+  test("ivf default trainSampleMod derives from corpus size (faiss ~256·nlist convention)") {
+    // derivation rule: max(1, corpus / (256·nlist)), clamped to Int range
+    assert(SimilarityOps.derivedTrainSampleMod(1000L, 16) === 1) // small → full corpus
+    assert(SimilarityOps.derivedTrainSampleMod(256L * 16, 16) === 1)
+    assert(SimilarityOps.derivedTrainSampleMod(256L * 16 * 10, 16) === 10)
+    assert(SimilarityOps.derivedTrainSampleMod(1000000000L, 1024) === 3814)
+    assert(SimilarityOps.derivedTrainSampleMod(Long.MaxValue, 1) === Int.MaxValue)
+    // the auto default (0) resolves to the derived mod — identical results
+    val q = emb.filter(col("vec_id") < 3)
+    val auto = SimilarityOps.ivfTopK(q, emb, 3, nlist = 8, nprobe = 4, kmeansIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = SimilarityOps.ivfTopK(q, emb, 3, nlist = 8, nprobe = 4, kmeansIters = 1,
+        trainSampleMod = SimilarityOps.derivedTrainSampleMod(emb.count(), 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === explicit)
+  }
+
   test("pii redaction: emails, ips, phones; pattern order") {
     val d = Seq("mail bob.smith+x@ex.co.uk, ip 10.0.3.77, call 555-1234 or +441234567890 end")
       .toDF("text")
