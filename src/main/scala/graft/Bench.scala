@@ -69,22 +69,41 @@ object Bench {
     val (eps, cdcSec, _) = sorted(runs.size / 2)
     val best = sorted.last._1
 
-    // representative operator queries on the sf dir
+    // representative operator queries on the sf dir — MEDIAN of qreps
+    // samples per query, every sample + its kernel-reported steal%
+    // published. Round 4's single samples made 1.5-2.3x swings on this
+    // 3x-variance host unattributable (regression vs weather); medians +
+    // disclosed spread make per-operator deltas adjudicable.
+    val qreps = sys.env.getOrElse("GRAFT_BENCH_QUERY_REPS", "3").toInt
     val headline = Seq("q1_agg", "j2_join_agg", "w1_top_per_group",
       "dedup_exact", "dedup_minhash_lsh", "text_langid", "ann_topk_cosine",
       "cdc_replay_state")
     val results = headline.map { name =>
-      val t0 = System.nanoTime()
-      val n = try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val samples = (1 to qreps).map { i =>
+        val (sec, steal) = withSteal {
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(name)(spark, sfDir).count() }
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+          (System.nanoTime() - t0) / 1e9
+        }
+        System.err.println(f"[bench] $name rep $i: $sec%.2fs (steal $steal%.1f%%)")
+        (sec, steal)
+      }
+      name -> (samples.map(_._1).sorted.apply(qreps / 2), samples)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + cdcSec
+    val qruns = results.map { case (k, (_, s)) =>
+      "\"" + k + "\":" + s.map(x => f"${x._1}%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val qsteal = results.map { case (k, (_, s)) =>
+      "\"" + k + "\":" + s.map(x => f"${x._2}%.1f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum + cdcSec
     val allRuns = runs.map(_._1.round).mkString("[", ",", "]")
     val allSteal = runs.map(r => f"${r._3}%.1f").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_runs":$qruns,"queries_steal_pct":$qsteal,""" +
       s""""cdc_replay":{"events":$nEvents,"batches":$nBatches,"sec":$cdcSec,""" +
       s""""events_per_sec":${eps.round},"best_events_per_sec":${best.round},""" +
       s""""runs_events_per_sec":$allRuns,"runs_steal_pct":$allSteal},""" +
@@ -152,6 +171,10 @@ object Bench {
     p.bootstrap(numBuckets = numBuckets)
     val t0 = System.nanoTime()
     val stats = p.replay(events, numBatches = batches)
+    // compaction now runs in the background — include the drain in the timed
+    // window so the number still means "all work done" (the honest sustained
+    // figure; mid-run compactions overlap the merges they used to serialize)
+    p.awaitMaintenance()
     val sec = (System.nanoTime() - t0) / 1e9
     val applied = stats.map(_.eventsIn).sum
     require(applied == n, s"replay applied $applied of $n events")

@@ -78,9 +78,12 @@ object Main {
       val mor = rest.contains("mor")
       val table = LakeTable(tableRoot)(spark)
       val t0 = System.nanoTime()
-      val q = CdcStream.start(spark, eventsDir, table, checkpointDir, appId,
-        maxFilesPerTrigger = maxFiles, mergeOnRead = mor)
+      val (q, pipeline) = CdcStream.startWithPipeline(spark, eventsDir, table,
+        checkpointDir, appId, maxFilesPerTrigger = maxFiles, mergeOnRead = mor)
       q.awaitTermination()
+      // drain any in-flight background compaction before the final read, so
+      // the reported file/row counts reflect a quiesced table
+      pipeline.awaitMaintenance()
       val state = graft.cdc.CdcPipeline.liveState(table)
       val rows = state.count()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -115,8 +118,12 @@ object Main {
         case Some(g) => t.vacuum(graceMs = g.toLong, retainSnapshots = retain)
         case None => t.vacuum()
       }
+      // lineage/ is the third growth direction (one JSON per commit) —
+      // vacuum enforces the roll-up so maintenance bounds ALL of meta/,
+      // data/ and lineage/
+      val folded = Lineage.compact(spark, tableRoot)
       println(s"[vacuum] removed $n unreferenced data files, " +
-        s"retained last $retain snapshot(s)" +
+        s"retained last $retain snapshot(s), folded $folded lineage files" +
         rest.headOption.map(g => s" (grace=${g}ms)").getOrElse(" (default grace)"))
 
     // ---- config-driven extract-load (≙ `teleport extract-load-db`,

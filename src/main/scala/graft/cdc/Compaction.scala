@@ -27,8 +27,12 @@ object Compaction {
     * by the latest snapshot (LWW keeps state correct, but merge-on-read
     * would re-append duplicate generation files and lineage double-count).
     */
+  /** @param maxBucketsPerRun rewrite at most this many buckets per run,
+    *        most-fragmented first (ties → lowest bucket id): bounds one
+    *        maintenance job's cost on a pathologically fragmented table —
+    *        repeated runs converge, each bounded. */
   def apply(table: LakeTable, horizonLsn: Long,
-      maxFilesPerBucket: Int = 1): Int = {
+      maxFilesPerBucket: Int = 1, maxBucketsPerRun: Int = Int.MaxValue): Int = {
     val snap = table.currentSnapshot.getOrElse(return 0)
     if (snap.files.isEmpty) return 0
     // key-generic like Merge: the manifest records the table's key columns
@@ -49,8 +53,13 @@ object Compaction {
         .select(LakeTable.bucketExpr(keyCols, snap.numBuckets).as("b"))
         .distinct().collect().map(_.getInt(0)).toSet
 
-    val buckets = tombBuckets ++ fragmented
-    if (buckets.isEmpty) return 0
+    val candidates = tombBuckets ++ fragmented
+    if (candidates.isEmpty) return 0
+    val buckets =
+      if (candidates.size <= maxBucketsPerRun) candidates
+      else candidates.toSeq
+        .sortBy(b => (-filesPerBucket.get(b).map(_.size).getOrElse(0), b))
+        .take(maxBucketsPerRun).toSet
 
     // fold merge-on-read generations: LWW winner per key (same total order
     // as reads), then drop tombstones behind the horizon

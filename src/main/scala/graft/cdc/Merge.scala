@@ -359,10 +359,47 @@ object Merge {
     val bucketsTouched = if (mergeOnRead) added.map(_.bucket).distinct.size else buckets.size
 
     val removed = targetFiles.map(_.path).toSet
-    val committed = phase("commit", batchId) { table.replaceFiles(snap, removed, added,
-      if (schemaEvolved) Some(evolvedSchema.json) else None,
-      appId, batchId, math.max(snap.watermarkLsn, maxLsn),
-      snap.sourceOffsets ++ sourceOffsets) }
+    val committed = phase("commit", batchId) {
+      try {
+        table.replaceFiles(snap, removed, added,
+          if (schemaEvolved) Some(evolvedSchema.json) else None,
+          appId, batchId, math.max(snap.watermarkLsn, maxLsn),
+          snap.sourceOffsets ++ sourceOffsets)
+      } catch {
+        // MOR commit-only retry: an append-only batch's staged files are
+        // valid against ANY parent — the merge never read the target, so a
+        // concurrent commit (typically the background compaction) landing
+        // between our snapshot read and our commit invalidates NOTHING.
+        // Re-resolving the parent and re-committing the same files avoids
+        // re-running the whole merge job for every maintenance race — at
+        // sustained ingest with async compaction that race is the COMMON
+        // case, and a full re-merge per compaction would cost ~a batch each.
+        // Copy-on-write conflicts still rethrow: the files we read (and
+        // replace) may themselves have been replaced, so the outer
+        // applyBatch loop re-merges against the fresh snapshot.
+        case first: graft.lake.CommitConflictException if mergeOnRead && removed.isEmpty =>
+          var done: Snapshot = null
+          var last: graft.lake.CommitConflictException = first
+          var tries = 0
+          while (done == null && tries < 5) {
+            tries += 1
+            val fresh = table.currentSnapshot.getOrElse(throw last)
+            System.err.println(s"[merge] commit conflict on MOR batch $batchId " +
+              s"(attempt $tries/5) — re-committing the same staged files against " +
+              s"version ${fresh.version}")
+            val freshSchema = fresh.schema
+            val mergedSchema = SchemaEvolution.merge(freshSchema, evolvedSchema)
+            try {
+              done = table.replaceFiles(fresh, Set.empty, added,
+                if (mergedSchema != freshSchema) Some(mergedSchema.json) else None,
+                appId, batchId, math.max(fresh.watermarkLsn, maxLsn),
+                fresh.sourceOffsets ++ sourceOffsets)
+            } catch { case e: graft.lake.CommitConflictException => last = e }
+          }
+          if (done == null) throw last
+          done
+      }
+    }
 
     MergeStats(batchId, committed.version, eventsIn, distinctKeys,
       eventsIn - distinctKeys, bucketsTouched, targetFiles.size,

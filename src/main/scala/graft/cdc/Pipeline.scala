@@ -55,15 +55,67 @@ object Lineage {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     // explicit file listing, not a glob: Spark's glob resolution was observed
     // to intermittently miss just-written files; listStatus is authoritative
-    val files =
-      if (!fs.isDirectory(dir)) Array.empty[String]
-      else fs.listStatus(dir).collect {
-        case st if st.isFile && st.getPath.getName.endsWith(".json") =>
-          st.getPath.toString
+    val (jsons, segments) =
+      if (!fs.isDirectory(dir)) (Array.empty[String], Array.empty[String])
+      else {
+        val st = fs.listStatus(dir).filter(_.isFile)
+        (st.collect { case s if s.getPath.getName.endsWith(".json") => s.getPath.toString },
+         st.collect { case s if s.getPath.getName.startsWith("segment-") &&
+           s.getPath.getName.endsWith(".parquet") => s.getPath.toString })
       }
-    if (files.isEmpty) // table has no lineage records (lineage=false)
+    val parts =
+      Option.when(jsons.nonEmpty)(spark.read.schema(schema).json(jsons.toIndexedSeq: _*)).toSeq ++
+      Option.when(segments.nonEmpty)(spark.read.schema(schema).parquet(segments.toIndexedSeq: _*)).toSeq
+    if (parts.isEmpty) // table has no lineage records (lineage=false)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).json(files.toIndexedSeq: _*)
+    // a crash between "write roll-up segment" and "delete folded JSONs" (or a
+    // fenced replay re-reporting an already-folded commit) leaves the same
+    // version in both forms — the commit version is the primary key, dedup
+    else parts.reduce(_ unionByName _).dropDuplicates("version")
+  }
+
+  /** Roll-up: fold every lineage JSON older than the newest `keepRecent`
+    * (plus any previous segments) into ONE parquet segment, then delete the
+    * folded files. Bounds the `lineage/` directory at O(keepRecent) + one
+    * segment: at seconds-per-batch streaming the one-JSON-per-commit scheme
+    * otherwise accumulates ~500k files/month — an object-store listing
+    * problem. Crash-safe: the new segment is PUBLISHED before any delete,
+    * and [[read]] dedups by version, so every intermediate state reads
+    * correctly. Readers are unchanged ([[read]] unions segments + JSONs).
+    * Returns the number of files folded (0 = nothing to do).
+    */
+  def compact(spark: SparkSession, tableRoot: String, keepRecent: Int = 64): Int = {
+    val dir = new org.apache.hadoop.fs.Path(tableRoot, "lineage")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.isDirectory(dir)) return 0
+    val st = fs.listStatus(dir).filter(_.isFile)
+    val jsons = st.map(_.getPath).filter(_.getName.endsWith(".json"))
+      .sortBy(p => p.getName.stripPrefix("v").stripSuffix(".json").toLongOption.getOrElse(-1L))
+    val segments = st.map(_.getPath)
+      .filter(p => p.getName.startsWith("segment-") && p.getName.endsWith(".parquet"))
+    val fold = jsons.dropRight(math.max(0, keepRecent))
+    if (fold.isEmpty || (fold.length + segments.length) <= 1) return 0
+    val folded = {
+      val parts =
+        Seq(spark.read.schema(schema).json(fold.map(_.toString).toIndexedSeq: _*)) ++
+        Option.when(segments.nonEmpty)(
+          spark.read.schema(schema).parquet(segments.map(_.toString).toIndexedSeq: _*)).toSeq
+      parts.reduce(_ unionByName _).dropDuplicates("version")
+    }
+    // one file: lineage rows are tiny (a few hundred bytes each) — even a
+    // year of seconds-per-batch history is a few hundred MB of parquet
+    val staging = new org.apache.hadoop.fs.Path(dir, s".rollup-${java.util.UUID.randomUUID()}")
+    folded.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = fs.listStatus(staging)
+      .find(s => s.getPath.getName.startsWith("part-") && s.getPath.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"roll-up wrote no parquet part in $staging"))
+    val dest = new org.apache.hadoop.fs.Path(dir, s"segment-${java.util.UUID.randomUUID()}.parquet")
+    if (!fs.rename(part.getPath, dest))
+      throw new java.io.IOException(s"rename ${part.getPath} -> $dest failed")
+    fs.delete(staging, true)
+    // the roll-up is live — now retire what it folded
+    (fold ++ segments).foreach(p => fs.delete(p, false))
+    fold.length + segments.length
   }
 }
 
@@ -78,10 +130,51 @@ object Lineage {
   *        copy-on-write (reads stay trivial). See [[Merge]].
   * @param compactEveryFiles in merge-on-read mode, fold any bucket whose file
   *        count exceeds this after a batch (0 disables auto-compaction).
+  * @param maxCompactBucketsPerRun cap on buckets one auto-compaction run
+  *        rewrites (most-fragmented first): bounds the background
+  *        maintenance job so a pathologically fragmented table is healed
+  *        over several runs instead of one table-sized rewrite.
   */
 final class CdcPipeline(val table: LakeTable, val appId: String,
     lineage: Boolean = true, val mergeOnRead: Boolean = false,
-    val compactEveryFiles: Int = 16) {
+    val compactEveryFiles: Int = 16,
+    val maxCompactBucketsPerRun: Int = 256) {
+
+  // --- background maintenance (round 5): auto-compaction used to run
+  // SYNCHRONOUSLY inside the micro-batch — at sustained ingest a hot batch
+  // could stall the stream tail behind a multi-minute rewrite. It now runs
+  // on a single daemon thread with at-most-one in flight (busy → skip; the
+  // next batch's check resubmits), so batches never wait on maintenance.
+  // Safety is unchanged: the compaction commit carries the parent's fencing
+  // identity, and when it races the NEXT merge's commit the CAS serializes
+  // them — the loser is skipped (compaction) or retries (merge, commit-only
+  // in MOR mode — see [[Merge]]).
+  private lazy val maintenancePool =
+    java.util.concurrent.Executors.newSingleThreadExecutor(
+      new java.util.concurrent.ThreadFactory {
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-maintenance-$appId"); t.setDaemon(true); t
+        }
+      })
+  @volatile private var inflight: java.util.concurrent.Future[_] = null
+  private[graft] val compactionsRun = new java.util.concurrent.atomic.AtomicInteger()
+  @volatile private var maintenanceError: Throwable = null
+  // test seam: lets a spec wedge the (single) maintenance thread to PROVE
+  // batches never wait on it — if applyBatch ran compaction inline, the
+  // spec would deadlock instead of committing
+  private[graft] def maintenanceExecutor: java.util.concurrent.ExecutorService =
+    maintenancePool
+
+  /** Block until any in-flight background compaction finishes; rethrows a
+    * real maintenance failure (commit-conflict losses are benign and only
+    * logged). Call before tearing down the table directory or asserting
+    * file-count invariants. */
+  def awaitMaintenance(): Unit = {
+    val f = inflight
+    if (f != null) f.get()
+    val e = maintenanceError
+    if (e != null) { maintenanceError = null; throw e }
+  }
 
   /** Create the target table (snapshot 0) if absent. */
   def bootstrap(schema: StructType = CdcModel.targetSchema, numBuckets: Int = 64): Unit =
@@ -131,13 +224,40 @@ final class CdcPipeline(val table: LakeTable, val appId: String,
       }
     }
     if (lineage) Lineage.append(table, stats)
-    if (mergeOnRead && compactEveryFiles > 0 &&
-        table.currentSnapshot.exists(_.files.groupBy(_.bucket).exists(_._2.size > compactEveryFiles)))
-      try Compaction(table, horizonLsn = -1L, maxFilesPerBucket = compactEveryFiles)
-      catch {
-        case e: graft.lake.CommitConflictException =>
-          System.err.println(s"[cdc] auto-compaction lost a commit race (skipped): ${e.getMessage}")
-      }
+    // schedule background maintenance: at most one task in flight, never
+    // blocking the batch. The fragmentation probe runs on the in-memory
+    // snapshot (driver-side, no IO beyond the metadata read applyBatch
+    // already did); the lineage roll-up fires every 64th batch (a listStatus
+    // probe per batch would add an RPC per micro-batch for a directory that
+    // grows one file per commit — the periodic fold keeps it O(100) files).
+    val spark = events.sparkSession
+    val needCompact = mergeOnRead && compactEveryFiles > 0 &&
+      table.currentSnapshot.exists(_.files.groupBy(_.bucket).exists(_._2.size > compactEveryFiles))
+    val needRollup = lineage && batchId > 0 && batchId % 64 == 0
+    if ((needCompact || needRollup) && (inflight == null || inflight.isDone))
+      inflight = maintenancePool.submit(new Runnable {
+        def run(): Unit = {
+          if (needCompact)
+            try {
+              Compaction(table, horizonLsn = -1L, maxFilesPerBucket = compactEveryFiles,
+                maxBucketsPerRun = maxCompactBucketsPerRun)
+              compactionsRun.incrementAndGet()
+            } catch {
+              case e: graft.lake.CommitConflictException =>
+                System.err.println(s"[cdc] auto-compaction lost a commit race (skipped): ${e.getMessage}")
+              case e: Throwable =>
+                maintenanceError = e
+                System.err.println(s"[cdc] background compaction FAILED: $e")
+            }
+          if (needRollup)
+            try Lineage.compact(spark, table.root)
+            catch {
+              case e: Throwable =>
+                maintenanceError = e
+                System.err.println(s"[cdc] lineage roll-up FAILED: $e")
+            }
+        }
+      })
     stats
   }
 
@@ -171,15 +291,45 @@ object CdcPipeline {
   /** Resolve LWW across file generations: one surviving row per key, ordered
     * by (_lsn, _deleted, content) — deterministic under duplicate appends
     * (a replayed event re-appended by a new batchId carries identical
-    * content, so either copy wins identically). For copy-on-write tables
-    * every key is already unique and the window passes rows through. */
+    * content, so either copy wins identically).
+    *
+    * GENERATION-AWARE (round 5): the manifest already knows files-per-bucket,
+    * and a bucket with ≤1 file cannot hold cross-generation duplicates —
+    * every writer that can co-locate two versions of a key in one file
+    * dedups it first (MERGE's LWW window per batch, [[Compaction]]'s fold),
+    * so multi-generation keys exist only where a bucket has ≥2 files. The
+    * LWW window (a full shuffle + sort of everything it reads) therefore
+    * runs ONLY over the multi-file buckets; single-file buckets stream
+    * through untouched. A copy-on-write table and a fully-compacted MOR
+    * table — the common read shapes — pay NO shuffle at all, at any size;
+    * a fragmented MOR table pays for exactly its fragmented fraction.
+    * (Full/overwrite loads are written one-file-per-bucket as-is: duplicate
+    * keys in a Full extract pass through unresolved, which is the
+    * reference's Full-load semantics — it INSERTs the extract verbatim,
+    * /root/reference/dialect.go:22-24.)
+    */
   def resolved(table: LakeTable): DataFrame = {
-    val df = table.read()
-    if (!df.columns.contains(CdcModel.RowLsnCol)) return df
+    val snap = table.currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no snapshot in ${table.root}"))
+    val allBuckets = snap.files.map(_.bucket).toSet
+    val all = table.readBuckets(snap, allBuckets)
+    if (!all.columns.contains(CdcModel.RowLsnCol)) return all
+    val byBucket = snap.files.groupBy(_.bucket)
+    val multi = byBucket.collect { case (b, fl) if fl.size > 1 => b }.toSet
+    if (multi.isEmpty) return all // single-generation everywhere: no window
     // key columns from the manifest (recorded at create since round 3);
     // pre-round-3 manifests carry none → the CDC model's key
-    val keys = table.currentSnapshot.map(_.keyCols.toSeq).filter(_.nonEmpty)
-      .getOrElse(CdcModel.KeyCols)
+    val keys = Some(snap.keyCols.toSeq).filter(_.nonEmpty).getOrElse(CdcModel.KeyCols)
+    val windowed = lwwResolve(table.readBuckets(snap, multi), keys)
+    if (multi.size == byBucket.size) windowed
+    // keys are bucket-hashed, so no key spans the two sides: resolving each
+    // side independently is exact, and the single-file side never shuffles
+    else table.readBuckets(snap, allBuckets -- multi).unionByName(windowed)
+  }
+
+  /** The LWW resolution window over `df` (which must hold whole buckets):
+    * one surviving row per key by (_lsn desc, tombstone desc, content desc). */
+  private def lwwResolve(df: DataFrame, keys: Seq[String]): DataFrame = {
     val tie =
       if (df.columns.contains("content")) coalesce(col("content"), lit(""))
       else lit("")

@@ -37,14 +37,26 @@ object CdcStream {
       readSchema: org.apache.spark.sql.types.StructType = CdcModel.eventSchema,
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None,
-      mergeOnRead: Boolean = false): StreamingQuery = {
+      mergeOnRead: Boolean = false): StreamingQuery =
+    startWithPipeline(spark, eventsDir, table, checkpointDir, appId, readSchema,
+      trigger, maxFilesPerTrigger, mergeOnRead)._1
+
+  /** Like [[start]] but also returns the pipeline, so a caller that stops the
+    * stream can `awaitMaintenance()` (background compaction) before reading
+    * file-count invariants or tearing the table down. */
+  def startWithPipeline(spark: SparkSession, eventsDir: String, table: LakeTable,
+      checkpointDir: String, appId: String,
+      readSchema: org.apache.spark.sql.types.StructType = CdcModel.eventSchema,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None,
+      mergeOnRead: Boolean = false): (StreamingQuery, CdcPipeline) = {
     val pipeline = new CdcPipeline(table, appId, mergeOnRead = mergeOnRead)
     pipeline.bootstrap()
     val reader = spark.readStream.schema(readSchema)
     val withOpts = maxFilesPerTrigger.fold(reader)(n =>
       reader.option("maxFilesPerTrigger", n))
     val events = withOpts.parquet(eventsDir)
-    events.writeStream
+    val q = events.writeStream
       .queryName(s"cdc-$appId")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -56,6 +68,7 @@ object CdcStream {
         ()
       }
       .start()
+    (q, pipeline)
   }
 
   /** Run a bounded replay to completion and return the final table state. */

@@ -250,7 +250,14 @@ class CdcPipelineSpec extends SparkSuite {
     assert(got.count() === want.count())
     assert(got.exceptAll(want).count() === 0)
     assert(want.exceptAll(got).count() === 0)
-    // auto-compaction kept per-bucket file counts bounded
+    // auto-compaction keeps per-bucket file counts bounded. It runs in the
+    // background now, so quiesce first: drain any in-flight run, then drive
+    // one empty batch (metadata-only commit) whose fragmentation check sees
+    // the FINAL layout, and drain again.
+    pm.awaitMaintenance()
+    pm.applyBatch(events.limit(0), batchId = 100)
+    pm.awaitMaintenance()
+    assert(pm.compactionsRun.get() >= 1, "auto-compaction should have run")
     val maxFiles = pm.table.currentSnapshot.get.files.groupBy(_.bucket)
       .values.map(_.size).max
     assert(maxFiles <= 5)
@@ -317,6 +324,38 @@ class CdcPipelineSpec extends SparkSuite {
     assert(onDisk === live, "vacuum left superseded files behind")
   }
 
+  test("generation-aware reads: mixed single-file and fragmented buckets resolve exactly") {
+    // round-5 read path: buckets with one file bypass the LWW window, buckets
+    // with ≥2 generations go through it — the union must equal the full fold
+    val p = new CdcPipeline(LakeTable(SparkTestBase.tmpDir("cdc-genaware"))(spark),
+      "app-genaware", mergeOnRead = true, compactEveryFiles = 0)
+    p.bootstrap(numBuckets = 8)
+    p.applyBatch(events, batchId = 0) // every touched bucket: exactly 1 file
+    // update a SMALL key subset so only some buckets gain a second generation
+    val upd = events.orderBy("lsn").limit(20)
+      .withColumn("lsn", col("lsn") + 5000000L)
+      .withColumn("op", lit("U"))
+      .withColumn("content", concat(lit("v2-"), col("content")))
+    p.applyBatch(upd, batchId = 1)
+    val fpb = p.table.currentSnapshot.get.files.groupBy(_.bucket).values.map(_.size).toSeq
+    assert(fpb.contains(1) && fpb.exists(_ > 1),
+      s"test requires a MIXED table, got files-per-bucket $fpb")
+    val got = finalState(p)
+    val want = oracle(events.unionByName(upd))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // and the tombstone path: deleting a key in a SINGLE-file bucket still
+    // removes it (liveState filters tombstones on both sides of the union)
+    val n0 = p.state().count()
+    val victims = p.state().limit(3)
+      .select(lit(20000000L).as("lsn"), lit("D").as("op"),
+        col("repo"), col("path"), col("commit"), col("lang"),
+        lit("").as("content"), current_timestamp().as("eventTime"))
+    p.applyBatch(victims, batchId = 2)
+    assert(p.state().count() === n0 - 3)
+  }
+
   test("two concurrent writers: commit conflict retried, both batches land (optimistic concurrency)") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
@@ -338,6 +377,40 @@ class CdcPipelineSpec extends SparkSuite {
     assert(p.state().filter(col("repo") === "r-a").count() === 200)
     assert(p.state().filter(col("repo") === "r-b").count() === 200)
     assert(p.table.latestVersion === 2) // two real commits, serialized
+  }
+
+  test("lineage roll-up bounds lineage/ to O(keepRecent) files and loses nothing") {
+    import graft.cdc.{Lineage, MergeStats}
+    val t = LakeTable(SparkTestBase.tmpDir("cdc-linroll"))(spark)
+    def stats(v: Long) = MergeStats(v, v, v * 10, v * 9, v, 2, 1, v * 9, v * 100,
+      v, v + 5, schemaEvolved = false, skippedFenced = false, 42L,
+      sourceOffsets = Map("src" -> v))
+    (1L to 30L).foreach(v => Lineage.append(t, stats(v)))
+    def dirFiles() = new java.io.File(t.root + "/lineage").listFiles().map(_.getName).toSeq
+    assert(dirFiles().count(_.endsWith(".json")) === 30)
+    // fold all but the newest 5 into one parquet segment
+    assert(Lineage.compact(spark, t.root, keepRecent = 5) === 25)
+    assert(dirFiles().count(_.endsWith(".json")) === 5)
+    assert(dirFiles().count(n => n.startsWith("segment-") && n.endsWith(".parquet")) === 1)
+    val r1 = Lineage.read(spark, t.root)
+    assert(r1.count() === 30)
+    assert(r1.agg(sum("eventsIn")).collect()(0).getLong(0) === (1L to 30L).map(_ * 10).sum)
+    // offsets maps survive the parquet round-trip
+    assert(r1.filter(col("version") === 7L)
+      .select(element_at(col("sourceOffsets"), "src")).collect()(0).getLong(0) === 7L)
+    // a second roll-up folds the NEW tail plus the previous segment — the
+    // directory stays O(keepRecent)+1 forever, not O(history)
+    (31L to 40L).foreach(v => Lineage.append(t, stats(v)))
+    assert(Lineage.compact(spark, t.root, keepRecent = 5) === 11) // 10 jsons + 1 segment
+    assert(dirFiles().count(_.endsWith(".json")) === 5)
+    assert(dirFiles().count(n => n.startsWith("segment-")) === 1)
+    assert(Lineage.read(spark, t.root).count() === 40)
+    // crash/replay safety: a fenced replay re-reporting an already-folded
+    // commit recreates its JSON — read() dedups by version
+    Lineage.append(t, stats(7L))
+    assert(Lineage.read(spark, t.root).count() === 40)
+    // below-threshold call is a no-op
+    assert(Lineage.compact(spark, t.root, keepRecent = 64) === 0)
   }
 
   test("synthetic generator is deterministic and skewed") {

@@ -189,6 +189,39 @@ class PlanSpec extends SparkSuite {
     assert(exchanges == 1, s"salted shape added a shuffle:\n$plan")
   }
 
+  test("generation-aware reads: single-generation tables plan no shuffle and no window") {
+    val ev = DerivedEvents.fromDocuments(spark.read.parquet(s"$sfDir/documents.parquet"))
+    // copy-on-write: every bucket holds exactly one file after a merge —
+    // liveState must be a bare scan + filter (NO Exchange, NO Window): this
+    // is the read path under every gate query, db-terminal and transform,
+    // and a full-table shuffle here was the dominant 100-TB read cost
+    val p = new CdcPipeline(LakeTable(SparkTestBase.tmpDir("plan-genaware-cow"))(spark),
+      "plangen", lineage = false)
+    p.bootstrap(numBuckets = 4)
+    p.applyBatch(ev, 0)
+    assert(p.table.currentSnapshot.get.files.groupBy(_.bucket).values.forall(_.size == 1))
+    val plan1 = planOf(CdcPipeline.liveState(p.table))
+    assert(!plan1.contains("Exchange"), s"CoW liveState must not shuffle:\n$plan1")
+    assert(!"\\bWindow \\[".r.findFirstIn(plan1).isDefined,
+      s"CoW liveState must not window:\n$plan1")
+
+    // fragmented MOR: the window appears (scoped to the multi-file buckets)…
+    val p2 = new CdcPipeline(LakeTable(SparkTestBase.tmpDir("plan-genaware-mor"))(spark),
+      "plangen2", lineage = false, mergeOnRead = true, compactEveryFiles = 0)
+    p2.bootstrap(numBuckets = 4)
+    p2.applyBatch(ev, 0)
+    p2.applyBatch(ev.withColumn("lsn", col("lsn") + 1000000L), 1)
+    val plan2 = planOf(CdcPipeline.liveState(p2.table))
+    assert("\\bWindow \\[".r.findFirstIn(plan2).isDefined,
+      s"fragmented MOR liveState needs the LWW window:\n$plan2")
+
+    // …and compaction makes every bucket single-file again → window gone
+    graft.cdc.Compaction(p2.table, horizonLsn = -1L, maxFilesPerBucket = 1)
+    val plan3 = planOf(CdcPipeline.liveState(p2.table))
+    assert(!plan3.contains("Exchange") && !"\\bWindow \\[".r.findFirstIn(plan3).isDefined,
+      s"compacted MOR liveState must read window-free:\n$plan3")
+  }
+
   test("dedup operators never build a cartesian product") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
     val p1 = planOf(graft.operators.DedupOps.ngramJaccardPairs(docs, 3, 0.5))

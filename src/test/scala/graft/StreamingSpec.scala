@@ -82,6 +82,48 @@ class StreamingSpec extends SparkSuite {
       .count() === lin.count())
   }
 
+  test("auto-compaction is async: batches commit while maintenance is wedged; state stays exact") {
+    val events = DerivedEvents.fromDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet")).cache()
+    val p = new CdcPipeline(LakeTable(SparkTestBase.tmpDir("stream-async"))(spark),
+      "async-app", mergeOnRead = true, compactEveryFiles = 1)
+    p.bootstrap(numBuckets = 4)
+    p.applyBatch(events, 0)
+    // wedge the single maintenance thread: any compaction queues behind it
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    p.maintenanceExecutor.submit(new Runnable {
+      def run(): Unit = { started.countDown(); gate.await() }
+    })
+    started.await()
+    // both batches MUST return while maintenance is blocked — if applyBatch
+    // still ran compaction inline (the pre-round-5 shape), this would hang
+    val b1 = events.withColumn("lsn", col("lsn") + 1000000L)
+    val b2 = events.withColumn("lsn", col("lsn") + 2000000L)
+    assert(p.applyBatch(b1, 1).rowsWritten > 0)
+    assert(p.applyBatch(b2, 2).rowsWritten > 0)
+    assert(p.compactionsRun.get() === 0, "compaction must not have run inline")
+    gate.countDown()
+    p.awaitMaintenance()
+    assert(p.compactionsRun.get() >= 1, "queued compaction must run after release")
+    // exactly-once accounting survived the async maintenance
+    val lin = graft.cdc.Lineage.read(spark, p.table.root).filter(!col("skippedFenced"))
+    assert(lin.agg(sum("eventsIn")).collect()(0).getLong(0) === events.count() * 3)
+    // final state = LWW fold of all three batches (compaction changed nothing)
+    val all = events.unionByName(b1).unionByName(b2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("repo", "path", "commit")
+      .orderBy(col("lsn").desc, when(col("op") === "D", 1).otherwise(0).desc,
+        coalesce(col("content"), lit("")).desc)
+    val want = all.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("repo"), col("path"), col("commit"), sha2(col("content"), 256).as("sha"))
+    val got = CdcPipeline.liveState(p.table)
+      .select(col("repo"), col("path"), col("commit"), sha2(col("content"), 256).as("sha"))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+  }
+
   test("schedule DSL maps onto triggers") {
     assert(Schedule.trigger("every 5 minutes").toString.contains("300000"))
     assert(Schedule.drainTrigger.toString.toLowerCase.contains("availablenow"))
