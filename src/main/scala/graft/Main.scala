@@ -39,7 +39,7 @@ object Main {
     "plugin <list|install cron|ecs> | " +
     "about-db <dir> | transform <destRoot> <sql> [view=path...] [--preview] | extract <spec.json> <table> <csvDir> | " +
     "extract-api <spec.json> <table> <csvDir> | secrets <generate-key|init|set|show|delete> ... | " +
-    "version | help"
+    "port-convert <file.port> [destRoot] [sourcePath] | version | help"
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -436,6 +436,31 @@ object Main {
         .map(st => LakeTable(st.getPath.toString)(spark)).filter(_.exists)
       val rows = tables.flatMap(_.currentSnapshot).map(_.files.map(_.rows).sum).sum
       println(s"lake at $dir: ${tables.length} tables, $rows rows")
+
+    // .port migration: translate the declarative subset of a reference
+    // Starlark config (Table/LoadStrategy/TransformColumn/ComputeColumn/
+    // Get/Paginate/TableDefinition/... — the fixture corpus's shapes) into
+    // the equivalent JSON JobSpec, printed to stdout for use with
+    // extract-load. Arbitrary lambdas fail loudly with the code quoted.
+    case "port-convert" :: portPath :: rest =>
+      val env = graft.config.Secrets.envWith(
+        sys.env.get("GRAFT_SECRETS_FILE").map(java.nio.file.Paths.get(_)))
+      val p = new org.apache.hadoop.fs.Path(portPath)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val text = graft.lake.LakeTable.readString(fs, p)
+      val name = p.getName.stripSuffix(".port")
+      val destRoot = rest.headOption.getOrElse(s"tmp/lake/$name")
+      val dbSource = rest.drop(1).headOption.map { sp =>
+        val fmt = sp.split("\\.").lastOption.getOrElse("parquet") match {
+          case e @ ("parquet" | "csv" | "json") => e
+          case _ => "parquet"
+        }
+        graft.config.SourceSpec(format = fmt, path = sp)
+      }
+      val spec = graft.config.PortSpec.toJobSpec(text, env,
+        graft.config.DestinationSpec(destRoot), dbSource)
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      println(org.json4s.jackson.Serialization.writePretty(spec))
 
     // ≙ `teleport version` (main.go:110-113): a plain build identifier
     case "version" :: Nil =>

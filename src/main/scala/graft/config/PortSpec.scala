@@ -1,0 +1,519 @@
+package graft.config
+
+import graft.operators.ColumnTransforms.{ColumnSpec, ComputedSpec}
+
+/** A `.port` construct outside the supported declarative subset. The message
+  * names the construct and the fix (port the lambda to a JSON-spec
+  * `transforms`/`computed` entry by hand). */
+class PortParseException(msg: String) extends IllegalArgumentException(msg)
+
+/** Reader for the DECLARATIVE subset of the reference's `.port` config files
+  * (Starlark programs, /root/reference/database_configuration.go:114
+  * `starlark.ExecFile`), mapping them onto [[JobSpec]] for drop-in migration
+  * of existing pads — `graft.Main port-convert` prints the equivalent JSON.
+  *
+  * This is deliberately NOT a Starlark interpreter. It parses the statement
+  * shapes the reference's own fixture corpus uses —
+  *  - `Table("t").LoadStrategy(...).TransformColumn(...).ComputeColumn(...)`
+  *    chains (the testdata databases fixtures),
+  *  - endpoint directives `Get/AddHeader/BasicAuth/ResponseType/
+  *    LoadStrategy/TableDefinition/Paginate/Transform/ErrorHandling`
+  *    (the testdata apis fixtures),
+  *  - and the small per-column helper functions those chains reference —
+  * and TRANSLATES the recognized helper-function idioms into the engine's
+  * declarative vocabulary (scalar ops / Catalyst SQL): `value * 100` →
+  * `multiply:100`, `row['c'].strftime("%F")` → `date_format(c, ...)`,
+  * `json.loads(row['c'])['k']` → `get_json_object(c, '$.k')`,
+  * `yaml.loads(row['c'].split(s,1)[0])` + `dig(...)` →
+  * `get_json_object(yaml_to_json(substring_index(...)), ...)`.
+  * Anything else — a genuinely arbitrary lambda — fails loudly with the
+  * offending code quoted, instead of silently mistranslating.
+  */
+object PortSpec {
+
+  /** One parsed helper function: (argument name, body lines, source text). */
+  private case class Fn(arg: String, body: Seq[String], src: String)
+
+  /** Parse `.port` text into a [[JobSpec]].
+    * @param dbSource db-style files (Table chains) name no physical source —
+    *        the reference resolves that from the pad's databases.yml — so the
+    *        caller supplies it; api-style files (Get …) build their own.
+    * @param destination our lake has no external warehouse, so the caller
+    *        names the destination table root. */
+  def toJobSpec(text: String,
+      env: String => Option[String] = sys.env.get,
+      destination: DestinationSpec = DestinationSpec("tmp/lake/out"),
+      dbSource: Option[SourceSpec] = None): JobSpec = {
+    val interpolated = JobSpec.interpolate(text, env)
+    val (stmts, fns) = logicalStatements(interpolated)
+
+    var api: Option[SourceSpec] = None
+    var itemsField: Option[String] = None
+    var schemaDef: Option[String] = None
+    var retry4xx = false
+    var topStrategy: Option[TableExtractSpec] = None
+    val tables = scala.collection.mutable.LinkedHashMap.empty[String, TableExtractSpec]
+
+    stmts.foreach { s =>
+      val call = "^(\\w+)\\s*\\(".r.findFirstMatchIn(s)
+        .getOrElse(throw new PortParseException(s"unrecognized .port statement: $s"))
+      call.group(1) match {
+        case "Table" =>
+          val (name, spec) = tableChain(s, fns)
+          tables += name -> spec
+        case "Get" =>
+          api = Some(api.getOrElse(SourceSpec("api")).copy(url = singleString(s, "Get")))
+        case "AddHeader" =>
+          val Seq(k, v) = twoStrings(s, "AddHeader")
+          api = Some(api.getOrElse(SourceSpec("api"))
+            .copy(headers = api.map(_.headers).getOrElse(Map.empty) + (k -> v)))
+        case "BasicAuth" =>
+          val Seq(u, p) = twoStrings(s, "BasicAuth")
+          api = Some(api.getOrElse(SourceSpec("api"))
+            .copy(basicAuthUser = Some(u), basicAuthPassword = Some(p)))
+        case "ResponseType" =>
+          api = Some(api.getOrElse(SourceSpec("api"))
+            .copy(responseType = singleString(s, "ResponseType")))
+        case "LoadStrategy" => // top-level form (api files)
+          topStrategy = Some(loadStrategy(argsOf(s, "LoadStrategy"), TableExtractSpec()))
+        case "TableDefinition" =>
+          schemaDef = Some(tableDefinition(s))
+        case "Paginate" =>
+          paginate(s, fns) // validates the idiom; offset token rides the url
+        case "Transform" =>
+          itemsField = transformDirective(argsOf(s, "Transform"), fns,
+            api.map(_.responseType).getOrElse("json"))
+        case "ErrorHandling" =>
+          retry4xx = errorHandling(s)
+        case other =>
+          throw new PortParseException(
+            s"unsupported .port construct '$other(...)' — supported: Table/Get/AddHeader/" +
+            s"BasicAuth/ResponseType/LoadStrategy/TableDefinition/Paginate/Transform/" +
+            s"ErrorHandling (statement: $s)")
+      }
+    }
+
+    api match {
+      case Some(src) =>
+        // Transform/Paginate may be plain `def`s with the magic name instead
+        // of directive calls (api_incremental_load_strategy.port,
+        // example_widgets.port) — same translation either way
+        if (itemsField.isEmpty && fns.contains("Transform"))
+          itemsField = transformDirective(Nil, fns, src.responseType)
+        if (fns.contains("Paginate"))
+          validatePagination(fns("Paginate").body)
+        val full = src.copy(
+          itemsField = itemsField.getOrElse(src.itemsField),
+          schema = schemaDef,
+          retryOn4xx = retry4xx)
+        // an api file defines ONE unnamed table — expose it as the wildcard
+        // entry so extractFor(<any name>) resolves it (≙ the reference keying
+        // api configs by file name, endpoint_configuration.go)
+        val t = topStrategy.getOrElse(TableExtractSpec())
+        JobSpec(full, destination, Map("*" -> t))
+      case None =>
+        val src = dbSource.getOrElse(SourceSpec("parquet"))
+        JobSpec(src, destination, tables.toMap)
+    }
+  }
+
+  // ---------- statement-level parsing ----------
+
+  /** Split text into logical top-level statements and `def` helper functions:
+    * strips comments, joins trailing-backslash continuations, and joins lines
+    * until parens/braces balance (TableDefinition spans lines). */
+  private def logicalStatements(text: String): (Seq[String], Map[String, Fn]) = {
+    val defRe = "^def\\s+(\\w+)\\s*\\(([^)]*)\\)\\s*:\\s*$".r
+    val raw = text.split("\n", -1).map(stripComment).toList
+    val fns = scala.collection.mutable.LinkedHashMap.empty[String, Fn]
+    val top = List.newBuilder[String]
+    var i = 0
+    while (i < raw.length) {
+      raw(i).trim match {
+        case defRe(name, arg) =>
+          val start = i
+          i += 1
+          val body = List.newBuilder[String]
+          while (i < raw.length &&
+              (raw(i).trim.isEmpty || raw(i).startsWith(" ") || raw(i).startsWith("\t"))) {
+            if (raw(i).trim.nonEmpty) body += raw(i).trim
+            i += 1
+          }
+          fns += name -> Fn(arg.trim, body.result(),
+            raw.slice(start, i).mkString("\n").trim)
+        case _ =>
+          top += raw(i)
+          i += 1
+      }
+    }
+    // join continuations (trailing \) then balance parens across lines
+    val joined = top.result().foldLeft(List.empty[String]) { (acc, line) =>
+      acc match {
+        case prev :: rest if prev.endsWith("\\") =>
+          (prev.dropRight(1) + " " + line.trim) :: rest
+        case prev :: rest if netOpen(prev) > 0 =>
+          (prev + " " + line.trim) :: rest
+        case _ => line :: acc
+      }
+    }.reverse.map(_.trim).filter(_.nonEmpty)
+    (joined, fns.toMap)
+  }
+
+  /** Strip a `# comment` tail (quote-aware). */
+  private def stripComment(line: String): String = {
+    var inQ: Char = 0
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ != 0) { if (c == inQ) inQ = 0 }
+      else if (c == '\'' || c == '"') inQ = c
+      else if (c == '#') return line.substring(0, i)
+      i += 1
+    }
+    line
+  }
+
+  /** Net open parens/braces/brackets outside string quotes. */
+  private def netOpen(s: String): Int = {
+    var n = 0; var inQ: Char = 0
+    s.foreach { c =>
+      if (inQ != 0) { if (c == inQ) inQ = 0 }
+      else c match {
+        case '\'' | '"' => inQ = c
+        case '(' | '{' | '[' => n += 1
+        case ')' | '}' | ']' => n -= 1
+        case _ =>
+      }
+    }
+    n
+  }
+
+  /** Arguments of the first `name(...)` call in `s` (balanced, quote-aware). */
+  private def argsOf(s: String, name: String): Seq[String] = {
+    val at = s.indexOf(name + "(")
+    if (at < 0) throw new PortParseException(s"expected $name(...) in: $s")
+    splitTop(balancedParen(s, at + name.length))
+  }
+
+  /** The substring inside the paren starting at `s(open)` (which must be '('). */
+  private def balancedParen(s: String, open: Int): String = {
+    require(s.charAt(open) == '(', s"expected '(' at $open in: $s")
+    var depth = 0; var inQ: Char = 0; var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ != 0) { if (c == inQ) inQ = 0 }
+      else c match {
+        case '\'' | '"' => inQ = c
+        case '(' | '{' | '[' => depth += 1
+        case ')' | '}' | ']' =>
+          depth -= 1
+          if (depth == 0) return s.substring(open + 1, i)
+        case _ =>
+      }
+      i += 1
+    }
+    throw new PortParseException(s"unbalanced parentheses in: $s")
+  }
+
+  /** Split on top-level commas (outside quotes/brackets). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inQ: Char = 0; var last = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ != 0) { if (c == inQ) inQ = 0 }
+      else c match {
+        case '\'' | '"' => inQ = c
+        case '(' | '{' | '[' => depth += 1
+        case ')' | '}' | ']' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(last, i).trim; last = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    val tail = s.substring(last).trim
+    if (tail.nonEmpty) out += tail
+    out.result()
+  }
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && (t.head == '\'' || t.head == '"') && t.last == t.head)
+      decodeEscapes(t.substring(1, t.length - 1))
+    else throw new PortParseException(s"expected a string literal, got: $s")
+  }
+
+  /** Python string-literal escapes → the characters Starlark would see
+    * (`"\nivars:"` in a .port file means newline + "ivars:"). */
+  private def decodeEscapes(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b += '\n'; i += 2
+          case 't' => b += '\t'; i += 2
+          case 'r' => b += '\r'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case '\'' => b += '\''; i += 2
+          case '"' => b += '"'; i += 2
+          case other => b += c; b += other; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  private def singleString(stmt: String, name: String): String =
+    unquote(argsOf(stmt, name).headOption.getOrElse(
+      throw new PortParseException(s"$name() needs an argument: $stmt")))
+
+  private def twoStrings(stmt: String, name: String): Seq[String] = {
+    val a = argsOf(stmt, name)
+    if (a.length != 2) throw new PortParseException(s"$name() needs 2 arguments: $stmt")
+    a.map(unquote)
+  }
+
+  // ---------- Table chains ----------
+
+  private def tableChain(stmt: String, fns: Map[String, Fn]): (String, TableExtractSpec) = {
+    val name = singleString(stmt, "Table")
+    var spec = TableExtractSpec()
+    // walk the .Method(...) chain after Table(...)
+    var pos = stmt.indexOf('(')
+    pos = pos + 1 + balancedParen(stmt, pos).length + 1
+    val mRe = "\\.\\s*(\\w+)\\s*\\(".r
+    var m = mRe.findFirstMatchIn(stmt.substring(pos))
+    while (m.isDefined) {
+      val method = m.get.group(1)
+      val open = pos + m.get.end - 1
+      val args = splitTop(balancedParen(stmt, open))
+      spec = method match {
+        case "LoadStrategy" => loadStrategy(args, spec)
+        case "TransformColumn" =>
+          val colName = unquote(args(0))
+          val fn = fns.getOrElse(args(1).trim, throw new PortParseException(
+            s"TransformColumn references unknown function '${args(1).trim}'"))
+          val (ops, implied) = valueFnOps(fn)
+          val cast = args.lift(2).map(a => sqlTypeToSpark(unquote(a))).orElse(implied)
+          spec.copy(transforms = spec.transforms :+ ColumnSpec(colName, ops, cast))
+        case "ComputeColumn" =>
+          val colName = unquote(args(0))
+          val fn = fns.getOrElse(args(1).trim, throw new PortParseException(
+            s"ComputeColumn references unknown function '${args(1).trim}'"))
+          val cast = args.lift(2).map(a => sqlTypeToSpark(unquote(a)))
+          spec.copy(computed = spec.computed :+ ComputedSpec(colName, rowFnSql(fn), cast))
+        case other => throw new PortParseException(
+          s"unsupported Table chain method '.$other(...)' in: $stmt")
+      }
+      pos = open + 1 + balancedParen(stmt, open).length + 1
+      m = mRe.findFirstMatchIn(stmt.substring(pos))
+    }
+    (name, spec)
+  }
+
+  private def loadStrategy(args: Seq[String], base: TableExtractSpec): TableExtractSpec = {
+    var spec = base.copy(loadStrategy = args.headOption.map(_.trim).getOrElse("Full") match {
+      case s @ ("Full" | "Incremental" | "ModifiedOnly") => s
+      case other => throw new PortParseException(s"unknown LoadStrategy: $other")
+    })
+    args.drop(1).foreach { kw =>
+      kw.split("=", 2) match {
+        case Array(k, v) => k.trim match {
+          case "primary_key" => spec = spec.copy(primaryKey = Seq(unquote(v)))
+          case "modified_at_column" => spec = spec.copy(modifiedAtColumn = Some(unquote(v)))
+          case "go_back_hours" => spec = spec.copy(goBackHours = v.trim.toInt)
+          case other => throw new PortParseException(s"unknown LoadStrategy kwarg: $other")
+        }
+        case _ => throw new PortParseException(s"malformed LoadStrategy argument: $kw")
+      }
+    }
+    spec
+  }
+
+  // ---------- api directives ----------
+
+  private def tableDefinition(stmt: String): String = {
+    val inner = balancedParen(stmt, stmt.indexOf('('))
+    val dict = inner.trim
+    if (!dict.startsWith("{") || !dict.endsWith("}"))
+      throw new PortParseException(s"TableDefinition expects a dict literal: $stmt")
+    splitTop(dict.substring(1, dict.length - 1)).filter(_.nonEmpty).map { pair =>
+      pair.split(":", 2) match {
+        case Array(k, v) => s"${unquote(k)}:${sqlTypeToSpark(unquote(v))}"
+        case _ => throw new PortParseException(s"malformed TableDefinition entry: $pair")
+      }
+    }.mkString(",")
+  }
+
+  /** Validate the Paginate idiom. Offset pagination is our `{offset}` url
+    * token + offsetField plumbing; `return None` means single-page. */
+  private def paginate(stmt: String, fns: Map[String, Fn]): Unit = {
+    val arg = argsOf(stmt, "Paginate").headOption.getOrElse("").trim
+    val body: Seq[String] =
+      if (arg.startsWith("lambda")) {
+        // lambda previous_response: fn(previous_response) — resolve the fn
+        val target = "lambda\\s+\\w+\\s*:\\s*(\\w+)\\s*\\(".r.findFirstMatchIn(arg)
+          .map(_.group(1))
+        target.flatMap(fns.get).map(_.body).getOrElse(
+          throw new PortParseException(s"unsupported Paginate lambda: $arg"))
+      } else fns.get("Paginate").map(_.body).getOrElse(
+        throw new PortParseException(s"unsupported Paginate form: $stmt"))
+    validatePagination(body)
+  }
+
+  private def validatePagination(body: Seq[String]): Unit = {
+    val text = body.mkString(" ")
+    val offsetIdiom = text.contains("'offset'") || text.contains("\"offset\"")
+    val nonePaging = body == Seq("return None")
+    if (!offsetIdiom && !nonePaging)
+      throw new PortParseException(
+        "unsupported pagination function (only the offset idiom and 'return None' " +
+        s"translate):\n${body.mkString("\n")}")
+  }
+
+  /** `Transform(lambda data: data['items'])` / `def Transform(data): return
+    * data["widgets"]` → itemsField. The CSV header idiom (`data.pop(0)` …)
+    * is the engine's built-in CSV parse — accepted, nothing to configure. */
+  private def transformDirective(args: Seq[String], fns: Map[String, Fn],
+      responseType: String): Option[String] = {
+    val body: Seq[String] = args.headOption.map(_.trim) match {
+      case Some(l) if l.startsWith("lambda") =>
+        Seq("return " + l.replaceFirst("lambda\\s+\\w+\\s*:\\s*", ""))
+      case _ => fns.get("Transform").map(_.body).getOrElse(
+        throw new PortParseException("Transform(...) without a recognizable body"))
+    }
+    val itemRe = "^return\\s+\\w+\\[\\s*['\"](\\w+)['\"]\\s*\\]$".r
+    body match {
+      case Seq(itemRe(field)) => Some(field)
+      // the CSV header idiom in either spelling: data.pop(0) + zip, or the
+      // dict comprehension over data[0]/data[1:] — both are exactly the
+      // engine's built-in CSV parse
+      case b if responseType == "csv" &&
+        b.exists(l => l.contains("pop(0)") || l.contains("[0]")) => None
+      case b => throw new PortParseException(
+        "unsupported Transform body (only `data['field']` item extraction and the " +
+        s"CSV header idiom translate — port this lambda to a JSON-spec " +
+        s"transforms/computed entry):\n${b.mkString("\n")}")
+    }
+  }
+
+  /** ErrorHandling dict → retryOn4xx. Network/5xx-retry and invalid-body-fail
+    * are the engine's fixed behavior (≙ reference workflow.go exit codes);
+    * only the 4xx policy is configurable. */
+  private def errorHandling(stmt: String): Boolean = {
+    val inner = balancedParen(stmt, stmt.indexOf('(')).trim
+    val dict = inner.stripPrefix("{").stripSuffix("}")
+    splitTop(dict).filter(_.nonEmpty).map(_.split(":", 2).map(_.trim)).collectFirst {
+      case Array("Http4XXError", policy) => policy == "Retry"
+    }.getOrElse(false)
+  }
+
+  // ---------- helper-function translation ----------
+
+  /** TransformColumn functions take the scalar VALUE: translate the body to
+    * the scalar-op vocabulary. Returns (ops, implied cast). */
+  private def valueFnOps(fn: Fn): (Seq[String], Option[String]) = {
+    val ret = fn.body.collectFirst { case l if l.startsWith("return ") => l.stripPrefix("return ").trim }
+      .getOrElse(throw new PortParseException(s"no return in transform function:\n${fn.src}"))
+    val v = java.util.regex.Pattern.quote(fn.arg)
+    val mul = s"^$v\\s*\\*\\s*([0-9.]+)$$".r
+    val mulInt = s"^int\\(\\s*$v\\s*\\*\\s*([0-9.]+)\\s*\\)$$".r
+    ret match {
+      case mul(n) => (Seq(s"multiply:$n"), None)
+      case mulInt(n) => (Seq(s"multiply:$n"), Some("int"))
+      case s if s == s"${fn.arg}.upper()" => (Seq("upper"), None)
+      case s if s == s"${fn.arg}.lower()" => (Seq("lower"), None)
+      case s if s == s"${fn.arg}.strip()" => (Seq("trim"), None)
+      case other => throw new PortParseException(
+        s"unsupported TransformColumn lambda (translate it to a JSON-spec transforms " +
+        s"entry, e.g. ops=[\"sql:<catalyst expr>\"]):\n${fn.src}\n(return: $other)")
+    }
+  }
+
+  /** ComputeColumn functions take the ROW: symbolically evaluate the
+    * recognized idioms into one Catalyst SQL expression. */
+  private def rowFnSql(fn: Fn): String = {
+    // value = SQL text; json = "get_json_object operates on it" marker
+    case class V(sql: String, json: Boolean)
+    var vars = Map.empty[String, V]
+    def evalExpr(e0: String): V = {
+      val e = e0.trim
+      val rowCol = s"^${java.util.regex.Pattern.quote(fn.arg)}\\[\\s*['\"]([^'\"]+)['\"]\\s*\\]".r
+      val strftime = "^(.*)\\.strftime\\(\\s*['\"]([^'\"]+)['\"]\\s*\\)$".r
+      val split0 = "^(.*)\\.split\\(\\s*(['\"])(.*?)\\2\\s*,\\s*1\\s*\\)\\[0\\]$".r
+      val jsonLoads = "^json\\.loads\\((.*)\\)$".r
+      val yamlLoads = "^yaml\\.loads\\((.*)\\)$".r
+      val dig = "^dig\\((.*)\\)$".r
+      val subscript = "^(\\w+)\\[\\s*['\"]([^'\"]+)['\"]\\s*\\]$".r
+      e match {
+        case strftime(base, fmt) =>
+          V(s"date_format(${evalExpr(base).sql}, '${strftimeToSpark(fmt)}')", json = false)
+        case split0(base, _, sep) =>
+          // sep comes from raw source text: decode python escapes first so
+          // "\nivars:" means newline+ivars:, then re-encode for the SQL literal
+          V(s"substring_index(${evalExpr(base).sql}, '${escapeSql(decodeEscapes(sep))}', 1)",
+            json = false)
+        case jsonLoads(inner) => V(evalExpr(inner).sql, json = true)
+        case yamlLoads(inner) => V(s"yaml_to_json(${evalExpr(inner).sql})", json = true)
+        case dig(args) =>
+          val parts = splitTop(args)
+          val doc = evalExpr(parts.head)
+          if (!doc.json) throw new PortParseException(
+            s"dig() over a non-document value in:\n${fn.src}")
+          val path = parts.tail.map(unquote).mkString(".")
+          V(s"get_json_object(${doc.sql}, '$$.$path')", json = false)
+        case subscript(name, key) if vars.contains(name) =>
+          val doc = vars(name)
+          if (!doc.json) throw new PortParseException(
+            s"subscript on a non-document variable '$name' in:\n${fn.src}")
+          V(s"get_json_object(${doc.sql}, '$$.$key')", json = false)
+        case _ if rowCol.findFirstMatchIn(e).exists(_.matched == e) =>
+          V(s"`${rowCol.findFirstMatchIn(e).get.group(1)}`", json = false)
+        case name if vars.contains(name.trim) => vars(name.trim)
+        case other => throw new PortParseException(
+          s"unsupported ComputeColumn expression '$other' (translate the lambda to a " +
+          s"JSON-spec computed entry):\n${fn.src}")
+      }
+    }
+    val assign = "^(\\w+)\\s*=\\s*(.+)$".r
+    fn.body.foreach {
+      case l if l.startsWith("return ") =>
+        return evalExpr(l.stripPrefix("return ")).sql
+      case assign(name, rhs) => vars += name -> evalExpr(rhs)
+      case other => throw new PortParseException(
+        s"unsupported statement in ComputeColumn function: '$other'\n${fn.src}")
+    }
+    throw new PortParseException(s"no return in ComputeColumn function:\n${fn.src}")
+  }
+
+  private def escapeSql(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+      .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r")
+
+  /** The strftime directives the corpus uses (+ the common ones). */
+  private def strftimeToSpark(fmt: String): String = fmt
+    .replace("%F", "yyyy-MM-dd").replace("%Y", "yyyy").replace("%m", "MM")
+    .replace("%d", "dd").replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+
+  /** Reference SQL column types (ParseDatabaseTypeFromString) → Spark DDL. */
+  private[config] def sqlTypeToSpark(t: String): String = {
+    val up = t.trim.toUpperCase
+    val dec = "^(?:DECIMAL|NUMERIC)\\s*\\((\\d+)\\s*,\\s*(\\d+)\\)$".r
+    up match {
+      case "INT" | "INTEGER" => "int"
+      case "SMALLINT" => "smallint"
+      case "BIGINT" => "bigint"
+      case "FLOAT" | "REAL" => "float"
+      case "DOUBLE" | "DOUBLE PRECISION" => "double"
+      case dec(p, s) => s"decimal($p,$s)"
+      case "BOOLEAN" | "BOOL" => "boolean"
+      case "DATE" => "date"
+      case "TIMESTAMP" | "DATETIME" => "timestamp"
+      case s if s.startsWith("VARCHAR") || s.startsWith("CHAR") ||
+        s == "TEXT" || s == "STRING" => "string"
+      case other => throw new PortParseException(s"unknown column type: $other")
+    }
+  }
+}

@@ -37,4 +37,10 @@ object YamlFunctions {
     val f = udf((s: String) => yamlToJsonStr(s))
     f(c)
   }
+
+  /** Register the SQL-callable form — `yaml_to_json(col)` — so computed
+    * columns (ComputedSpec SQL, `.port`-translated lambdas) can call it.
+    * Idempotent per session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.udf.register("yaml_to_json", (s: String) => yamlToJsonStr(s))
 }

@@ -41,8 +41,11 @@ object ColumnTransforms {
 
   /** The built-in scalar vocabulary (covers every transform in the
     * reference's fixture corpus — SURVEY.md §2.8 F1-F6). `sql:<expr>` escapes
-    * to any Catalyst expression with `value` bound to the column. */
+    * to any Catalyst SQL over the ROW (reference columns by name; the result
+    * replaces the spec's column) — the declarative stand-in for an arbitrary
+    * lambda transform. */
   def scalarOp(name: String): Column => Column = name match {
+    case s if s.startsWith("sql:") => _ => expr(s.stripPrefix("sql:"))
     case "upper" => upper
     case "lower" => lower
     case "trim" => trim
@@ -70,6 +73,9 @@ object ColumnTransforms {
     * config argument parsed by ParseDatabaseTypeFromString. */
   def apply(df: DataFrame, transforms: Seq[ColumnSpec],
       computed: Seq[ComputedSpec] = Nil): DataFrame = {
+    // `yaml_to_json` must resolve inside sql:/computed expressions too (the
+    // .port-translated ruby-yaml lambda path) — registration is idempotent
+    graft.functions.YamlFunctions.register(df.sparkSession)
     val afterTransforms = transforms.foldLeft(df) { (d, spec) =>
       val chained = spec.ops.foldLeft(col(spec.column))((c, op) => scalarOp(op)(c))
       val castDt = spec.castTo.map(parse)

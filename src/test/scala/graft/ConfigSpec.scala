@@ -316,6 +316,92 @@ class ConfigSpec extends SparkSuite {
     assert(afterN2.contains("|3"), s"second query must see the new commit:\n$printed")
   }
 
+  test(".port subset reader: reference DB fixtures translate to JobSpec") {
+    import graft.config.{PortSpec, PortParseException}
+    import graft.operators.ColumnTransforms.{ColumnSpec, ComputedSpec}
+    def port(name: String) = Files.readString(
+      Paths.get(s"/root/reference/testdata/databases/$name"))
+    // full.port / default.port / missing.port / star.port — strategy shapes
+    assert(PortSpec.toJobSpec(port("full.port")).tables("widgets").loadStrategy === "Full")
+    assert(PortSpec.toJobSpec(port("default.port")).tables("widgets").loadStrategy === "Full")
+    assert(PortSpec.toJobSpec(port("missing.port")).tables("notwidgets").loadStrategy === "Full")
+    val mo = PortSpec.toJobSpec(port("modified_only.port")).tables("objects")
+    assert(mo.loadStrategy === "ModifiedOnly" && mo.primaryKey === Seq("id") &&
+      mo.modifiedAtColumn === Some("updated_at") && mo.goBackHours === 36)
+    val star = PortSpec.toJobSpec(port("star.port"))
+    assert(star.extractFor("anything").loadStrategy === "ModifiedOnly")
+    // lambda translation: value fns → scalar ops, row fns → Catalyst SQL
+    assert(PortSpec.toJobSpec(port("transform_column.port")).tables("widgets").transforms ===
+      Seq(ColumnSpec("ranking", Seq("multiply:100"), None)))
+    assert(PortSpec.toJobSpec(port("transform_column_and_change_type.port"))
+      .tables("widgets").transforms ===
+      Seq(ColumnSpec("ranking", Seq("multiply:100"), Some("int"))))
+    assert(PortSpec.toJobSpec(port("compute_column.port")).tables("widgets").computed ===
+      Seq(ComputedSpec("created_date", "date_format(`created_at`, 'yyyy-MM-dd')", Some("date"))))
+    assert(PortSpec.toJobSpec(port("deserialize_json_column.port"))
+      .tables("actions").computed ===
+      Seq(ComputedSpec("time_zone", "get_json_object(`options`, '$.time_zone')", None)))
+    assert(PortSpec.toJobSpec(port("deserialize_ruby_yaml_column.port"))
+      .tables("actions").computed ===
+      Seq(ComputedSpec("append",
+        "get_json_object(yaml_to_json(substring_index(`options`, '\\nivars:', 1)), '$.elements.append')",
+        None)))
+  }
+
+  test(".port subset reader: reference API fixtures translate to JobSpec") {
+    import graft.config.{PortSpec, PortParseException}
+    def port(name: String) = Files.readString(
+      Paths.get(s"/root/reference/testdata/apis/$name"))
+    val env = Map("TEST_URL" -> "http://x/items", "EXAMPLE_WIDGETS_API_TOKEN" -> "tok").get _
+    val off = PortSpec.toJobSpec(port("api_offset_pagination.port"), env)
+    assert(off.source.format === "api")
+    assert(off.source.url === "http://x/items?offset={offset}") // our token format already
+    assert(off.source.basicAuthUser === Some("user") &&
+      off.source.basicAuthPassword === Some("pass"))
+    assert(off.source.responseType === "json" && off.source.itemsField === "items")
+    assert(off.source.schema === Some("id:int,name:string"))
+    assert(off.extractFor("whatever").loadStrategy === "Full")
+    val csv = PortSpec.toJobSpec(port("api_csv.port"), env)
+    assert(csv.source.responseType === "csv")
+    assert(csv.source.schema === Some("id:int,price:decimal(10,2),ranking:float," +
+      "name:string,active:boolean,launched:date,created_at:timestamp,description:string"))
+    val inc = PortSpec.toJobSpec(port("api_incremental_load_strategy.port"), env)
+    assert(inc.extractFor("t").loadStrategy === "Incremental")
+    assert(inc.extractFor("t").primaryKey === Seq("id"))
+    assert(!inc.source.retryOn4xx) // ErrorHandling: Http4XXError → Fail
+    val wid = PortSpec.toJobSpec(Files.readString(Paths.get(
+      "/root/reference/testdata/pad/sources/apis/example_widgets.port")), env)
+    assert(wid.source.itemsField === "widgets") // def Transform, not a directive
+    assert(wid.source.headers("Authorization") === "Bearer tok")
+    // the csv dict-comprehension Transform (api_lambda_transform) IS the
+    // built-in csv parse — accepted with nothing to configure
+    assert(PortSpec.toJobSpec(port("api_lambda_transform.port"), env)
+      .source.responseType === "csv")
+    // a genuinely arbitrary lambda fails LOUDLY with the code quoted
+    val bad = port("api_offset_pagination.port")
+      .replace("Transform(lambda data: data['items'])",
+        "Transform(lambda data: [fixup(d) for d in data])")
+    val e = intercept[PortParseException] { PortSpec.toJobSpec(bad, env) }
+    assert(e.getMessage.contains("fixup"))
+  }
+
+  test(".port drop-in migration: converted fixture runs through JobRunner end-to-end") {
+    import graft.config.PortSpec
+    val dir = SparkTestBase.tmpDir("port-e2e")
+    // a widgets table with a 0..1 ranking, like the reference's fixture data
+    spark.range(50).select(col("id"), (col("id") % 10 / lit(10.0)).as("ranking"))
+      .write.parquet(s"$dir/widgets.parquet")
+    val spec = PortSpec.toJobSpec(
+      Files.readString(Paths.get("/root/reference/testdata/databases/transform_column.port")),
+      destination = graft.config.DestinationSpec(s"$dir/dest", 4),
+      dbSource = Some(graft.config.SourceSpec("parquet", path = s"$dir/widgets.parquet")))
+    val r = JobRunner.run(spark, spec, "widgets", preview = false, forceFull = false)
+    assert(r.rowsLoaded === 50)
+    // toPercent(value) = value * 100 applied by the load
+    val live = graft.cdc.CdcPipeline.liveState(LakeTable(s"$dir/dest")(spark))
+    assert(live.filter(col("id") === 7).select("ranking").collect()(0).getDouble(0) === 70.0)
+  }
+
   test("version and help verbs (≙ reference main.go:110-121)") {
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
@@ -330,7 +416,7 @@ class ConfigSpec extends SparkSuite {
       "list-tables", "describe-table", "table-metadata", "drop-table", "rebucket",
       "import-csv", "create-destination-table", "create-destination-table-from-config-file",
       "new", "db-terminal", "plugin", "about-db", "transform", "extract",
-      "extract-api", "secrets", "version", "help").foreach { verb =>
+      "extract-api", "secrets", "port-convert", "version", "help").foreach { verb =>
       assert(printed.contains(verb), s"help output missing verb '$verb'")
     }
   }
