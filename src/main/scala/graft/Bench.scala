@@ -74,7 +74,7 @@ object Bench {
     // published. Round 4's single samples made 1.5-2.3x swings on this
     // 3x-variance host unattributable (regression vs weather); medians +
     // disclosed spread make per-operator deltas adjudicable.
-    val qreps = sys.env.getOrElse("GRAFT_BENCH_QUERY_REPS", "3").toInt
+    val qreps = math.max(1, sys.env.getOrElse("GRAFT_BENCH_QUERY_REPS", "3").toInt)
     val headline = Seq("q1_agg", "j2_join_agg", "w1_top_per_group",
       "dedup_exact", "dedup_minhash_lsh", "text_langid", "ann_topk_cosine",
       "cdc_replay_state")
@@ -89,7 +89,14 @@ object Bench {
         System.err.println(f"[bench] $name rep $i: $sec%.2fs (steal $steal%.1f%%)")
         (sec, steal)
       }
-      name -> (samples.map(_._1).sorted.apply(qreps / 2), samples)
+      // true median: mean of the two middle samples on an even rep count —
+      // picking the upper-middle would bias the published numbers high on
+      // this 3x-variance host
+      val sortedSecs = samples.map(_._1).sorted
+      val med =
+        if (qreps % 2 == 1) sortedSecs(qreps / 2)
+        else (sortedSecs(qreps / 2 - 1) + sortedSecs(qreps / 2)) / 2.0
+      name -> (med, samples)
     }
     val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")

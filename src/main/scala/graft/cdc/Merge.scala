@@ -384,6 +384,20 @@ object Merge {
           while (done == null && tries < 5) {
             tries += 1
             val fresh = table.currentSnapshot.getOrElse(throw last)
+            // the entry fence applies HERE too: if the conflicting commit was
+            // a concurrent/zombie execution of this very batch (streaming
+            // restart race), re-committing would apply the batch TWICE —
+            // duplicate generation files and double-counted lineage. The
+            // staged files become orphans; vacuum collects them.
+            if (fresh.appId == appId && fresh.batchId == batchId && batchId >= 0) {
+              return MergeStats(batchId, fresh.version, 0, 0, 0, 0, 0, 0, 0, -1, -1,
+                schemaEvolved = false, skippedFenced = true,
+                (System.nanoTime() - t0) / 1000000)
+            }
+            // a rebucket() (or any layout change) invalidates the staged
+            // files — they are bucketed under the OLD numBuckets. Rethrow so
+            // the outer applyBatch loop re-merges with the new layout.
+            if (fresh.numBuckets != numBuckets || fresh.keyCols != snap.keyCols) throw last
             System.err.println(s"[merge] commit conflict on MOR batch $batchId " +
               s"(attempt $tries/5) — re-committing the same staged files against " +
               s"version ${fresh.version}")

@@ -63,9 +63,15 @@ object Lineage {
          st.collect { case s if s.getPath.getName.startsWith("segment-") &&
            s.getPath.getName.endsWith(".parquet") => s.getPath.toString })
       }
+    // ignoreMissingFiles: a background roll-up may delete a listed JSON
+    // between this listing and the scan's execution (live db-terminal over an
+    // ingesting lake) — the record is already in the published segment, so
+    // skipping the vanished file loses nothing once dedup-by-version runs
     val parts =
-      Option.when(jsons.nonEmpty)(spark.read.schema(schema).json(jsons.toIndexedSeq: _*)).toSeq ++
-      Option.when(segments.nonEmpty)(spark.read.schema(schema).parquet(segments.toIndexedSeq: _*)).toSeq
+      Option.when(jsons.nonEmpty)(spark.read.schema(schema)
+        .option("ignoreMissingFiles", "true").json(jsons.toIndexedSeq: _*)).toSeq ++
+      Option.when(segments.nonEmpty)(spark.read.schema(schema)
+        .option("ignoreMissingFiles", "true").parquet(segments.toIndexedSeq: _*)).toSeq
     if (parts.isEmpty) // table has no lineage records (lineage=false)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     // a crash between "write roll-up segment" and "delete folded JSONs" (or a
@@ -93,29 +99,47 @@ object Lineage {
       .sortBy(p => p.getName.stripPrefix("v").stripSuffix(".json").toLongOption.getOrElse(-1L))
     val segments = st.map(_.getPath)
       .filter(p => p.getName.startsWith("segment-") && p.getName.endsWith(".parquet"))
+    // GC staging dirs a crashed/failed previous roll-up left behind (each
+    // holds a full folded copy — a persistent failure must not accumulate
+    // them); 10-minute grace protects a roll-up actually in flight
+    st.map(_.getPath).filter(_.getName.startsWith(".rollup-")).foreach { p =>
+      try {
+        if (fs.getFileStatus(p).getModificationTime <
+            System.currentTimeMillis() - 600000L) fs.delete(p, true)
+      } catch { case _: java.io.FileNotFoundException => }
+    }
     val fold = jsons.dropRight(math.max(0, keepRecent))
     if (fold.isEmpty || (fold.length + segments.length) <= 1) return 0
     val folded = {
+      // ignoreMissingFiles: a CONCURRENT roll-up (CLI vacuum + the pipeline's
+      // background one) may delete an input mid-fold — every such record is
+      // in the concurrent run's published segment, which this run does not
+      // delete, so convergence holds (read() dedups by version)
       val parts =
-        Seq(spark.read.schema(schema).json(fold.map(_.toString).toIndexedSeq: _*)) ++
+        Seq(spark.read.schema(schema).option("ignoreMissingFiles", "true")
+          .json(fold.map(_.toString).toIndexedSeq: _*)) ++
         Option.when(segments.nonEmpty)(
-          spark.read.schema(schema).parquet(segments.map(_.toString).toIndexedSeq: _*)).toSeq
+          spark.read.schema(schema).option("ignoreMissingFiles", "true")
+            .parquet(segments.map(_.toString).toIndexedSeq: _*)).toSeq
       parts.reduce(_ unionByName _).dropDuplicates("version")
     }
     // one file: lineage rows are tiny (a few hundred bytes each) — even a
     // year of seconds-per-batch history is a few hundred MB of parquet
     val staging = new org.apache.hadoop.fs.Path(dir, s".rollup-${java.util.UUID.randomUUID()}")
-    folded.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-    val part = fs.listStatus(staging)
-      .find(s => s.getPath.getName.startsWith("part-") && s.getPath.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"roll-up wrote no parquet part in $staging"))
-    val dest = new org.apache.hadoop.fs.Path(dir, s"segment-${java.util.UUID.randomUUID()}.parquet")
-    if (!fs.rename(part.getPath, dest))
-      throw new java.io.IOException(s"rename ${part.getPath} -> $dest failed")
-    fs.delete(staging, true)
-    // the roll-up is live — now retire what it folded
-    (fold ++ segments).foreach(p => fs.delete(p, false))
-    fold.length + segments.length
+    try {
+      folded.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = fs.listStatus(staging)
+        .find(s => s.getPath.getName.startsWith("part-") && s.getPath.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"roll-up wrote no parquet part in $staging"))
+      val dest = new org.apache.hadoop.fs.Path(dir, s"segment-${java.util.UUID.randomUUID()}.parquet")
+      if (!fs.rename(part.getPath, dest))
+        throw new java.io.IOException(s"rename ${part.getPath} -> $dest failed")
+      // the roll-up is live — now retire what it folded
+      (fold ++ segments).foreach(p => fs.delete(p, false))
+      fold.length + segments.length
+    } finally {
+      fs.delete(staging, true)
+    }
   }
 }
 

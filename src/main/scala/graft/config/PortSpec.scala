@@ -293,15 +293,13 @@ object PortSpec {
         case "LoadStrategy" => loadStrategy(args, spec)
         case "TransformColumn" =>
           val colName = unquote(args(0))
-          val fn = fns.getOrElse(args(1).trim, throw new PortParseException(
-            s"TransformColumn references unknown function '${args(1).trim}'"))
+          val fn = resolveFn("TransformColumn", args(1), fns)
           val (ops, implied) = valueFnOps(fn)
           val cast = args.lift(2).map(a => sqlTypeToSpark(unquote(a))).orElse(implied)
           spec.copy(transforms = spec.transforms :+ ColumnSpec(colName, ops, cast))
         case "ComputeColumn" =>
           val colName = unquote(args(0))
-          val fn = fns.getOrElse(args(1).trim, throw new PortParseException(
-            s"ComputeColumn references unknown function '${args(1).trim}'"))
+          val fn = resolveFn("ComputeColumn", args(1), fns)
           val cast = args.lift(2).map(a => sqlTypeToSpark(unquote(a)))
           spec.copy(computed = spec.computed :+ ComputedSpec(colName, rowFnSql(fn), cast))
         case other => throw new PortParseException(
@@ -411,6 +409,20 @@ object PortSpec {
   }
 
   // ---------- helper-function translation ----------
+
+  /** A chain argument is either a named helper `def` or an INLINE lambda
+    * (`lambda row: row['updated_at'].strftime('%F')` —
+    * transform_column_mysql.port); both resolve to the same Fn shape, so the
+    * idiom translators apply uniformly. */
+  private def resolveFn(where: String, arg: String, fns: Map[String, Fn]): Fn = {
+    val a = arg.trim
+    val lambdaRe = "^lambda\\s+(\\w+)\\s*:\\s*(.+)$".r
+    a match {
+      case lambdaRe(param, bodyExpr) => Fn(param, Seq(s"return ${bodyExpr.trim}"), a)
+      case name => fns.getOrElse(name, throw new PortParseException(
+        s"$where references unknown function '$name'"))
+    }
+  }
 
   /** TransformColumn functions take the scalar VALUE: translate the body to
     * the scalar-op vocabulary. Returns (ops, implied cast). */

@@ -347,11 +347,18 @@ final class LakeTable(val root: String, spark: SparkSession) {
     // THE STORED GRANULE GOVERNS: group numbers must be computed in the same
     // layout the parent's manifest refs were grouped with, or ref reuse would
     // silently record wrong file sets (see [[Snapshot.bucketsPerGroup]]).
-    // The session conf applies only to new tables and to legacy (pre-round-5
-    // or inline-file) parents, whose refs are empty/unreusable anyway.
+    // The session conf applies to NEW tables and to parents with no stored
+    // granule. A round-4 parent (manifests present, granule not recorded)
+    // could have been grouped under ANY granule — its refs are therefore
+    // NOT reusable (a group-number match against a conf-derived layout
+    // would be coincidental), so the migration commit rewrites every
+    // manifest once, stamping the granule for all subsequent commits.
     val bpg = parentSnap.map(_.bucketsPerGroup).filter(_ > 0).getOrElse(bucketsPerGroup)
+    val granuleUnknown = parentSnap.exists(p =>
+      p.bucketsPerGroup <= 0 && p.manifests.nonEmpty)
     val parentRefs: Map[Int, ManifestRef] =
-      parentSnap.map(_.manifests).getOrElse(Nil).map(m => m.group -> m).toMap
+      if (granuleUnknown) Map.empty
+      else parentSnap.map(_.manifests).getOrElse(Nil).map(m => m.group -> m).toMap
     val refs = s.files.groupBy(_.bucket / bpg).toList.sortBy(_._1).map {
       case (g, fl) =>
         val sorted = fl.sortBy(_.path)

@@ -188,9 +188,12 @@ object SimilarityOps {
     val spark = corpus.sparkSession
     import spark.implicits._
     // trainSampleMod = 0 (the default) derives the faiss-convention sample
-    // size from the corpus count — one narrow count() job (metadata-only on
-    // parquet), trivially amortized by the training scans it bounds. An
-    // explicit mod ≥ 1 overrides (the gate pins 2 so the oracle can replay).
+    // size from the corpus count — metadata-only on a bare parquet scan,
+    // but a FULL extra pass when `corpus` is a derived plan (filter/join):
+    // such callers should cache the corpus or pass an explicit mod ≥ 1
+    // (which also lets the gate's oracle replay, pinned at 2 there). Either
+    // way the cost is amortized by the kmeansIters × corpus/mod training
+    // scans the derived mod bounds.
     val mod =
       if (trainSampleMod >= 1) trainSampleMod
       else derivedTrainSampleMod(corpus.count(), nlist)

@@ -346,6 +346,10 @@ class ConfigSpec extends SparkSuite {
       Seq(ComputedSpec("append",
         "get_json_object(yaml_to_json(substring_index(`options`, '\\nivars:', 1)), '$.elements.append')",
         None)))
+    // INLINE lambda in the chain (transform_column_mysql.port) — same idiom
+    // translation as a named def
+    assert(PortSpec.toJobSpec(port("transform_column_mysql.port")).tables("objects").computed ===
+      Seq(ComputedSpec("updated_on", "date_format(`updated_at`, 'yyyy-MM-dd')", Some("date"))))
   }
 
   test(".port subset reader: reference API fixtures translate to JobSpec") {
@@ -369,6 +373,12 @@ class ConfigSpec extends SparkSuite {
     assert(inc.extractFor("t").loadStrategy === "Incremental")
     assert(inc.extractFor("t").primaryKey === Seq("id"))
     assert(!inc.source.retryOn4xx) // ErrorHandling: Http4XXError → Fail
+    // the Retry branch must actually parse (a broken dict parser would also
+    // return false above — this distinguishes them)
+    val incRetry = PortSpec.toJobSpec(
+      port("api_incremental_load_strategy.port")
+        .replace("Http4XXError: Fail", "Http4XXError: Retry"), env)
+    assert(incRetry.source.retryOn4xx)
     val wid = PortSpec.toJobSpec(Files.readString(Paths.get(
       "/root/reference/testdata/pad/sources/apis/example_widgets.port")), env)
     assert(wid.source.itemsField === "widgets") // def Transform, not a directive

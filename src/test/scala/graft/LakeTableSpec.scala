@@ -164,6 +164,44 @@ class LakeTableSpec extends SparkSuite {
     } finally spark.conf.unset("graft.manifest.bucketsPerGroup")
   }
 
+  test("round-4 parent (manifests, no stored granule): refs are NOT reused; migration rewrites all") {
+    spark.conf.set("graft.manifest.bucketsPerGroup", "4")
+    try {
+      val t = LakeTable(SparkTestBase.tmpDir("lake-r4mig"))(spark)
+      t.create(schema, numBuckets = 32, appId = "t")
+      val df = spark.range(2000).select(concat(lit("k"), col("id")).as("k"), col("id").as("v"))
+      val v1 = t.overwrite(df, Seq("k"), "t")
+      // rewrite snapshot-1 WITHOUT the bucketsPerGroup field — the round-4
+      // persisted form (manifests present, granule unknown)
+      val fs = t.fs
+      val p = new org.apache.hadoop.fs.Path(t.root, "meta/snapshot-1.json")
+      val raw = LakeTable.readString(fs, p)
+      assert(raw.contains("bucketsPerGroup"))
+      val legacy = raw.replaceAll(",?\\s*\"bucketsPerGroup\"\\s*:\\s*\\d+", "")
+      fs.delete(p, false)
+      val out = fs.create(p, true); out.write(legacy.getBytes("UTF-8")); out.close()
+      // a session at a DIFFERENT granule commits: the parent's refs could be
+      // grouped under any layout, so none may be reused — even ones whose
+      // file count happens to match a new-layout group
+      spark.conf.set("graft.manifest.bucketsPerGroup", "16")
+      val t2 = LakeTable(t.root)(spark)
+      val parent = t2.currentSnapshot.get
+      assert(parent.bucketsPerGroup === 0 && parent.manifests.nonEmpty)
+      val bucket = parent.files.head.bucket
+      val removed = parent.files.filter(_.bucket == bucket).map(_.path).toSet
+      val added = t2.writeDataFiles(
+        LakeTable.withBucket(df, Seq("k"), 32).filter(col(LakeTable.BucketCol) === bucket), 32)
+      val v2 = t2.replaceFiles(parent, removed, added, None, "t", -1, -1, Map.empty)
+      assert(v2.manifests.map(_.path).toSet.intersect(parent.manifests.map(_.path).toSet)
+        === Set.empty, "round-4 refs must never be reused across an unknown granule")
+      assert(v2.bucketsPerGroup === 16 && v2.manifests.size === 2) // 32 buckets / 16
+      // the migrated snapshot's file list is exactly right
+      val reread = LakeTable(t.root)(spark).snapshot(v2.version)
+      assert(reread.files.map(_.path).sorted === v2.files.map(_.path).sorted)
+      assert(LakeTable(t.root)(spark).read().count() === 2000)
+    } finally spark.conf.unset("graft.manifest.bucketsPerGroup")
+  }
+
   test("legacy inline-file snapshots read transparently and migrate on the next commit") {
     val t = LakeTable(SparkTestBase.tmpDir("lake-legacy"))(spark)
     t.create(schema, 4, "t")
