@@ -143,10 +143,22 @@ object Main {
     // ---- schedule export (≙ `teleport schedule`, schedule.go:200-217):
     // emit the cron-consumable JSON for every scheduled table in a spec ----
     case "schedule" :: specPath :: Nil =>
-      val spec = graft.config.JobSpec.load(spark, specPath)
-      spec.tables.toSeq.sortBy(_._1).foreach { case (t, e) =>
-        e.schedule.foreach { s =>
-          println(s"""{"table":"$t","schedule":${graft.streaming.Schedule.toJson(s)}}""")
+      if (specPath.endsWith(".port")) {
+        // pad schedule file (config/schedule.port) — parsed directly, so a
+        // migrated pad's cron export works without converting the file first
+        val p = new org.apache.hadoop.fs.Path(specPath)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        graft.config.PortSpec.parseSchedules(graft.lake.LakeTable.readString(fs, p))
+          .foreach { e =>
+            println(s"""{"table":"${e.table}","schedule":${graft.streaming.Schedule.toJson(e.every)},""" +
+              s""""kind":"${e.kind}","to":"${e.to}"}""")
+          }
+      } else {
+        val spec = graft.config.JobSpec.load(spark, specPath)
+        spec.tables.toSeq.sortBy(_._1).foreach { case (t, e) =>
+          e.schedule.foreach { s =>
+            println(s"""{"table":"$t","schedule":${graft.streaming.Schedule.toJson(s)}}""")
+          }
         }
       }
 

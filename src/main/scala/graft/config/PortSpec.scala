@@ -117,6 +117,44 @@ object PortSpec {
     }
   }
 
+  /** One line of a pad schedule file (config/schedule.port,
+    * reference schedule.go:22-76 + testdata/pad/config/schedule.port). */
+  case class ScheduleEntry(kind: String, table: String, every: String, to: String)
+
+  /** Parse the pad's schedule file: `ExtractLoadAPI('name', every='1 hour',
+    * to='db')`, `ExtractLoadDB('src', 'table', every=..., to=...)`,
+    * `Transform('name', source='db', every=...)` → entries the `schedule`
+    * verb exports in the reference's cron-consumable JSON shape. */
+  def parseSchedules(text: String,
+      env: String => Option[String] = sys.env.get): Seq[ScheduleEntry] = {
+    val (stmts, _) = logicalStatements(JobSpec.interpolate(text, env))
+    stmts.map { s =>
+      val call = "^(\\w+)\\s*\\(".r.findFirstMatchIn(s)
+        .getOrElse(throw new PortParseException(s"unrecognized schedule statement: $s"))
+      val verb = call.group(1)
+      val args = argsOf(s, verb)
+      val positional = args.filterNot(_.contains("=")).map(unquote)
+      val kwargs = args.filter(_.contains("=")).map { kw =>
+        val Array(k, v) = kw.split("=", 2); k.trim -> unquote(v)
+      }.toMap
+      val every = kwargs.getOrElse("every", throw new PortParseException(
+        s"schedule statement without every=: $s"))
+      verb match {
+        case "ExtractLoadAPI" =>
+          ScheduleEntry("extract-load-api", positional.head, every, kwargs.getOrElse("to", ""))
+        case "ExtractLoadDB" =>
+          // (source, table) positionals — the TABLE names the job
+          ScheduleEntry("extract-load-db",
+            positional.lift(1).getOrElse(positional.head), every, kwargs.getOrElse("to", ""))
+        case "Transform" =>
+          ScheduleEntry("transform", positional.head, every,
+            kwargs.getOrElse("source", kwargs.getOrElse("to", "")))
+        case other => throw new PortParseException(
+          s"unsupported schedule verb '$other' (ExtractLoadAPI/ExtractLoadDB/Transform): $s")
+      }
+    }
+  }
+
   // ---------- statement-level parsing ----------
 
   /** Split text into logical top-level statements and `def` helper functions:

@@ -395,6 +395,28 @@ class ConfigSpec extends SparkSuite {
     assert(e.getMessage.contains("fixup"))
   }
 
+  test(".port schedule file: pad config/schedule.port exports the cron JSON shape") {
+    import graft.config.PortSpec
+    val entries = PortSpec.parseSchedules(Files.readString(
+      Paths.get("/root/reference/testdata/pad/config/schedule.port")))
+    assert(entries === Seq(
+      PortSpec.ScheduleEntry("extract-load-api", "worldtimeapi_ip_times", "1 hour", "postgresdocker"),
+      PortSpec.ScheduleEntry("extract-load-api", "example_widgets", "2 hours", "postgresdocker"),
+      PortSpec.ScheduleEntry("extract-load-db", "objects", "1 day", "postgresdocker"),
+      PortSpec.ScheduleEntry("transform", "times_by_day_of_week", "1 day", "postgresdocker")))
+    // the verb prints one cron-consumable line per entry
+    val dir = SparkTestBase.tmpDir("schedport")
+    val p = s"$dir/schedule.port"
+    Files.writeString(Paths.get(p),
+      "ExtractLoadAPI('widgets', every='2 hours', to='db1')\n")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Main.run(spark, List("schedule", p))
+    }
+    assert(out.toString("UTF-8").trim ===
+      """{"table":"widgets","schedule":{"every":7200},"kind":"extract-load-api","to":"db1"}""")
+  }
+
   test(".port drop-in migration: converted fixture runs through JobRunner end-to-end") {
     import graft.config.PortSpec
     val dir = SparkTestBase.tmpDir("port-e2e")
