@@ -49,6 +49,7 @@ object PortSpec {
 
     var api: Option[SourceSpec] = None
     var itemsField: Option[String] = None
+    var apiTransforms: Seq[ColumnSpec] = Nil
     var schemaDef: Option[String] = None
     var retry4xx = false
     var topStrategy: Option[TableExtractSpec] = None
@@ -72,8 +73,11 @@ object PortSpec {
           api = Some(api.getOrElse(SourceSpec("api"))
             .copy(basicAuthUser = Some(u), basicAuthPassword = Some(p)))
         case "ResponseType" =>
-          api = Some(api.getOrElse(SourceSpec("api"))
-            .copy(responseType = singleString(s, "ResponseType")))
+          val rt = singleString(s, "ResponseType")
+          // ≙ the reference's invalid-configuration error (api_invalid_configuration.port)
+          if (rt != "json" && rt != "csv")
+            throw new PortParseException(s"invalid ResponseType '$rt' (json|csv)")
+          api = Some(api.getOrElse(SourceSpec("api")).copy(responseType = rt))
         case "LoadStrategy" => // top-level form (api files)
           topStrategy = Some(loadStrategy(argsOf(s, "LoadStrategy"), TableExtractSpec()))
         case "TableDefinition" =>
@@ -81,8 +85,9 @@ object PortSpec {
         case "Paginate" =>
           paginate(s, fns) // validates the idiom; offset token rides the url
         case "Transform" =>
-          itemsField = transformDirective(argsOf(s, "Transform"), fns,
+          val (f, tf) = transformDirective(argsOf(s, "Transform"), fns,
             api.map(_.responseType).getOrElse("json"))
+          itemsField = f; apiTransforms = tf
         case "ErrorHandling" =>
           retry4xx = errorHandling(s)
         case other =>
@@ -98,8 +103,10 @@ object PortSpec {
         // Transform/Paginate may be plain `def`s with the magic name instead
         // of directive calls (api_incremental_load_strategy.port,
         // example_widgets.port) — same translation either way
-        if (itemsField.isEmpty && fns.contains("Transform"))
-          itemsField = transformDirective(Nil, fns, src.responseType)
+        if (itemsField.isEmpty && apiTransforms.isEmpty && fns.contains("Transform")) {
+          val (f, tf) = transformDirective(Nil, fns, src.responseType)
+          itemsField = f; apiTransforms = tf
+        }
         if (fns.contains("Paginate"))
           validatePagination(fns("Paginate").body)
         val full = src.copy(
@@ -110,7 +117,8 @@ object PortSpec {
         // entry so extractFor(<any name>) resolves it (≙ the reference keying
         // api configs by file name, endpoint_configuration.go)
         val t = topStrategy.getOrElse(TableExtractSpec())
-        JobSpec(full, destination, Map("*" -> t))
+        JobSpec(full, destination,
+          Map("*" -> t.copy(transforms = t.transforms ++ apiTransforms)))
       case None =>
         val src = dbSource.getOrElse(SourceSpec("parquet"))
         JobSpec(src, destination, tables.toMap)
@@ -411,27 +419,60 @@ object PortSpec {
 
   /** `Transform(lambda data: data['items'])` / `def Transform(data): return
     * data["widgets"]` → itemsField. The CSV header idiom (`data.pop(0)` …)
-    * is the engine's built-in CSV parse — accepted, nothing to configure. */
+    * is the engine's built-in CSV parse — accepted, nothing to configure.
+    * The per-item DICT-COMPREHENSION idiom (api_basic_auth / api_header_auth /
+    * api_integer_data_type: `return [{'k': f(item['k']), ...} for item in
+    * data["items"]]`) translates to itemsField + per-column transforms for
+    * the recognized field expressions (identity, `int(...)` cast,
+    * `time.fromtimestamp(...)`). Returns (itemsField, column transforms). */
   private def transformDirective(args: Seq[String], fns: Map[String, Fn],
-      responseType: String): Option[String] = {
+      responseType: String): (Option[String], Seq[ColumnSpec]) = {
     val body: Seq[String] = args.headOption.map(_.trim) match {
       case Some(l) if l.startsWith("lambda") =>
         Seq("return " + l.replaceFirst("lambda\\s+\\w+\\s*:\\s*", ""))
       case _ => fns.get("Transform").map(_.body).getOrElse(
         throw new PortParseException("Transform(...) without a recognizable body"))
     }
+    val one = body.mkString(" ").trim
     val itemRe = "^return\\s+\\w+\\[\\s*['\"](\\w+)['\"]\\s*\\]$".r
-    body match {
-      case Seq(itemRe(field)) => Some(field)
+    val compRe = ("^return\\s*\\[\\s*\\{(.*)\\}\\s*for\\s+(\\w+)\\s+in\\s+" +
+      "\\w+\\[\\s*['\"](\\w+)['\"]\\s*\\]\\s*\\]$").r
+    one match {
+      case itemRe(field) => (Some(field), Nil)
       // the CSV header idiom in either spelling: data.pop(0) + zip, or the
       // dict comprehension over data[0]/data[1:] — both are exactly the
       // engine's built-in CSV parse
-      case b if responseType == "csv" &&
-        b.exists(l => l.contains("pop(0)") || l.contains("[0]")) => None
+      case _ if responseType == "csv" &&
+        (one.contains("pop(0)") || one.contains("[0]")) => (None, Nil)
+      case compRe(dict, item, field) =>
+        val specs = splitTop(dict).filter(_.trim.nonEmpty).flatMap { pair =>
+          pair.split(":", 2) match {
+            case Array(k0, e0) =>
+              val k = unquote(k0)
+              val e = e0.trim
+              val ident = Set(s"$item['$k']", s"""$item["$k"]""")
+              val intRe = ("^int\\(\\s*" + java.util.regex.Pattern.quote(item) +
+                "\\[['\"]" + java.util.regex.Pattern.quote(k) + "['\"]\\]\\s*\\)$").r
+              val ftRe = ("^time\\.fromtimestamp\\(\\s*(?:int\\(\\s*)?" +
+                java.util.regex.Pattern.quote(item) + "\\[['\"]" +
+                java.util.regex.Pattern.quote(k) + "['\"]\\]\\s*\\)?\\s*\\)$").r
+              if (ident.contains(e)) None // straight field copy
+              else if (intRe.findFirstIn(e).isDefined)
+                Some(ColumnSpec(k, Nil, Some("int")))
+              else if (ftRe.findFirstIn(e).isDefined)
+                Some(ColumnSpec(k,
+                  Seq(s"sql:timestamp_seconds(cast(`$k` as bigint))"), None))
+              else throw new PortParseException(
+                s"unsupported item expression for '$k': $e (translate this " +
+                "field to a JSON-spec transforms entry)")
+            case _ => throw new PortParseException(s"malformed dict entry: $pair")
+          }
+        }
+        (Some(field), specs)
       case b => throw new PortParseException(
-        "unsupported Transform body (only `data['field']` item extraction and the " +
-        s"CSV header idiom translate — port this lambda to a JSON-spec " +
-        s"transforms/computed entry):\n${b.mkString("\n")}")
+        "unsupported Transform body (item extraction, the CSV header idiom and " +
+        s"the per-item dict comprehension translate — port this lambda to a " +
+        s"JSON-spec transforms/computed entry):\n$b")
     }
   }
 

@@ -387,6 +387,27 @@ class ConfigSpec extends SparkSuite {
     // built-in csv parse — accepted with nothing to configure
     assert(PortSpec.toJobSpec(port("api_lambda_transform.port"), env)
       .source.responseType === "csv")
+    // per-item dict comprehension: identity fields drop out, int() becomes a
+    // cast, time.fromtimestamp becomes a sql: transform (api_basic_auth,
+    // api_integer_data_type); trailing commas in TableDefinition accepted
+    val ba = PortSpec.toJobSpec(port("api_basic_auth.port"), env)
+    assert(ba.source.itemsField === "items" && ba.source.schema === Some("id:int,name:string"))
+    assert(ba.extractFor("t").transforms === Seq(
+      graft.operators.ColumnTransforms.ColumnSpec("created_at",
+        Seq("sql:timestamp_seconds(cast(`created_at` as bigint))"), None)))
+    assert(PortSpec.toJobSpec(port("api_integer_data_type.port"), env)
+      .extractFor("t").transforms === Seq(
+        graft.operators.ColumnTransforms.ColumnSpec("id", Nil, Some("int"))))
+    // reference parity for the two invalid fixtures: loud failures
+    intercept[PortParseException] { // ResponseType("glorb")
+      PortSpec.toJobSpec(port("api_invalid_configuration.port"), env)
+    }
+    intercept[PortParseException] { // Transform body without a return
+      PortSpec.toJobSpec(port("api_missing_return_value.port"), env)
+    }
+    // no-directive files parse with defaults (api_no_transform, api_500)
+    assert(PortSpec.toJobSpec(port("api_no_transform.port"), env)
+      .extractFor("t").loadStrategy === "Full")
     // a genuinely arbitrary lambda fails LOUDLY with the code quoted
     val bad = port("api_offset_pagination.port")
       .replace("Transform(lambda data: data['items'])",
