@@ -408,6 +408,41 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** End-to-end `.port` migration gate: a Starlark-shaped config in the
+    * reference's own declarative style (Table/LoadStrategy/TransformColumn
+    * with helper lambdas — the transform_column.port shapes) parses through
+    * [[graft.config.PortSpec]], runs through JobRunner, and the loaded table
+    * matches the DuckDB oracle — the migration path is value-gated, not just
+    * spec-tested. The .port text is our own (same shapes as the fixtures,
+    * not copied); the widgets input derives deterministically from events. */
+  private def cfgPortLoad(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("gate-port")
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id").as("id"),
+        (col("event_id") % 100).cast("double").as("ranking"),
+        col("event_type").as("name"))
+      .write.mode("overwrite").parquet(s"$root/widgets.parquet")
+    val portText =
+      """def toPercent(value):
+        |  return value * 100
+        |
+        |def shout(value):
+        |  return value.upper()
+        |
+        |Table("widgets") \
+        |  .LoadStrategy(Full) \
+        |  .TransformColumn("ranking", toPercent) \
+        |  .TransformColumn("name", shout)
+        |""".stripMargin
+    val spec = graft.config.PortSpec.toJobSpec(portText,
+      destination = graft.config.DestinationSpec(s"$root/dest", 8),
+      dbSource = Some(graft.config.SourceSpec("parquet", path = s"$root/widgets.parquet")))
+    graft.config.JobRunner.run(spark, spec, "widgets")
+    graft.cdc.CdcPipeline.liveState(LakeTable(s"$root/dest")(spark))
+      .select(col("id"), col("ranking"), col("name"))
+      .orderBy("id")
+  }
+
   /** ModifiedOnly upsert through the config frontend (modified_only.port:
     * lookback filter by modified-at column + delete-match upsert by primary
     * key): a Full run tags every row 'full', then a ModifiedOnly run
@@ -667,6 +702,7 @@ object SparkEntry {
     "cfg_incremental_merge" -> (cfgIncrementalMerge _),
     "cfg_api_load" -> (cfgApiLoad _),
     "cfg_api_csv" -> (cfgApiCsv _),
+    "cfg_port_load" -> (cfgPortLoad _),
     "f5_yaml" -> (f5Yaml _))
 
   // ------------------------------------------------------------- oracles ----
@@ -969,6 +1005,10 @@ object SparkEntry {
       SELECT event_id, CAST(trunc(value * 100) AS BIGINT) AS value_cents,
         upper(event_type) AS event_type_uc, strftime(ts, '%Y-%m-%d') AS day
       FROM events ORDER BY event_id""",
+    "cfg_port_load" -> """
+      SELECT event_id AS id, CAST(event_id % 100 AS DOUBLE) * 100.0 AS ranking,
+        upper(event_type) AS name
+      FROM events ORDER BY id""",
     "cfg_modified_only" -> """
       SELECT event_id,
         CASE WHEN ts > (SELECT max(ts) - INTERVAL 36 HOUR FROM events)
