@@ -55,7 +55,7 @@ object Bench {
     // runs: this host shows up to ~3x noisy-neighbor variance between
     // identical runs (BASELINE.md), so a single sample grades host weather,
     // not the engine; both samples are published in the JSON.
-    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "5").toInt // median headline: odd count, robust to ~2 burst reps
+    val reps = math.max(1, sys.env.getOrElse("GRAFT_BENCH_REPS", "5").toInt) // median headline: odd count, robust to ~2 burst reps
     val runs = (1 to reps).map { i =>
       val (r, steal) = withSteal(cdcThroughput(spark, nEvents, nBatches))
       System.err.println(f"[bench] replay rep $i: ${r._1.round} events/s (steal ${steal}%.1f%%)")
@@ -66,7 +66,12 @@ object Bench {
     // runs_events_per_sec (with kernel-reported hypervisor-steal% per rep)
     // and the max rides along as best_events_per_sec
     val sorted = runs.sortBy(_._1)
-    val (eps, cdcSec, _) = sorted(runs.size / 2)
+    // true median on an even rep count (mean of the middle two) — the upper-
+    // middle sample would bias the headline HIGH on this 3x-variance host
+    val (eps, cdcSec) =
+      if (reps % 2 == 1) (sorted(reps / 2)._1, sorted(reps / 2)._2)
+      else ((sorted(reps / 2 - 1)._1 + sorted(reps / 2)._1) / 2.0,
+        (sorted(reps / 2 - 1)._2 + sorted(reps / 2)._2) / 2.0)
     val best = sorted.last._1
 
     // representative operator queries on the sf dir — MEDIAN of qreps

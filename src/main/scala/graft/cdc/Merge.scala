@@ -384,12 +384,16 @@ object Merge {
           while (done == null && tries < 5) {
             tries += 1
             val fresh = table.currentSnapshot.getOrElse(throw last)
-            // the entry fence applies HERE too: if the conflicting commit was
-            // a concurrent/zombie execution of this very batch (streaming
-            // restart race), re-committing would apply the batch TWICE —
-            // duplicate generation files and double-counted lineage. The
-            // staged files become orphans; vacuum collects them.
-            if (fresh.appId == appId && fresh.batchId == batchId && batchId >= 0) {
+            // the entry fence applies HERE too, and one notch stronger: if
+            // the same app's commits have reached THIS batch OR PAST it
+            // (a zombie that committed N and then N+1 before our stale
+            // commit of N landed), re-committing would apply the batch
+            // TWICE — duplicate generation files and double-counted
+            // lineage. batchIds are monotonic within an appId (the
+            // foreachBatch contract this engine mirrors); concurrent
+            // unordered writers must use distinct appIds. The staged files
+            // become orphans; vacuum collects them.
+            if (fresh.appId == appId && fresh.batchId >= batchId && batchId >= 0) {
               return MergeStats(batchId, fresh.version, 0, 0, 0, 0, 0, 0, 0, -1, -1,
                 schemaEvolved = false, skippedFenced = true,
                 (System.nanoTime() - t0) / 1000000)

@@ -50,7 +50,11 @@ object Lineage {
       new org.apache.hadoop.fs.Path(dir, s"v${s.committedVersion}.json"), json)
   }
 
-  def read(spark: SparkSession, tableRoot: String): DataFrame = {
+  def read(spark: SparkSession, tableRoot: String): DataFrame =
+    readAttempt(spark, tableRoot, attemptsLeft = 3)
+
+  private def readAttempt(spark: SparkSession, tableRoot: String,
+      attemptsLeft: Int): DataFrame = {
     val dir = new org.apache.hadoop.fs.Path(tableRoot, "lineage")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     // explicit file listing, not a glob: Spark's glob resolution was observed
@@ -63,21 +67,30 @@ object Lineage {
          st.collect { case s if s.getPath.getName.startsWith("segment-") &&
            s.getPath.getName.endsWith(".parquet") => s.getPath.toString })
       }
-    // ignoreMissingFiles: a background roll-up may delete a listed JSON
-    // between this listing and the scan's execution (live db-terminal over an
-    // ingesting lake) — the record is already in the published segment, so
-    // skipping the vanished file loses nothing once dedup-by-version runs
-    val parts =
-      Option.when(jsons.nonEmpty)(spark.read.schema(schema)
-        .option("ignoreMissingFiles", "true").json(jsons.toIndexedSeq: _*)).toSeq ++
-      Option.when(segments.nonEmpty)(spark.read.schema(schema)
-        .option("ignoreMissingFiles", "true").parquet(segments.toIndexedSeq: _*)).toSeq
-    if (parts.isEmpty) // table has no lineage records (lineage=false)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    // a crash between "write roll-up segment" and "delete folded JSONs" (or a
-    // fenced replay re-reporting an already-folded commit) leaves the same
-    // version in both forms — the commit version is the primary key, dedup
-    else parts.reduce(_ unionByName _).dropDuplicates("version")
+    // a background roll-up may delete a listed JSON between the listing and
+    // the read (live db-terminal over an ingesting lake) — the record is
+    // already in the published segment, so nothing is lost, but the vanish
+    // can surface at TWO points: at read() creation (the path-existence
+    // check — caught here, re-list and retry) or at scan execution
+    // (ignoreMissingFiles skips it)
+    try {
+      val parts =
+        Option.when(jsons.nonEmpty)(spark.read.schema(schema)
+          .option("ignoreMissingFiles", "true").json(jsons.toIndexedSeq: _*)).toSeq ++
+        Option.when(segments.nonEmpty)(spark.read.schema(schema)
+          .option("ignoreMissingFiles", "true").parquet(segments.toIndexedSeq: _*)).toSeq
+      if (parts.isEmpty) // table has no lineage records (lineage=false)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      // a crash between "write roll-up segment" and "delete folded JSONs" (or a
+      // fenced replay re-reporting an already-folded commit) leaves the same
+      // version in both forms — the commit version is the primary key, dedup
+      else parts.reduce(_ unionByName _).dropDuplicates("version")
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException if attemptsLeft > 1 &&
+          Option(e.getMessage).exists(m =>
+            m.contains("PATH_NOT_FOUND") || m.contains("does not exist")) =>
+        readAttempt(spark, tableRoot, attemptsLeft - 1)
+    }
   }
 
   /** Roll-up: fold every lineage JSON older than the newest `keepRecent`
@@ -99,10 +112,12 @@ object Lineage {
       .sortBy(p => p.getName.stripPrefix("v").stripSuffix(".json").toLongOption.getOrElse(-1L))
     val segments = st.map(_.getPath)
       .filter(p => p.getName.startsWith("segment-") && p.getName.endsWith(".parquet"))
-    // GC staging dirs a crashed/failed previous roll-up left behind (each
-    // holds a full folded copy — a persistent failure must not accumulate
-    // them); 10-minute grace protects a roll-up actually in flight
-    st.map(_.getPath).filter(_.getName.startsWith(".rollup-")).foreach { p =>
+    // GC staging DIRECTORIES a crashed/failed previous roll-up left behind
+    // (each holds a full folded copy — a persistent failure must not
+    // accumulate them; `st` is pre-filtered to files, so list again);
+    // 10-minute grace protects a roll-up actually in flight
+    fs.listStatus(dir).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(".rollup-")).map(_.getPath).foreach { p =>
       try {
         if (fs.getFileStatus(p).getModificationTime <
             System.currentTimeMillis() - 600000L) fs.delete(p, true)
@@ -110,6 +125,19 @@ object Lineage {
     }
     val fold = jsons.dropRight(math.max(0, keepRecent))
     if (fold.isEmpty || (fold.length + segments.length) <= 1) return 0
+    try { foldAndPublish(spark, fs, dir, fold, segments) } catch {
+      // a CONCURRENT roll-up (CLI vacuum + the pipeline's background one)
+      // deleted our inputs before analysis — its published segment already
+      // holds them; this run simply has nothing left to do
+      case e: org.apache.spark.sql.AnalysisException if Option(e.getMessage)
+          .exists(m => m.contains("PATH_NOT_FOUND") || m.contains("does not exist")) => 0
+    }
+  }
+
+  private def foldAndPublish(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      fold: Array[org.apache.hadoop.fs.Path],
+      segments: Array[org.apache.hadoop.fs.Path]): Int = {
     val folded = {
       // ignoreMissingFiles: a CONCURRENT roll-up (CLI vacuum + the pipeline's
       // background one) may delete an input mid-fold — every such record is

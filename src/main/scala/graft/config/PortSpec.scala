@@ -113,12 +113,21 @@ object PortSpec {
           itemsField = itemsField.getOrElse(src.itemsField),
           schema = schemaDef,
           retryOn4xx = retry4xx)
+        // fields the Transform dict mentions but TableDefinition omits never
+        // reach the destination in the reference (the typed load takes only
+        // the schema's columns — api_basic_auth's created_at is computed and
+        // then dropped), and here the page frame reads with that schema, so
+        // a transform on an absent column would fail analysis: filter to the
+        // declared columns — identical outcome to the reference
+        val schemaCols = schemaDef.map(_.split(",").map(_.split(":")(0)).toSet)
+        val kept = schemaCols.fold(apiTransforms)(cols =>
+          apiTransforms.filter(t => cols.contains(t.column)))
         // an api file defines ONE unnamed table — expose it as the wildcard
         // entry so extractFor(<any name>) resolves it (≙ the reference keying
         // api configs by file name, endpoint_configuration.go)
         val t = topStrategy.getOrElse(TableExtractSpec())
         JobSpec(full, destination,
-          Map("*" -> t.copy(transforms = t.transforms ++ apiTransforms)))
+          Map("*" -> t.copy(transforms = t.transforms ++ kept)))
       case None =>
         val src = dbSource.getOrElse(SourceSpec("parquet"))
         JobSpec(src, destination, tables.toMap)
@@ -147,6 +156,8 @@ object PortSpec {
       }.toMap
       val every = kwargs.getOrElse("every", throw new PortParseException(
         s"schedule statement without every=: $s"))
+      if (positional.isEmpty)
+        throw new PortParseException(s"schedule statement without a job name: $s")
       verb match {
         case "ExtractLoadAPI" =>
           ScheduleEntry("extract-load-api", positional.head, every, kwargs.getOrElse("to", ""))

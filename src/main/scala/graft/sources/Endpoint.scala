@@ -149,33 +149,38 @@ object Endpoint {
     rows.toList.filterNot(r => r.length == 1 && r.head.isEmpty)
   }
 
-  /** Build a typed DataFrame from one page's records. JSON pages parse
-    * directly against `schema`; CSV pages carry every value as a string and
-    * cast per the reference's load rules — empty string = NULL
-    * (EMPTYASNULL, load_redshift.go:36), timestamps via ANSI cast. */
+  /** Build a typed DataFrame from one page's records. BOTH body types read
+    * every field as raw TEXT first and type it with an explicit cast — the
+    * reference's model exactly (Starlark hands the load row-dicts of
+    * marshalled values; the typed load casts them, api.go:287-369 +
+    * load.go) — so a JSON page carrying `{"id": "123"}` (string-encoded
+    * number, the api_integer_data_type.port shape) loads as 123, where a
+    * schema-first JSON parse silently nulled it (Spark's Jackson path does
+    * not coerce quoted scalars). Differences by body type:
+    *  - CSV: empty string = NULL (EMPTYASNULL, load_redshift.go:36);
+    *  - JSON: only a JSON null is NULL — an empty string in a numeric field
+    *    is malformed and errors loudly (reference strconv behavior).
+    * Any non-null value that fails its cast errors loudly either way. */
   def pageFrame(spark: org.apache.spark.sql.SparkSession, cfg: EndpointConfig,
       schema: org.apache.spark.sql.types.StructType,
       recs: Seq[String]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, lit, when}
-    if (cfg.responseType == "csv") {
-      import org.apache.spark.sql.functions.{coalesce, concat, raise_error}
-      val strSchema = org.apache.spark.sql.types.StructType(
-        schema.fields.map(_.copy(dataType = org.apache.spark.sql.types.StringType)))
-      spark.read.schema(strSchema).json(recs.toDS())
-        .select(schema.fields.toIndexedSeq.map { f =>
-          // ONLY the empty string maps to NULL (EMPTYASNULL); any other value
-          // that fails the cast errors loudly — the reference's typed COPY
-          // rejects malformed values, and a silent NULL would be
-          // indistinguishable from the intended empty-string rule
-          val casted = col(f.name).cast(f.dataType)
-          when(col(f.name).isNull || col(f.name) === "", lit(null).cast(f.dataType))
-            .otherwise(coalesce(casted, raise_error(concat(
-              lit(s"invalid value for ${f.name} ${f.dataType.simpleString}: '"),
-              col(f.name), lit("'"))).cast(f.dataType)))
-            .as(f.name)
-        }: _*)
-    } else spark.read.schema(schema).json(recs.toDS())
+    import org.apache.spark.sql.functions.{coalesce, col, concat, lit, raise_error, when}
+    val emptyIsNull = cfg.responseType == "csv"
+    val strSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.map(_.copy(dataType = org.apache.spark.sql.types.StringType)))
+    spark.read.schema(strSchema).json(recs.toDS())
+      .select(schema.fields.toIndexedSeq.map { f =>
+        val casted = col(f.name).cast(f.dataType)
+        val isNull =
+          if (emptyIsNull) col(f.name).isNull || col(f.name) === ""
+          else col(f.name).isNull
+        when(isNull, lit(null).cast(f.dataType))
+          .otherwise(coalesce(casted, raise_error(concat(
+            lit(s"invalid value for ${f.name} ${f.dataType.simpleString}: '"),
+            col(f.name), lit("'"))).cast(f.dataType)))
+          .as(f.name)
+      }: _*)
   }
 
   /** Production transport over the JDK's `java.net.http.HttpClient` — the

@@ -389,10 +389,19 @@ class ConfigSpec extends SparkSuite {
       .source.responseType === "csv")
     // per-item dict comprehension: identity fields drop out, int() becomes a
     // cast, time.fromtimestamp becomes a sql: transform (api_basic_auth,
-    // api_integer_data_type); trailing commas in TableDefinition accepted
+    // api_integer_data_type); trailing commas in TableDefinition accepted.
+    // created_at is NOT in api_basic_auth's TableDefinition — the reference's
+    // typed load takes only the schema's columns, so its transform is
+    // FILTERED (keeping it would reference a column the page frame never has)
     val ba = PortSpec.toJobSpec(port("api_basic_auth.port"), env)
     assert(ba.source.itemsField === "items" && ba.source.schema === Some("id:int,name:string"))
-    assert(ba.extractFor("t").transforms === Seq(
+    assert(ba.extractFor("t").transforms === Nil)
+    // …but when the user's TableDefinition DOES declare the field, the
+    // fromtimestamp translation is retained
+    val baDeclared = PortSpec.toJobSpec(
+      port("api_basic_auth.port").replace("\"name\": \"VARCHAR(255)\",",
+        "\"name\": \"VARCHAR(255)\",\n\t\"created_at\": \"TIMESTAMP\","), env)
+    assert(baDeclared.extractFor("t").transforms === Seq(
       graft.operators.ColumnTransforms.ColumnSpec("created_at",
         Seq("sql:timestamp_seconds(cast(`created_at` as bigint))"), None)))
     assert(PortSpec.toJobSpec(port("api_integer_data_type.port"), env)

@@ -223,6 +223,31 @@ class SourcesSpec extends SparkSuite {
     assert(!Endpoint.classify(cfg, 404).get.retryable)
   }
 
+  test("json page bodies: string-encoded scalars load typed (api_integer_data_type parity)") {
+    import graft.sources.{Endpoint, EndpointConfig}
+    val cfg = EndpointConfig(url = "http://t/w", responseType = "json")
+    // the reference's Transform uses int(item['id']) because sources send
+    // quoted numbers — the typed load must coerce them, not null them (a
+    // schema-first JSON parse silently nulls quoted scalars)
+    val body = """{"items":[{"id":"123","price":"1.5"},{"id":456,"price":2.5},
+      {"id":null,"price":null}]}"""
+    val page = Endpoint.parsePage(cfg, body).toOption.get
+    val schema = StructType(Seq(StructField("id", LongType), StructField("price", DoubleType)))
+    val rows = Endpoint.pageFrame(spark, cfg, schema, page.records)
+      .orderBy(col("id").asc_nulls_first).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1)) // JSON null stays NULL
+    assert(rows(1).getLong(0) === 123L && rows(1).getDouble(1) === 1.5) // quoted
+    assert(rows(2).getLong(0) === 456L && rows(2).getDouble(1) === 2.5) // bare
+    // a malformed non-empty value errors loudly — JSON has no EMPTYASNULL
+    val bad = Endpoint.parsePage(cfg, """{"items":[{"id":"abc","price":1}]}""").toOption.get
+    val ex = intercept[Exception] {
+      Endpoint.pageFrame(spark, cfg, schema, bad.records).collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(ex).exists(t => Option(t.getMessage).exists(_.contains("abc"))))
+  }
+
   test("api-format extract-load: paginated json endpoint → MERGE-loaded LakeTable") {
     import graft.config.{JobRunner, JobSpec}
     import graft.sources.{HttpRequest, HttpResponse}
