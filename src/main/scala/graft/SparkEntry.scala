@@ -855,9 +855,9 @@ object SparkEntry {
           ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
           END)) AS s
         FROM tk),
-      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
       hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 100),
       paired AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM paired GROUP BY doc_id),
       shared AS (
         SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
         FROM paired l JOIN paired r ON l.s = r.s AND l.doc_id < r.doc_id

@@ -305,9 +305,13 @@ object JobRunner {
       case "ModifiedOnly" =>
         val mcol = extract.modifiedAtColumn.getOrElse(
           throw new IllegalArgumentException(s"ModifiedOnly needs modifiedAtColumn"))
+        // collision-proof internal alias: a source column literally named
+        // "c" would make the filter ambiguous and the drop destructive
+        val cutoffCol = "__graft_cutoff"
         val cutoff = transformed.agg(
-          (max(col(mcol)) - expr(s"INTERVAL ${extract.goBackHours} HOURS")).as("c"))
-        transformed.join(broadcast(cutoff)).filter(col(mcol) > col("c")).drop("c")
+          (max(col(mcol)) - expr(s"INTERVAL ${extract.goBackHours} HOURS")).as(cutoffCol))
+        transformed.join(broadcast(cutoff))
+          .filter(col(mcol) > col(cutoffCol)).drop(cutoffCol)
       case "Full" | "Incremental" => transformed
       case other => throw new IllegalArgumentException(
         s"load strategy not implemented: $other") // ≙ database.go:185-186

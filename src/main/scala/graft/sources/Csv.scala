@@ -17,18 +17,25 @@ import org.apache.spark.sql.types._
   *  - booleans as "true"/"false" words (util.go:75-76)
   *  - DATE as `yyyy-MM-dd` (database.go:435-446), TIMESTAMP as RFC3339 UTC
   *    (util.go:82-83, load_postgres.go:51-57)
-  *  - floats in scientific `%E` form on write (util.go:79-81) — parsed back
-  *    losslessly by cast
+  *  - floats written in shortest-ROUND-TRIP form (the reference's
+  *    `strconv.FormatFloat(v, 'E', -1, 64)` is likewise shortest-round-trip;
+  *    it renders E-notation where we render Java's decimal/EN mix — both
+  *    parse to the identical bits everywhere, and a fixed-precision `%E`
+  *    would silently truncate doubles to 7 significant digits)
   *  - maps/arrays serialize to "" i.e. NULL (util.go:86-88): reproduced by
   *    dropping non-scalar columns with a warning, like the reference skips
   *    unsupported source column types (schema/schema.go:96-99)
   */
 object CsvSource {
 
+  // NO emptyValue entry on READ: that option is the REPLACEMENT value
+  // univocity substitutes for quoted-empty fields (not a match token), so a
+  // sentinel there made `a,"",b` load as the sentinel garbage. The default
+  // pipeline already does what EMPTYASNULL means: quoted or bare empty field
+  // -> "" -> equals nullValue -> NULL.
   val ReadOptions: Map[String, String] = Map(
     "header" -> "true",
     "nullValue" -> "",
-    "emptyValue" -> "\u0000ignored\u0000", // never matches: empty stays null
     "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ssX",
     "dateFormat" -> "yyyy-MM-dd")
 
@@ -47,21 +54,29 @@ object CsvSource {
 
   /** Infer schema like the reference's API CSV path: everything lands as
     * STRING first (`type table [][]string`, api.go:27), typed later by the
-    * destination schema. */
+    * destination schema. nullValue is set to a token that never occurs in
+    * data so NOTHING nulls here and empty fields stay "" — merely dropping
+    * the option would fall back to Spark's default nullValue "" and null
+    * them, losing the all-string contract. */
   def readUntyped(spark: SparkSession, path: String): DataFrame =
-    spark.read.options(ReadOptions - "nullValue").option("inferSchema", "false").csv(path)
+    spark.read.options(ReadOptions + ("nullValue" -> "\u0000never\u0000"))
+      .option("inferSchema", "false").csv(path)
 
   /** Format columns for CSV exactly as the reference's writer does
-    * (util.go:68-91): booleans→words, float→%E, timestamp→RFC3339 UTC,
-    * date→yyyy-MM-dd, non-scalars dropped. Returns a all-string DataFrame
-    * ready for `df.write.csv`. */
+    * (util.go:68-91): booleans→words, floats shortest-round-trip
+    * (≙ FormatFloat('E', -1, 64) — see the header note on the E-notation
+    * difference), timestamp→RFC3339 UTC, date→yyyy-MM-dd, non-scalars
+    * dropped. Returns an all-string DataFrame ready for `df.write.csv`. */
   def formatForCsv(df: DataFrame): DataFrame = {
     val cols: Seq[Column] = df.schema.fields.toSeq.flatMap { f =>
       f.dataType match {
         case BooleanType => Some(when(col(f.name), "true")
           .when(!col(f.name), "false").as(f.name))
         case DoubleType | FloatType =>
-          Some(format_string("%E", col(f.name)).as(f.name))
+          // cast, not format_string("%E", _): %E truncates to 7 significant
+          // digits AND renders a null argument as the literal string "NULL"
+          // (java.util.Formatter) — both silent corruption on interchange
+          Some(col(f.name).cast(StringType).as(f.name))
         case TimestampType =>
           Some(date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ssX").as(f.name))
         case TimestampNTZType => // session-local wall time ≙ UTC (we pin UTC)

@@ -180,6 +180,33 @@ class OperatorsSpec extends SparkSuite {
     assert(auto === explicit)
   }
 
+  test("simhash band partition is lossless at every maxDist (pigeonhole, incl. non-divisors of 64)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (maxDist <- Seq(1, 3, 8, 16, 32, 63)) {
+      val x = rnd.nextLong()
+      // flip exactly maxDist bits spread evenly — the adversarial layout
+      // that defeated the old ceil-width banding (its last band was empty
+      // whenever maxDist+1 did not divide 64, so recall < 1 at exactly the
+      // advertised distance)
+      val positions = (0 until maxDist).map(i => i * 64 / maxDist)
+      assert(positions.distinct.size === maxDist)
+      val y = positions.foldLeft(x)((v, b) => v ^ (1L << b))
+      val row = Seq((x, y)).toDF("sx", "sy")
+        .select(DedupOps.sigBands(col("sx"), maxDist).as("bx"),
+          DedupOps.sigBands(col("sy"), maxDist).as("by"))
+        .collect()(0)
+      val bx = row.getSeq[Long](0)
+      val by = row.getSeq[Long](1)
+      assert(bx.length === maxDist + 1)
+      assert(bx.zip(by).exists { case (a, b) => a == b },
+        s"maxDist=$maxDist: signatures at distance $maxDist share no band — recall hole")
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.sigBands(lit(0L), 64)
+    }
+  }
+
   test("pii redaction: emails, ips, phones; pattern order") {
     val d = Seq("mail bob.smith+x@ex.co.uk, ip 10.0.3.77, call 555-1234 or +441234567890 end")
       .toDF("text")
@@ -214,10 +241,14 @@ class OperatorsSpec extends SparkSuite {
     assert(r(0).getString(3).length === 64)
   }
 
-  test("bpe-ish token count splits words, digits and punctuation") {
-    val d = Seq("hello, world42!").toDF("text")
-    val n = d.select(TextFunctions.bpeTokenCount(col("text"))).collect()(0).getLong(0)
-    assert(n >= 5) // hello , world 42 ! (+spaces)
+  test("bpe-ish token count: letter/digit/punct runs, whitespace never counted") {
+    def n(s: String) =
+      Seq(s).toDF("text").select(TextFunctions.bpeTokenCount(col("text")))
+        .collect()(0).getLong(0)
+    assert(n("hello, world42!") === 5) // hello , world 42 !
+    assert(n("hello world") === 2) // the space is NOT a token
+    assert(n("wow!!!") === 2) // punctuation RUN counts once
+    assert(n("") === 0)
   }
 
   test("langid on the documents corpus never returns null and covers 'und'") {

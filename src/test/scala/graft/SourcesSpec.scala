@@ -42,8 +42,43 @@ class SourcesSpec extends SparkSuite {
     assert(r1.getDecimal(1) === new java.math.BigDecimal("12.34"))
     assert(r1.getBoolean(4))
     assert(r1.getDate(5).toString === "2020-01-02")
-    // %E float form parsed back losslessly
+    // float form parsed back losslessly
     assert(back.filter(col("id") === 2).collect()(0).getDouble(2) === -1.0e10)
+  }
+
+  test("csv interchange: null doubles, full float precision, quoted empties (reference rules)") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("csv-rt2")
+    val full = 0.1234567890123456
+    val df = Seq((1L, Some(full), Some("x")), (2L, None: Option[Double], None: Option[String]))
+      .toDF("id", "v", "s")
+    CsvSource.write(df, s"$dir/t")
+    // raw text: a null double must be the EMPTY field (reference util.go
+    // case nil -> ""), never the literal "NULL" java.util.Formatter renders
+    val raw = spark.read.option("header", "true").option("nullValue", " never ")
+      .csv(s"$dir/t").orderBy("id").collect()
+    assert(raw(1).getString(1) == null || raw(1).getString(1) == "",
+      s"null double wrote '${raw(1).getString(1)}'")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType), StructField("s", StringType)))
+    val back = CsvSource.read(spark, s"$dir/t", schema).orderBy("id").collect()
+    // shortest-round-trip: all 16 significant digits survive (the old %E
+    // format truncated to 7)
+    assert(back(0).getDouble(1) === full)
+    assert(back(1).isNullAt(1))
+    // quoted-empty fields load as NULL (EMPTYASNULL), not sentinel garbage
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/quoted"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/quoted/data.csv"), "id,name\n1,\"\"\n2,real\n")
+    val q = CsvSource.read(spark, s"$dir/quoted",
+      StructType(Seq(StructField("id", LongType), StructField("name", StringType))))
+      .orderBy("id").collect()
+    assert(q(0).isNullAt(1), s"quoted empty loaded as '${q(0).getString(1)}'")
+    assert(q(1).getString(1) === "real")
+    // readUntyped keeps empties as strings (all-string [][]string contract)
+    val u = CsvSource.readUntyped(spark, s"$dir/quoted").orderBy("id").collect()
+    assert(u(0).getString(1) === "" || u(0).getString(1) == null) // quoted empty stays non-sentinel
+    assert(!Option(u(0).getString(1)).exists(_.contains("never")))
   }
 
   test("schema tools: parse/emit/ddl round-trip (widgets)") {
