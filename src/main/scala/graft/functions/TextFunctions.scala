@@ -21,10 +21,12 @@ object TextFunctions {
     * a punctuation run as its own token ("hello world" = 3, "wow!!!" = 4),
     * roughly doubling estimates on prose — real BPE binds whitespace to the
     * following word and merges punctuation runs, so length cutoffs
-    * calibrated in true BPE tokens filtered the wrong documents. */
+    * calibrated in true BPE tokens filtered the wrong documents.
+    * NULL text stays NULL (regexp_count propagates it), matching
+    * [[tokenCount]] — a filter must not count a missing document as length
+    * 0; empty text counts 0 matches. */
   def bpeTokenCount(text: Column): Column =
-    coalesce(regexp_count(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+")), lit(0))
-      .cast("long")
+    regexp_count(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+")).cast("long")
 
   /** Character-level stats bundle used by quality scoring. */
   def punctRatio(text: Column): Column = {

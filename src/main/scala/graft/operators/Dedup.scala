@@ -278,10 +278,29 @@ object DedupOps {
 
   def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
-      .union(pairs.select(col(bCol).cast("long").as("x"), col(aCol).cast("long").as("y")))
+    // try_cast, not cast: under ANSI (the Spark 4 default) a plain cast
+    // aborts mid-job on the first non-numeric id with a generic cast error;
+    // with ANSI off it nulls silently. try_cast nulls on BOTH settings, so
+    // every corpus reaches the explicit null check below and its actionable
+    // "hash your ids first" error
+    def asLong(c: String) = expr(s"try_cast(`$c` AS LONG)")
+    val edges = pairs.select(asLong(aCol).as("x"), asLong(bCol).as("y"))
+      .union(pairs.select(asLong(bCol).as("x"), asLong(aCol).as("y")))
       .distinct()
       .persist()
+    // ids must survive the long cast: a PARTIALLY non-numeric corpus (say
+    // mixed numeric and UUID ids) nulls only some endpoints, and null-tolerant
+    // aggregates (sum skips nulls, least absorbs them) would then silently
+    // drop those docs from the labeling instead of failing — so count null
+    // endpoints explicitly before the loop
+    val nullEdges = edges.filter(col("x").isNull || col("y").isNull).limit(1).count()
+    if (nullEdges > 0) {
+      edges.unpersist()
+      throw new IllegalArgumentException(
+        "clusters() requires doc ids castable to LONG (string/UUID ids cast " +
+        "to null) — hash non-numeric ids first, e.g. xxhash64(id), and keep " +
+        "a (hash → id) mapping for the canonical join")
+    }
     // a clean corpus (zero candidate pairs) is the COMMON case: return the
     // empty labeling up front — the checksum below would otherwise read a
     // null sum and the fixpoint compare would NPE
@@ -311,16 +330,9 @@ object DedupOps {
       edges.groupBy("x").agg(min(col("y")).as("mn"))
         .select(col("x"), least(col("x"), col("mn")).as("lbl")))
     // monotone checksum: labels only decrease, so equal sums ⇔ no change.
-    // A null sum here means the id→long cast nulled the ids: fail with the
-    // actual problem instead of an opaque NPE at the fixpoint compare.
-    def checksum(l: DataFrame): java.math.BigDecimal = {
-      val s = l.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
-      if (s == null) throw new IllegalArgumentException(
-        "clusters() requires doc ids castable to LONG (string/UUID ids cast to " +
-        "null) — hash non-numeric ids first, e.g. xxhash64(id), and keep a " +
-        "(hash → id) mapping for the canonical join")
-      s
-    }
+    // The upfront null-endpoint check guarantees a non-null sum here.
+    def checksum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
     var prev = checksum(labels)
     var iter = 0
     var converged = false

@@ -54,13 +54,14 @@ object CsvSource {
 
   /** Infer schema like the reference's API CSV path: everything lands as
     * STRING first (`type table [][]string`, api.go:27), typed later by the
-    * destination schema. nullValue is set to a token that never occurs in
-    * data so NOTHING nulls here and empty fields stay "" — merely dropping
-    * the option would fall back to Spark's default nullValue "" and null
-    * them, losing the all-string contract. */
+    * destination schema. Go's encoding/csv never yields nil for a field, so
+    * the contract here is NO nulls: the sentinel nullValue keeps quoted
+    * empties as "", and na.fill covers bare (unquoted) empty fields, which
+    * the Spark reader nulls regardless of nullValue. */
   def readUntyped(spark: SparkSession, path: String): DataFrame =
     spark.read.options(ReadOptions + ("nullValue" -> "\u0000never\u0000"))
       .option("inferSchema", "false").csv(path)
+      .na.fill("")
 
   /** Format columns for CSV exactly as the reference's writer does
     * (util.go:68-91): booleans→words, floats shortest-round-trip

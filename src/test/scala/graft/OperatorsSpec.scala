@@ -64,6 +64,14 @@ class OperatorsSpec extends SparkSuite {
     assert(DedupOps.canonical(d, noPairs).count() === 2)
   }
 
+  test("clusters fails loudly on ids the long cast nulls — even PARTIALLY mixed") {
+    // a mixed corpus ("abc" nulls, 123 survives) must error, not silently
+    // drop the non-numeric doc from the labeling (sum/least absorb nulls)
+    val mixed = Seq(("123", "abc"), ("123", "456")).toDF("a", "b")
+    val e = intercept[IllegalArgumentException](DedupOps.clusters(mixed).count())
+    assert(e.getMessage.contains("castable to LONG"))
+  }
+
   test("canonical keeps cluster minima and singletons, drops the rest") {
     val d = Seq((1L, "x"), (2L, "x"), (3L, "x"), (5L, "alone"), (7L, "y"), (9L, "y"))
       .toDF("doc_id", "text")
@@ -249,6 +257,12 @@ class OperatorsSpec extends SparkSuite {
     assert(n("hello world") === 2) // the space is NOT a token
     assert(n("wow!!!") === 2) // punctuation RUN counts once
     assert(n("") === 0)
+    // NULL text stays NULL (like tokenCount) — a length filter must not
+    // treat a missing document as an empty one
+    val nul = Seq(Option.empty[String]).toDF("text")
+      .select(TextFunctions.bpeTokenCount(col("text")),
+        TextFunctions.tokenCount(col("text"))).collect()(0)
+    assert(nul.isNullAt(0) && nul.isNullAt(1))
   }
 
   test("langid on the documents corpus never returns null and covers 'und'") {

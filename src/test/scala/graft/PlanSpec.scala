@@ -273,19 +273,35 @@ class PlanSpec extends SparkSuite {
   test("ngram jaccard df-cap prunes boilerplate shingles but keeps exact pairs") {
     import spark.implicits._
     // 6 docs share the boilerplate trigram; two true near-dups share more
-    val docs = (Seq(
+    val data: Seq[(Long, String)] = (Seq(
       "alpha beta gamma delta epsilon zeta",
       "alpha beta gamma delta epsilon eta").zipWithIndex ++
       (2 to 7).map(i => s"alpha beta gamma doc$i unique$i text$i").zipWithIndex.map {
         case (t, i) => (t, i + 2) })
-      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .map { case (t, i) => (i.toLong, t) }
+    val docs = data.toDF("doc_id", "text")
     val uncapped = graft.operators.DedupOps.ngramJaccardPairs(docs, 3, 0.3, dfCap = 0)
       .select("a", "b").as[(Long, Long)].collect().toSet
     val capped = graft.operators.DedupOps.ngramJaccardPairs(docs, 3, 0.3, dfCap = 4)
       .select("a", "b").as[(Long, Long)].collect().toSet
     // the near-dup pair (0,1) shares non-boilerplate shingles → survives cap
     assert(uncapped.contains((0L, 1L)) && capped.contains((0L, 1L)))
-    // capped candidates are a subset (cap only prunes, never invents)
-    assert(capped.subsetOf(uncapped))
+    // capped Jaccard uses the capped shingle universe CONSISTENTLY —
+    // intersections AND denominators exclude hot shingles — so the invariant
+    // is equality with a brute-force recomputation over that universe, NOT
+    // subset-of-uncapped: dropping a hot shingle present in only one doc of
+    // a pair legitimately RAISES that pair's similarity
+    def shingleSet(t: String): Set[String] =
+      t.trim.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    val sets = data.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val hot = sets.values.flatten.groupBy(identity)
+      .collect { case (s, occ) if occ.size > 4 => s }.toSet
+    val cappedSets = sets.map { case (id, s) => id -> (s -- hot) }
+    val expected = (for {
+      (a, sa) <- cappedSets.toSeq; (b, sb) <- cappedSets.toSeq if a < b
+      inter = (sa & sb).size
+      if inter > 0 && inter.toDouble / (sa ++ sb).size >= 0.3
+    } yield (a, b)).toSet
+    assert(capped === expected)
   }
 }

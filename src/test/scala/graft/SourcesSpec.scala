@@ -69,16 +69,20 @@ class SourcesSpec extends SparkSuite {
     // quoted-empty fields load as NULL (EMPTYASNULL), not sentinel garbage
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/quoted"))
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/quoted/data.csv"), "id,name\n1,\"\"\n2,real\n")
+      java.nio.file.Paths.get(s"$dir/quoted/data.csv"), "id,name\n1,\"\"\n2,real\n3,\n")
     val q = CsvSource.read(spark, s"$dir/quoted",
       StructType(Seq(StructField("id", LongType), StructField("name", StringType))))
       .orderBy("id").collect()
     assert(q(0).isNullAt(1), s"quoted empty loaded as '${q(0).getString(1)}'")
     assert(q(1).getString(1) === "real")
-    // readUntyped keeps empties as strings (all-string [][]string contract)
+    // readUntyped: the all-string [][]string contract means NO nulls —
+    // quoted empties ("") and bare empties (3,) both load as "", never null,
+    // never the sentinel
     val u = CsvSource.readUntyped(spark, s"$dir/quoted").orderBy("id").collect()
-    assert(u(0).getString(1) === "" || u(0).getString(1) == null) // quoted empty stays non-sentinel
-    assert(!Option(u(0).getString(1)).exists(_.contains("never")))
+    assert(u(0).getString(1) === "") // quoted empty
+    assert(u(2).getString(1) === "") // bare (unquoted) empty
+    assert(u.forall(r => (0 until r.length).forall(!r.isNullAt(_))))
+    assert(u.forall(r => !Option(r.getString(1)).exists(_.contains("never"))))
   }
 
   test("schema tools: parse/emit/ddl round-trip (widgets)") {
