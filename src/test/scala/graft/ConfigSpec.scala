@@ -464,6 +464,52 @@ class ConfigSpec extends SparkSuite {
     assert(live.filter(col("id") === 7).select("ranking").collect()(0).getDouble(0) === 70.0)
   }
 
+  test(".port sweep: EVERY reference fixture parses or fails loudly — no silent misreads") {
+    import graft.config.{PortSpec, PortParseException}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get("/root/reference/testdata")
+    assume(Files.exists(root)) // reference corpus only exists in the dev sandbox
+    val all = Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".port")).toSeq.sortBy(_.toString)
+    assert(all.size >= 28, s"fixture corpus shrank? found ${all.size}")
+    val env = (_: String) => Some("http://x/items")
+    // the corpus's two deliberately-invalid configs — the reference errors on
+    // them too (ResponseType("glorb"), Transform without a return)
+    val knownInvalid = Set("api_invalid_configuration.port", "api_missing_return_value.port")
+    var parsed = 0
+    all.foreach { p =>
+      val name = p.getFileName.toString
+      val text = Files.readString(p)
+      if (name == "schedule.port") {
+        assert(PortSpec.parseSchedules(text, env).nonEmpty, s"$name: no schedule entries")
+        parsed += 1
+      } else
+        try {
+          PortSpec.toJobSpec(text, env)
+          assert(!knownInvalid(name), s"$name must fail loudly but parsed")
+          parsed += 1
+        } catch {
+          case e: PortParseException =>
+            assert(knownInvalid(name), s"$p failed to parse: ${e.getMessage}")
+        }
+    }
+    assert(parsed === all.size - knownInvalid.size)
+    // spot-check the three fixtures no other test reads: header auth ships
+    // the literal bearer token; api_500/invalid_body carry the error-path
+    // directives (BasicAuth + ErrorHandling) over an otherwise-default spec
+    def fixture(rel: String) = Files.readString(root.resolve(rel))
+    val ha = PortSpec.toJobSpec(fixture("apis/api_header_auth.port"), env)
+    assert(ha.source.headers("Authorization") === "Bearer 292b0e")
+    val ib = PortSpec.toJobSpec(fixture("apis/api_invalid_body.port"), env)
+    assert(ib.source.basicAuthUser === Some("user") && !ib.source.retryOn4xx)
+    val f500 = PortSpec.toJobSpec(fixture("apis/api_500.port"), env)
+    assert(f500.source.url.startsWith("http://x/items/500"))
+    // pad db example: the Table("objects").LoadStrategy(Full) chain with a
+    // backslash continuation
+    val pad = PortSpec.toJobSpec(fixture("pad/sources/databases/example.port"), env)
+    assert(pad.tables("objects").loadStrategy === "Full")
+  }
+
   test("version and help verbs (≙ reference main.go:110-121)") {
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
