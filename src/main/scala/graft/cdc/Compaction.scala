@@ -34,6 +34,14 @@ object Compaction {
   def apply(table: LakeTable, horizonLsn: Long,
       maxFilesPerBucket: Int = 1, maxBucketsPerRun: Int = Int.MaxValue): Int = {
     val snap = table.currentSnapshot.getOrElse(return 0)
+    compactFrom(table, snap, horizonLsn, maxFilesPerBucket, maxBucketsPerRun)
+  }
+
+  /** [[apply]] body with the parent snapshot injectable, so specs can drive
+    * the commit-retry path deterministically (plan the rewrite against a
+    * snapshot the table has already moved past). */
+  private[graft] def compactFrom(table: LakeTable, snap: graft.lake.Snapshot,
+      horizonLsn: Long, maxFilesPerBucket: Int, maxBucketsPerRun: Int): Int = {
     if (snap.files.isEmpty) return 0
     // key-generic like Merge: the manifest records the table's key columns
     // (round 3+); pre-round-3 manifests carry none → the CDC model's key.
@@ -43,10 +51,14 @@ object Compaction {
     val fragmented = filesPerBucket.filter(_._2.size > maxFilesPerBucket).keySet
 
     // find buckets holding expired tombstones (cheap scan of only the two
-    // relevant columns — parquet column pruning keeps this tiny)
+    // relevant columns — parquet column pruning keeps this tiny). Row LSNs
+    // are non-negative, so a negative horizon (auto-compaction's -1 =
+    // "fragmentation only, GC nothing") can never match — skip the scan
+    // entirely rather than running a per-maintenance-cycle table scan whose
+    // filter is unsatisfiable.
     val df = table.read()
     val tombBuckets =
-      if (!df.columns.contains(CdcModel.DeletedCol)) Set.empty[Int]
+      if (horizonLsn < 0L || !df.columns.contains(CdcModel.DeletedCol)) Set.empty[Int]
       else df
         .filter(coalesce(col(CdcModel.DeletedCol), lit(false)) &&
           col(CdcModel.RowLsnCol) <= horizonLsn)
@@ -82,8 +94,49 @@ object Compaction {
       .repartition(col(LakeTable.BucketCol))
     val added = table.writeDataFilesPrePartitioned(kept)
     val removed = snap.files.filter(f => buckets.contains(f.bucket)).map(_.path).toSet
-    table.replaceFiles(snap, removed, added, None, snap.appId, snap.batchId,
-      snap.watermarkLsn, snap.sourceOffsets)
+
+    // Commit-only retry (mirrors the MOR merge's): under sustained ingest a
+    // merge commit lands between this rewrite's snapshot read and its commit
+    // almost every time — skipping on every conflict would STARVE compaction
+    // for as long as the stream never pauses (observed: 48 back-to-back
+    // batches produced exactly one compaction commit, at quiesce). The
+    // rewrite stays valid against the fresh snapshot because MOR merges only
+    // ADD generation files and per-key LWW is associative over unions:
+    // resolve(F_b) ∪ G resolves to the same winners as F_b ∪ G, and
+    // tombstones behind `horizonLsn` stay droppable (the caller's contract
+    // is that every source has passed the horizon, so no racing merge can
+    // append below it). Replacing exactly the files this run read — keeping
+    // everything added since — therefore preserves reader semantics.
+    //
+    // Revalidation per retry: a layout/key change (rebucket) or a missing
+    // removed file (another remover — concurrent CLI compact, retention
+    // vacuum — took our inputs) invalidates the staged rewrite; rethrow so
+    // the caller's skip path handles it. Fencing identity, watermark,
+    // offsets and schema are re-adopted from the FRESH snapshot: committing
+    // the stale parent's batchId would regress the fence a restarted stream
+    // checks, and a schema widened mid-rewrite must survive (old-schema
+    // parquet under a wider table schema reads as nulls, exactly like any
+    // older generation file).
+    var parent = snap
+    var committed: graft.lake.Snapshot = null
+    var tries = 0
+    while (committed == null) {
+      try {
+        committed = table.replaceFiles(parent, removed, added, None, parent.appId,
+          parent.batchId, parent.watermarkLsn, parent.sourceOffsets)
+      } catch {
+        case e: graft.lake.CommitConflictException =>
+          tries += 1
+          if (tries >= 5) throw e
+          val fresh = table.currentSnapshot.getOrElse(throw e)
+          if (fresh.numBuckets != parent.numBuckets || fresh.keyCols != parent.keyCols)
+            throw e
+          if (!removed.subsetOf(fresh.files.map(_.path).toSet)) throw e
+          System.err.println(s"[compact] commit conflict (attempt $tries/5) — " +
+            s"re-committing the same rewrite against version ${fresh.version}")
+          parent = fresh
+      }
+    }
     buckets.size
   }
 }

@@ -85,6 +85,66 @@ class CdcPipelineSpec extends SparkSuite {
     }
   }
 
+  test("compaction racing a merge commit retries commit-only and keeps both results") {
+    import spark.implicits._
+    val root = SparkTestBase.tmpDir("cdc-crace")
+    val t = LakeTable(root)(spark)
+    val schema = Seq((1L, "a", 1L, false)).toDF("id", "name",
+      CdcModel.RowLsnCol, CdcModel.DeletedCol).schema
+    t.create(schema, numBuckets = 4, appId = "cr", keyCols = Seq("id"))
+    def batch(lsn: Long, tag: String) = spark.range(100)
+      .select(col("id"), concat(lit(tag), col("id")).as("name"),
+        lit(lsn).as(CdcModel.LsnCol), lit("U").as(CdcModel.OpCol))
+    graft.cdc.Merge(t, batch(1, "g1"), "cr", 0, keyCols = Seq("id"), mergeOnRead = true)
+    graft.cdc.Merge(t, batch(2, "g2"), "cr", 1, keyCols = Seq("id"), mergeOnRead = true)
+    // plan the rewrite against THIS snapshot, then let the table move past it
+    // (the sustained-ingest race: a merge lands between compaction's snapshot
+    // read and its commit)
+    val stale = t.currentSnapshot.get
+    graft.cdc.Merge(t, batch(3, "g3"), "cr", 2, keyCols = Seq("id"), mergeOnRead = true)
+    val rewritten = graft.cdc.Compaction.compactFrom(t, stale,
+      horizonLsn = -1L, maxFilesPerBucket = 1, maxBucketsPerRun = Int.MaxValue)
+    assert(rewritten > 0) // committed despite the conflict — no skip
+    val snap = t.currentSnapshot.get
+    // fencing identity re-adopted from the FRESH parent: the fence a
+    // restarted stream checks must not regress to the stale parent's batch 1
+    assert(snap.batchId === 2L)
+    // batch 3's generation files (added after the stale parent) survive the
+    // replace: every compacted bucket holds the folded file PLUS batch 3's
+    val filesPerBucket = snap.files.groupBy(_.bucket).values.map(_.size).toSet
+    assert(filesPerBucket === Set(2))
+    // and LWW over (folded ∪ batch-3) resolves to batch 3 everywhere
+    val live = CdcPipeline.liveState(t)
+    assert(live.count() === 100)
+    assert(live.filter(!col("name").startsWith("g3")).count() === 0)
+  }
+
+  test("compaction retry rethrows when its input files were removed by another rewrite") {
+    import spark.implicits._
+    val root = SparkTestBase.tmpDir("cdc-crace2")
+    val t = LakeTable(root)(spark)
+    val schema = Seq((1L, "a", 1L, false)).toDF("id", "name",
+      CdcModel.RowLsnCol, CdcModel.DeletedCol).schema
+    t.create(schema, numBuckets = 4, appId = "cr2", keyCols = Seq("id"))
+    def batch(lsn: Long, tag: String) = spark.range(50)
+      .select(col("id"), concat(lit(tag), col("id")).as("name"),
+        lit(lsn).as(CdcModel.LsnCol), lit("U").as(CdcModel.OpCol))
+    graft.cdc.Merge(t, batch(1, "a"), "cr2", 0, keyCols = Seq("id"), mergeOnRead = true)
+    graft.cdc.Merge(t, batch(2, "b"), "cr2", 1, keyCols = Seq("id"), mergeOnRead = true)
+    val stale = t.currentSnapshot.get
+    // a concurrent FULL compaction replaces the stale parent's files — the
+    // staged rewrite's inputs are gone, so the retry must NOT commit (it
+    // would resurrect superseded generations); the conflict propagates to
+    // the daemon's benign skip path
+    graft.cdc.Compaction(t, horizonLsn = -1L, maxFilesPerBucket = 1)
+    assertThrows[graft.lake.CommitConflictException] {
+      graft.cdc.Compaction.compactFrom(t, stale,
+        horizonLsn = -1L, maxFilesPerBucket = 1, maxBucketsPerRun = Int.MaxValue)
+    }
+    // the loser changed nothing: state is still the winner's
+    assert(CdcPipeline.liveState(t).filter(!col("name").startsWith("b")).count() === 0)
+  }
+
   test("sub-bucket salt (hot-bucket skew path) leaves merged state unchanged") {
     val run = (salt: Int, tag: String) => {
       spark.conf.set("graft.merge.salt", salt.toString)
