@@ -53,17 +53,23 @@ object Compaction {
     // find buckets holding expired tombstones (cheap scan of only the two
     // relevant columns — parquet column pruning keeps this tiny). Row LSNs
     // are non-negative, so a negative horizon (auto-compaction's -1 =
-    // "fragmentation only, GC nothing") can never match — skip the scan
-    // entirely rather than running a per-maintenance-cycle table scan whose
-    // filter is unsatisfiable.
-    val df = table.read()
+    // "fragmentation only, GC nothing") can never match — skip even
+    // CONSTRUCTING the frame (reader setup lists every data file) rather
+    // than paying a per-maintenance-cycle listing for an unsatisfiable
+    // filter. The scan reads `snap`'s own buckets, not the current
+    // snapshot's, so every bucket id this run computes refers to one layout
+    // even if the table moves mid-run.
     val tombBuckets =
-      if (horizonLsn < 0L || !df.columns.contains(CdcModel.DeletedCol)) Set.empty[Int]
-      else df
-        .filter(coalesce(col(CdcModel.DeletedCol), lit(false)) &&
-          col(CdcModel.RowLsnCol) <= horizonLsn)
-        .select(LakeTable.bucketExpr(keyCols, snap.numBuckets).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSet
+      if (horizonLsn < 0L) Set.empty[Int]
+      else {
+        val df = table.readBuckets(snap, filesPerBucket.keySet)
+        if (!df.columns.contains(CdcModel.DeletedCol)) Set.empty[Int]
+        else df
+          .filter(coalesce(col(CdcModel.DeletedCol), lit(false)) &&
+            col(CdcModel.RowLsnCol) <= horizonLsn)
+          .select(LakeTable.bucketExpr(keyCols, snap.numBuckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+      }
 
     val candidates = tombBuckets ++ fragmented
     if (candidates.isEmpty) return 0
@@ -117,17 +123,23 @@ object Compaction {
     // checks, and a schema widened mid-rewrite must survive (old-schema
     // parquet under a wider table schema reads as nulls, exactly like any
     // older generation file).
+    // Deliberately NOT shared with Merge's commit-only retry loop: the
+    // revalidation differs in kind (Merge fence-skips an already-committed
+    // batch and re-merges schemas; this loop checks its removed inputs
+    // still exist) — a callback-parameterized helper would hide exactly the
+    // invariants a reader needs to see. Both allow 5 re-commit attempts.
     var parent = snap
-    var committed: graft.lake.Snapshot = null
+    var done = false
     var tries = 0
-    while (committed == null) {
+    while (!done) {
       try {
-        committed = table.replaceFiles(parent, removed, added, None, parent.appId,
+        table.replaceFiles(parent, removed, added, None, parent.appId,
           parent.batchId, parent.watermarkLsn, parent.sourceOffsets)
+        done = true
       } catch {
         case e: graft.lake.CommitConflictException =>
           tries += 1
-          if (tries >= 5) throw e
+          if (tries > 5) throw e
           val fresh = table.currentSnapshot.getOrElse(throw e)
           if (fresh.numBuckets != parent.numBuckets || fresh.keyCols != parent.keyCols)
             throw e
