@@ -60,16 +60,13 @@ object Compaction {
     // snapshot's, so every bucket id this run computes refers to one layout
     // even if the table moves mid-run.
     val tombBuckets =
-      if (horizonLsn < 0L) Set.empty[Int]
-      else {
-        val df = table.readBuckets(snap, filesPerBucket.keySet)
-        if (!df.columns.contains(CdcModel.DeletedCol)) Set.empty[Int]
-        else df
-          .filter(coalesce(col(CdcModel.DeletedCol), lit(false)) &&
-            col(CdcModel.RowLsnCol) <= horizonLsn)
-          .select(LakeTable.bucketExpr(keyCols, snap.numBuckets).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSet
-      }
+      if (horizonLsn < 0L || !snap.schema.fieldNames.contains(CdcModel.DeletedCol))
+        Set.empty[Int]
+      else table.readBuckets(snap, filesPerBucket.keySet)
+        .filter(coalesce(col(CdcModel.DeletedCol), lit(false)) &&
+          col(CdcModel.RowLsnCol) <= horizonLsn)
+        .select(LakeTable.bucketExpr(keyCols, snap.numBuckets).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
 
     val candidates = tombBuckets ++ fragmented
     if (candidates.isEmpty) return 0
