@@ -76,22 +76,16 @@ object Compaction {
         .sortBy(b => (-filesPerBucket.get(b).map(_.size).getOrElse(0), b))
         .take(maxBucketsPerRun).toSet
 
-    // fold merge-on-read generations: LWW winner per key (same total order
-    // as reads), then drop tombstones behind the horizon
+    // fold merge-on-read generations through the SAME total order reads use
+    // ([[CdcPipeline.lwwResolve]] — one definition, so a tie-break change can
+    // never diverge the two), then drop tombstones behind the horizon
     val raw = table.readBuckets(snap, buckets)
-    val tie =
-      if (raw.columns.contains("content")) coalesce(col("content"), lit(""))
-      else lit("")
+    val resolved = CdcPipeline.lwwResolve(raw, keyCols)
     val del =
-      if (raw.columns.contains(CdcModel.DeletedCol))
+      if (resolved.columns.contains(CdcModel.DeletedCol))
         coalesce(col(CdcModel.DeletedCol), lit(false))
       else lit(false)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*)
-      .orderBy(col(CdcModel.RowLsnCol).desc, del.cast("int").desc, tie.desc)
-    val kept = raw
-      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    val kept = resolved
       .filter(!(del && col(CdcModel.RowLsnCol) <= horizonLsn))
       .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(keyCols, snap.numBuckets))
       .repartition(col(LakeTable.BucketCol))

@@ -380,8 +380,11 @@ object CdcPipeline {
   }
 
   /** The LWW resolution window over `df` (which must hold whole buckets):
-    * one surviving row per key by (_lsn desc, tombstone desc, content desc). */
-  private def lwwResolve(df: DataFrame, keys: Seq[String]): DataFrame = {
+    * one surviving row per key by (_lsn desc, tombstone desc, content desc).
+    * THE one definition of the cross-generation total order — [[Compaction]]
+    * folds generations through this same function, so reads and maintenance
+    * can never diverge on a tie-break. */
+  private[cdc] def lwwResolve(df: DataFrame, keys: Seq[String]): DataFrame = {
     val tie =
       if (df.columns.contains("content")) coalesce(col("content"), lit(""))
       else lit("")

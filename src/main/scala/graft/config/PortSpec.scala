@@ -441,7 +441,15 @@ object PortSpec {
     val body: Seq[String] = args.headOption.map(_.trim) match {
       case Some(l) if l.startsWith("lambda") =>
         Seq("return " + l.replaceFirst("lambda\\s+\\w+\\s*:\\s*", ""))
-      case _ => fns.get("Transform").map(_.body).getOrElse(
+      // Transform(parse_items) — a NAMED helper: resolve the referenced def,
+      // not the magic-name fallback (which could silently pick a different
+      // leftover `def Transform` body)
+      case Some(name) if name.matches("\\w+") =>
+        fns.get(name).map(_.body).getOrElse(throw new PortParseException(
+          s"Transform references unknown function '$name'"))
+      case Some(other) => throw new PortParseException(
+        s"unsupported Transform argument (lambda or function name): $other")
+      case None => fns.get("Transform").map(_.body).getOrElse(
         throw new PortParseException("Transform(...) without a recognizable body"))
     }
     val one = body.mkString(" ").trim
@@ -489,13 +497,39 @@ object PortSpec {
 
   /** ErrorHandling dict → retryOn4xx. Network/5xx-retry and invalid-body-fail
     * are the engine's fixed behavior (≙ reference workflow.go exit codes);
-    * only the 4xx policy is configurable. */
+    * only the 4xx policy is configurable. Keys/policies appear as predeclared
+    * constants (`Http4XXError: Retry`) in the fixture corpus, but quoted
+    * strings are equally valid Starlark (the reference reads keys as
+    * starlark.String, endpoint_configuration.go:251) — accept both, and fail
+    * loudly on anything else (an unknown name would be a Starlark NameError
+    * in the reference, not a silent default). */
   private def errorHandling(stmt: String): Boolean = {
     val inner = balancedParen(stmt, stmt.indexOf('(')).trim
+    if (!inner.startsWith("{") || !inner.endsWith("}"))
+      throw new PortParseException(s"ErrorHandling expects a dict literal: $stmt")
     val dict = inner.stripPrefix("{").stripSuffix("}")
-    splitTop(dict).filter(_.nonEmpty).map(_.split(":", 2).map(_.trim)).collectFirst {
-      case Array("Http4XXError", policy) => policy == "Retry"
-    }.getOrElse(false)
+    // a bare identifier or its quoted-string spelling, normalized
+    def word(s: String): String = {
+      val t = s.trim
+      if (t.length >= 2 && (t.head == '\'' || t.head == '"') && t.last == t.head)
+        t.substring(1, t.length - 1)
+      else t
+    }
+    val knownKeys = Set("NetworkError", "Http4XXError", "Http5XXError", "InvalidBodyError")
+    var retry4xx = false
+    splitTop(dict).filter(_.trim.nonEmpty).foreach { pair =>
+      pair.split(":", 2) match {
+        case Array(k0, p0) =>
+          val (k, p) = (word(k0), word(p0))
+          if (!knownKeys.contains(k)) throw new PortParseException(
+            s"unknown ErrorHandling class '$k' (${knownKeys.mkString("/")}): $stmt")
+          if (p != "Retry" && p != "Fail") throw new PortParseException(
+            s"unknown ErrorHandling policy '$p' for '$k' (Retry/Fail): $stmt")
+          if (k == "Http4XXError") retry4xx = p == "Retry"
+        case _ => throw new PortParseException(s"malformed ErrorHandling entry: $pair")
+      }
+    }
+    retry4xx
   }
 
   // ---------- helper-function translation ----------
@@ -517,8 +551,17 @@ object PortSpec {
   /** TransformColumn functions take the scalar VALUE: translate the body to
     * the scalar-op vocabulary. Returns (ops, implied cast). */
   private def valueFnOps(fn: Fn): (Seq[String], Option[String]) = {
-    val ret = fn.body.collectFirst { case l if l.startsWith("return ") => l.stripPrefix("return ").trim }
-      .getOrElse(throw new PortParseException(s"no return in transform function:\n${fn.src}"))
+    // exactly ONE `return <expr>` statement translates: a body with preceding
+    // assignments/conditionals would be silently truncated by picking just
+    // the return line — fail loudly instead (the module's contract)
+    val ret = fn.body match {
+      case Seq(l) if l.startsWith("return ") => l.stripPrefix("return ").trim
+      case Seq(_) | Seq() =>
+        throw new PortParseException(s"no return in transform function:\n${fn.src}")
+      case _ => throw new PortParseException(
+        s"unsupported multi-statement TransformColumn function (only a single " +
+        s"`return <expr>` translates — port it to a JSON-spec transforms entry):\n${fn.src}")
+    }
     val v = java.util.regex.Pattern.quote(fn.arg)
     val mul = s"^$v\\s*\\*\\s*([0-9.]+)$$".r
     val mulInt = s"^int\\(\\s*$v\\s*\\*\\s*([0-9.]+)\\s*\\)$$".r
@@ -549,6 +592,9 @@ object PortSpec {
       val yamlLoads = "^yaml\\.loads\\((.*)\\)$".r
       val dig = "^dig\\((.*)\\)$".r
       val subscript = "^(\\w+)\\[\\s*['\"]([^'\"]+)['\"]\\s*\\]$".r
+      // subscript on a compound expression — the inline spelling of the
+      // intermediate-variable idiom: json.loads(row['c'])['k'] (greedy base)
+      val exprSub = "^(.+)\\[\\s*['\"]([^'\"]+)['\"]\\s*\\]$".r
       e match {
         case strftime(base, fmt) =>
           V(s"date_format(${evalExpr(base).sql}, '${strftimeToSpark(fmt)}')", json = false)
@@ -574,6 +620,11 @@ object PortSpec {
         case _ if rowCol.findFirstMatchIn(e).exists(_.matched == e) =>
           V(s"`${rowCol.findFirstMatchIn(e).get.group(1)}`", json = false)
         case name if vars.contains(name.trim) => vars(name.trim)
+        case exprSub(base, key) =>
+          val doc = evalExpr(base)
+          if (!doc.json) throw new PortParseException(
+            s"subscript on a non-document expression '$base' in:\n${fn.src}")
+          V(s"get_json_object(${doc.sql}, '$$.$key')", json = false)
         case other => throw new PortParseException(
           s"unsupported ComputeColumn expression '$other' (translate the lambda to a " +
           s"JSON-spec computed entry):\n${fn.src}")

@@ -352,6 +352,47 @@ class ConfigSpec extends SparkSuite {
       Seq(ComputedSpec("updated_on", "date_format(`updated_at`, 'yyyy-MM-dd')", Some("date"))))
   }
 
+  test(".port subset reader: fail-loudly contract on near-miss constructs") {
+    import graft.config.{PortSpec, PortParseException}
+    import graft.operators.ColumnTransforms.ComputedSpec
+    // a multi-statement TransformColumn helper must fail loudly, not silently
+    // translate only its return line (dropping the strip would change data)
+    val multi = intercept[PortParseException] {
+      PortSpec.toJobSpec(
+        "def clean(value):\n\tvalue = value.strip()\n\treturn value.upper()\n" +
+        "Table(\"t\").TransformColumn(\"c\", clean)")
+    }
+    assert(multi.getMessage.contains("multi-statement"))
+    // Transform(parse_items) resolves the NAMED function, not the magic name
+    val named = PortSpec.toJobSpec(
+      "def parse_items(data):\n\treturn data['rows']\n" +
+      "def Transform(data):\n\treturn data['items']\n" +
+      "Get(\"http://x/y\")\nTransform(parse_items)")
+    assert(named.source.itemsField === "rows")
+    val unknownFn = intercept[PortParseException] {
+      PortSpec.toJobSpec("Get(\"http://x/y\")\nTransform(parse_items)")
+    }
+    assert(unknownFn.getMessage.contains("parse_items"))
+    // ErrorHandling: quoted-string spelling is valid Starlark and must parse
+    val quoted = PortSpec.toJobSpec(
+      "Get(\"http://x/y\")\nErrorHandling({'Http4XXError': 'Retry'})")
+    assert(quoted.source.retryOn4xx)
+    // …and unknown classes/policies fail loudly instead of defaulting false
+    assert(intercept[PortParseException] {
+      PortSpec.toJobSpec("Get(\"http://x/y\")\nErrorHandling({Http4xxError: Retry})")
+    }.getMessage.contains("Http4xxError"))
+    assert(intercept[PortParseException] {
+      PortSpec.toJobSpec("Get(\"http://x/y\")\nErrorHandling({Http4XXError: Ignore})")
+    }.getMessage.contains("Ignore"))
+    // inline json.loads(row['c'])['k'] — the advertised idiom without the
+    // intermediate variable — translates like the two-statement form
+    val inline = PortSpec.toJobSpec(
+      "def tz(row):\n\treturn json.loads(row['options'])['time_zone']\n" +
+      "Table(\"t\").ComputeColumn(\"tz\", tz)")
+    assert(inline.tables("t").computed ===
+      Seq(ComputedSpec("tz", "get_json_object(`options`, '$.time_zone')", None)))
+  }
+
   test(".port subset reader: reference API fixtures translate to JobSpec") {
     import graft.config.{PortSpec, PortParseException}
     def port(name: String) = Files.readString(
