@@ -50,6 +50,7 @@ object PortSpec {
     var api: Option[SourceSpec] = None
     var itemsField: Option[String] = None
     var apiTransforms: Seq[ColumnSpec] = Nil
+    var transformSeen = false
     var schemaDef: Option[String] = None
     var retry4xx = false
     var topStrategy: Option[TableExtractSpec] = None
@@ -87,7 +88,7 @@ object PortSpec {
         case "Transform" =>
           val (f, tf) = transformDirective(argsOf(s, "Transform"), fns,
             api.map(_.responseType).getOrElse("json"))
-          itemsField = f; apiTransforms = tf
+          itemsField = f; apiTransforms = tf; transformSeen = true
         case "ErrorHandling" =>
           retry4xx = errorHandling(s)
         case other =>
@@ -102,8 +103,11 @@ object PortSpec {
       case Some(src) =>
         // Transform/Paginate may be plain `def`s with the magic name instead
         // of directive calls (api_incremental_load_strategy.port,
-        // example_widgets.port) — same translation either way
-        if (itemsField.isEmpty && apiTransforms.isEmpty && fns.contains("Transform")) {
+        // example_widgets.port) — same translation either way. Guarded on
+        // transformSeen, NOT on empty results: an explicit directive whose
+        // translation is legitimately empty (the CSV header idiom) must not
+        // be silently overridden by a leftover `def Transform` body.
+        if (!transformSeen && fns.contains("Transform")) {
           val (f, tf) = transformDirective(Nil, fns, src.responseType)
           itemsField = f; apiTransforms = tf
         }
@@ -413,6 +417,10 @@ object PortSpec {
           .map(_.group(1))
         target.flatMap(fns.get).map(_.body).getOrElse(
           throw new PortParseException(s"unsupported Paginate lambda: $arg"))
+      } else if (arg.nonEmpty && arg.matches("\\w+")) {
+        // Paginate(by_offset) — a NAMED helper, like Transform(parse_items)
+        fns.get(arg).map(_.body).getOrElse(throw new PortParseException(
+          s"Paginate references unknown function '$arg'"))
       } else fns.get("Paginate").map(_.body).getOrElse(
         throw new PortParseException(s"unsupported Paginate form: $stmt"))
     validatePagination(body)
@@ -496,36 +504,52 @@ object PortSpec {
   }
 
   /** ErrorHandling dict → retryOn4xx. Network/5xx-retry and invalid-body-fail
-    * are the engine's fixed behavior (≙ reference workflow.go exit codes);
-    * only the 4xx policy is configurable. Keys/policies appear as predeclared
-    * constants (`Http4XXError: Retry`) in the fixture corpus, but quoted
-    * strings are equally valid Starlark (the reference reads keys as
-    * starlark.String, endpoint_configuration.go:251) — accept both, and fail
-    * loudly on anything else (an unknown name would be a Starlark NameError
-    * in the reference, not a silent default). */
+    * are the engine's FIXED behavior (≙ reference workflow.go exit codes);
+    * only the 4xx policy is configurable — so a policy that CONTRADICTS the
+    * fixed behavior (`Http5XXError: Fail`, `InvalidBodyError: Retry`) fails
+    * loudly instead of silently diverging from what the reference's
+    * handleAPIError (api.go) would do with that map. KEYS may be quoted
+    * (they are starlark.String either way, endpoint_configuration.go:251);
+    * POLICIES must be the bare predeclared constants — the reference coerces
+    * the value through strconv.Atoi (endpoint_configuration.go:247), so a
+    * quoted 'Retry' is a config error there and must be one here too. An
+    * unknown bare name would be a Starlark NameError in the reference, not a
+    * silent default. */
   private def errorHandling(stmt: String): Boolean = {
     val inner = balancedParen(stmt, stmt.indexOf('(')).trim
     if (!inner.startsWith("{") || !inner.endsWith("}"))
       throw new PortParseException(s"ErrorHandling expects a dict literal: $stmt")
     val dict = inner.stripPrefix("{").stripSuffix("}")
-    // a bare identifier or its quoted-string spelling, normalized
+    def quoted(s: String): Boolean = {
+      val t = s.trim
+      t.length >= 2 && (t.head == '\'' || t.head == '"') && t.last == t.head
+    }
     def word(s: String): String = {
       val t = s.trim
-      if (t.length >= 2 && (t.head == '\'' || t.head == '"') && t.last == t.head)
-        t.substring(1, t.length - 1)
-      else t
+      if (quoted(t)) t.substring(1, t.length - 1) else t
     }
-    val knownKeys = Set("NetworkError", "Http4XXError", "Http5XXError", "InvalidBodyError")
+    // the engine's non-configurable policies per class (None = configurable)
+    val fixedPolicy = Map(
+      "NetworkError" -> "Retry", "Http5XXError" -> "Retry",
+      "InvalidBodyError" -> "Fail")
     var retry4xx = false
     splitTop(dict).filter(_.trim.nonEmpty).foreach { pair =>
       pair.split(":", 2) match {
         case Array(k0, p0) =>
-          val (k, p) = (word(k0), word(p0))
-          if (!knownKeys.contains(k)) throw new PortParseException(
-            s"unknown ErrorHandling class '$k' (${knownKeys.mkString("/")}): $stmt")
+          val k = word(k0)
+          if (quoted(p0)) throw new PortParseException(
+            s"quoted ErrorHandling policy ${p0.trim} — the reference only accepts the " +
+            s"predeclared Retry/Fail constants (a quoted string fails its Atoi coercion): $stmt")
+          val p = p0.trim
+          if (k != "Http4XXError" && !fixedPolicy.contains(k)) throw new PortParseException(
+            s"unknown ErrorHandling class '$k' (NetworkError/Http4XXError/" +
+            s"Http5XXError/InvalidBodyError): $stmt")
           if (p != "Retry" && p != "Fail") throw new PortParseException(
             s"unknown ErrorHandling policy '$p' for '$k' (Retry/Fail): $stmt")
           if (k == "Http4XXError") retry4xx = p == "Retry"
+          else if (fixedPolicy(k) != p) throw new PortParseException(
+            s"ErrorHandling policy '$k: $p' contradicts the engine's fixed behavior " +
+            s"('$k: ${fixedPolicy(k)}') — only the Http4XXError policy is configurable: $stmt")
         case _ => throw new PortParseException(s"malformed ErrorHandling entry: $pair")
       }
     }
@@ -548,13 +572,23 @@ object PortSpec {
     }
   }
 
+  /** A one-line string-literal expression statement (a docstring): no runtime
+    * effect, safe to skip when counting a helper body's statements. */
+  private def isDocstring(l: String): Boolean = {
+    val t = l.trim
+    (t.startsWith("\"\"\"") && t.endsWith("\"\"\"") && t.length >= 6) ||
+    (t.startsWith("'''") && t.endsWith("'''") && t.length >= 6) ||
+    (t.length >= 2 && (t.head == '"' || t.head == '\'') && t.last == t.head)
+  }
+
   /** TransformColumn functions take the scalar VALUE: translate the body to
     * the scalar-op vocabulary. Returns (ops, implied cast). */
   private def valueFnOps(fn: Fn): (Seq[String], Option[String]) = {
-    // exactly ONE `return <expr>` statement translates: a body with preceding
-    // assignments/conditionals would be silently truncated by picking just
-    // the return line — fail loudly instead (the module's contract)
-    val ret = fn.body match {
+    // exactly ONE `return <expr>` statement translates (docstrings aside): a
+    // body with preceding assignments/conditionals would be silently
+    // truncated by picking just the return line — fail loudly instead (the
+    // module's contract)
+    val ret = fn.body.filterNot(isDocstring) match {
       case Seq(l) if l.startsWith("return ") => l.stripPrefix("return ").trim
       case Seq(_) | Seq() =>
         throw new PortParseException(s"no return in transform function:\n${fn.src}")
@@ -591,9 +625,10 @@ object PortSpec {
       val jsonLoads = "^json\\.loads\\((.*)\\)$".r
       val yamlLoads = "^yaml\\.loads\\((.*)\\)$".r
       val dig = "^dig\\((.*)\\)$".r
-      val subscript = "^(\\w+)\\[\\s*['\"]([^'\"]+)['\"]\\s*\\]$".r
-      // subscript on a compound expression — the inline spelling of the
-      // intermediate-variable idiom: json.loads(row['c'])['k'] (greedy base)
+      // trailing ['key'] subscript on ANY base expression (greedy base):
+      // covers both d['k'] on an intermediate variable and the inline
+      // json.loads(row['c'])['k'] spelling; chains peel right-to-left into
+      // one JSON path ('a','b' → $.a.b)
       val exprSub = "^(.+)\\[\\s*['\"]([^'\"]+)['\"]\\s*\\]$".r
       e match {
         case strftime(base, fmt) =>
@@ -610,28 +645,33 @@ object PortSpec {
           val doc = evalExpr(parts.head)
           if (!doc.json) throw new PortParseException(
             s"dig() over a non-document value in:\n${fn.src}")
-          val path = parts.tail.map(unquote).mkString(".")
-          V(s"get_json_object(${doc.sql}, '$$.$path')", json = false)
-        case subscript(name, key) if vars.contains(name) =>
-          val doc = vars(name)
-          if (!doc.json) throw new PortParseException(
-            s"subscript on a non-document variable '$name' in:\n${fn.src}")
-          V(s"get_json_object(${doc.sql}, '$$.$key')", json = false)
+          val atoms = parts.tail.map(unquote)
+          atoms.foreach(jsonPathAtom(_, fn.src))
+          V(s"get_json_object(${doc.sql}, '$$.${atoms.mkString(".")}')", json = false)
         case _ if rowCol.findFirstMatchIn(e).exists(_.matched == e) =>
           V(s"`${rowCol.findFirstMatchIn(e).get.group(1)}`", json = false)
         case name if vars.contains(name.trim) => vars(name.trim)
-        case exprSub(base, key) =>
+        case exprSub(_, _) =>
+          // peel every trailing subscript into one path, then the base must
+          // evaluate to a document (a var holding json.loads / the inline call)
+          @annotation.tailrec
+          def peel(s: String, keys: List[String]): (String, List[String]) = s match {
+            case exprSub(b, k) => peel(b.trim, k :: keys)
+            case _ => (s, keys)
+          }
+          val (base, keys) = peel(e, Nil)
+          keys.foreach(jsonPathAtom(_, fn.src))
           val doc = evalExpr(base)
           if (!doc.json) throw new PortParseException(
             s"subscript on a non-document expression '$base' in:\n${fn.src}")
-          V(s"get_json_object(${doc.sql}, '$$.$key')", json = false)
+          V(s"get_json_object(${doc.sql}, '$$.${keys.mkString(".")}')", json = false)
         case other => throw new PortParseException(
           s"unsupported ComputeColumn expression '$other' (translate the lambda to a " +
           s"JSON-spec computed entry):\n${fn.src}")
       }
     }
     val assign = "^(\\w+)\\s*=\\s*(.+)$".r
-    fn.body.foreach {
+    fn.body.filterNot(isDocstring).foreach {
       case l if l.startsWith("return ") =>
         return evalExpr(l.stripPrefix("return ")).sql
       case assign(name, rhs) => vars += name -> evalExpr(rhs)
@@ -640,6 +680,15 @@ object PortSpec {
     }
     throw new PortParseException(s"no return in ComputeColumn function:\n${fn.src}")
   }
+
+  /** A key interpolated into a get_json_object path must be a plain JSON
+    * path atom: a '.', '$', '*' or bracket inside it would silently NAVIGATE
+    * the document instead of looking up the literal key (Python subscript
+    * semantics) — reject it loudly. */
+  private def jsonPathAtom(key: String, src: String): Unit =
+    if (!key.matches("[A-Za-z0-9_\\-]+")) throw new PortParseException(
+      s"JSON key '$key' contains path metacharacters (only [A-Za-z0-9_-] keys " +
+      s"translate to a get_json_object path — port this lambda by hand):\n$src")
 
   private def escapeSql(s: String): String =
     s.replace("\\", "\\\\").replace("'", "\\'")

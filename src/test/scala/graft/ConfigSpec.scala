@@ -373,24 +373,70 @@ class ConfigSpec extends SparkSuite {
       PortSpec.toJobSpec("Get(\"http://x/y\")\nTransform(parse_items)")
     }
     assert(unknownFn.getMessage.contains("parse_items"))
-    // ErrorHandling: quoted-string spelling is valid Starlark and must parse
-    val quoted = PortSpec.toJobSpec(
-      "Get(\"http://x/y\")\nErrorHandling({'Http4XXError': 'Retry'})")
-    assert(quoted.source.retryOn4xx)
-    // …and unknown classes/policies fail loudly instead of defaulting false
+    // ErrorHandling: a quoted KEY is valid Starlark (starlark.String either
+    // way) — but a quoted POLICY fails the reference's Atoi coercion, so it
+    // must fail here too (reference parity over leniency)
+    val quotedKey = PortSpec.toJobSpec(
+      "Get(\"http://x/y\")\nErrorHandling({'Http4XXError': Retry})")
+    assert(quotedKey.source.retryOn4xx)
+    assert(intercept[PortParseException] {
+      PortSpec.toJobSpec("Get(\"http://x/y\")\nErrorHandling({Http4XXError: 'Retry'})")
+    }.getMessage.contains("quoted"))
+    // unknown classes/policies fail loudly instead of defaulting false…
     assert(intercept[PortParseException] {
       PortSpec.toJobSpec("Get(\"http://x/y\")\nErrorHandling({Http4xxError: Retry})")
     }.getMessage.contains("Http4xxError"))
     assert(intercept[PortParseException] {
       PortSpec.toJobSpec("Get(\"http://x/y\")\nErrorHandling({Http4XXError: Ignore})")
     }.getMessage.contains("Ignore"))
+    // …and a policy contradicting the engine's FIXED behavior (the reference
+    // would honor it via handleAPIError) is a loud error, not a silent drop
+    assert(intercept[PortParseException] {
+      PortSpec.toJobSpec("Get(\"http://x/y\")\nErrorHandling({Http5XXError: Fail})")
+    }.getMessage.contains("fixed behavior"))
+    // non-contradicting restatements of the fixed behavior still parse
+    assert(!PortSpec.toJobSpec(
+      "Get(\"http://x/y\")\nErrorHandling({Http5XXError: Retry, InvalidBodyError: Fail})")
+      .source.retryOn4xx)
+    // an explicit CSV-idiom Transform directive must not be overridden by a
+    // leftover magic-name def (the fallback is guarded on directive presence)
+    val csvKeep = PortSpec.toJobSpec(
+      "def parse_header(data):\n\treturn data.pop(0)\n" +
+      "def Transform(data):\n\treturn data['widgets']\n" +
+      "Get(\"http://x/y\")\nResponseType(\"csv\")\nTransform(parse_header)")
+    assert(csvKeep.source.itemsField === "items") // default CSV parse, not the leftover 'widgets'
+    // Paginate(by_offset) resolves the NAMED helper like Transform does
+    PortSpec.toJobSpec(
+      "def by_offset(prev):\n\treturn {'offset': 1}\n" +
+      "Get(\"http://x/y\")\nPaginate(by_offset)")
+    assert(intercept[PortParseException] {
+      PortSpec.toJobSpec("Get(\"http://x/y\")\nPaginate(by_offset)")
+    }.getMessage.contains("by_offset"))
     // inline json.loads(row['c'])['k'] — the advertised idiom without the
-    // intermediate variable — translates like the two-statement form
+    // intermediate variable — translates like the two-statement form, and a
+    // chained subscript folds into one JSON path
     val inline = PortSpec.toJobSpec(
       "def tz(row):\n\treturn json.loads(row['options'])['time_zone']\n" +
       "Table(\"t\").ComputeColumn(\"tz\", tz)")
     assert(inline.tables("t").computed ===
       Seq(ComputedSpec("tz", "get_json_object(`options`, '$.time_zone')", None)))
+    val chained = PortSpec.toJobSpec(
+      "def ab(row):\n\treturn json.loads(row['options'])['a']['b']\n" +
+      "Table(\"t\").ComputeColumn(\"ab\", ab)")
+    assert(chained.tables("t").computed ===
+      Seq(ComputedSpec("ab", "get_json_object(`options`, '$.a.b')", None)))
+    // a key holding JSON-path metacharacters would silently NAVIGATE instead
+    // of looking up the literal key — rejected loudly
+    assert(intercept[PortParseException] {
+      PortSpec.toJobSpec(
+        "def tz(row):\n\treturn json.loads(row['options'])['time.zone']\n" +
+        "Table(\"t\").ComputeColumn(\"tz\", tz)")
+    }.getMessage.contains("time.zone"))
+    // a docstring is not a translatable statement — it is skipped, not fatal
+    assert(PortSpec.toJobSpec(
+      "def up(value):\n\t\"\"\"upper-case it\"\"\"\n\treturn value.upper()\n" +
+      "Table(\"t\").TransformColumn(\"c\", up)").tables("t").transforms
+      .head.ops === Seq("upper"))
   }
 
   test(".port subset reader: reference API fixtures translate to JobSpec") {
