@@ -940,7 +940,7 @@ object SparkEntry {
         ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 EOF',
         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        '\+\d{9,15}|\b\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+        '\+\d{9,15}|\(\d{3}\)[-.\s]?\d{3}[-.\s]?\d{4}|\b\d{3}[-.]\d{3}[-.]\d{4}\b|\b\d{10}\b|\b\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
       FROM documents ORDER BY doc_id""",
     "dedup_lines" -> """
       WITH base AS (
@@ -1033,14 +1033,17 @@ object SparkEntry {
       FROM events ORDER BY event_id""")
 
   /** DuckDB rendering of [[graft.operators.SimilarityOps.lshBucket]]: the
-    * plane components are pure 64-bit integer arithmetic (double-stepped
-    * MINSTD over (plane, dim, seed=7)), so both engines compute identical
-    * doubles and identical sign bits. */
+    * plane components are pure 64-bit integer arithmetic (seed squared mod p
+    * — kills the affine LCG lattice — then double-stepped MINSTD over
+    * (plane, dim, seed=7)), so both engines compute identical doubles and
+    * identical sign bits. */
   private def lshBucketSql(vecCol: String, planes: Int, seed: Long = 7L): String = {
-    def proj(m: Int): String =
+    def proj(m: Int): String = {
+      val s = s"((${m * 4099L + seed} + d) % 2147483647)"
       s"""list_dot_product($vecCol, list_transform(range(0, len($vecCol)), d ->
-         ((((48271 * ((48271 * (${m * 4099L + seed} + d) + 12345) % 2147483647)
+         ((((48271 * ((48271 * (($s * $s) % 2147483647) + 12345) % 2147483647)
            + 12345) % 2147483647) % 2000001) - 1000000) / 1000000.0))"""
+    }
     (0 until planes).map(m =>
       s"(CASE WHEN ${proj(m)} > 0 THEN ${1L << m} ELSE 0 END)").mkString("(", " + ", ")")
   }

@@ -77,7 +77,15 @@ object TextFunctions {
   def redactPii(text: Column): Column = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-    val phone = "\\+\\d{9,15}|\\b\\d{3}[-.]\\d{4}\\b"
+    // longest alternatives FIRST: Java regex alternation is leftmost-first,
+    // RE2 (the oracle engine) leftmost-longest — ordering by length makes
+    // both pick the same match. Covers +intl, (555) 123-4567, 555-123-4567,
+    // bare 10-digit, and the short 555-0123 exchange form.
+    val phone = "\\+\\d{9,15}" +
+      "|\\(\\d{3}\\)[-.\\s]?\\d{3}[-.\\s]?\\d{4}" +
+      "|\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" +
+      "|\\b\\d{10}\\b" +
+      "|\\b\\d{3}[-.]\\d{4}\\b"
     regexp_replace(
       regexp_replace(
         regexp_replace(text, email, "<EMAIL>"),

@@ -20,15 +20,24 @@ object YamlFunctions {
   @transient private lazy val mapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
 
+  // per-thread parser + precompiled tag pattern: snakeyaml's Yaml is
+  // reusable but not thread-safe, and building a parser object graph (and
+  // recompiling the regex via String.replaceAll) PER ROW was pure overhead
+  // in the package's one non-codegen function
+  @transient private lazy val rubyTag = java.util.regex.Pattern.compile("!ruby/\\S*")
+  @transient private lazy val yamlTL: ThreadLocal[org.yaml.snakeyaml.Yaml] =
+    ThreadLocal.withInitial { () =>
+      new org.yaml.snakeyaml.Yaml(
+        new org.yaml.snakeyaml.constructor.SafeConstructor(
+          new org.yaml.snakeyaml.LoaderOptions()))
+    }
+
   private[functions] def yamlToJsonStr(y: String): String = {
     if (y == null) return null
     // ruby tag surgery: "--- !ruby/hash-with-ivars:Klass" → "---";
     // "x: !ruby/object:Set ..." → untagged node
-    val cleaned = y.replaceAll("!ruby/\\S*", "")
-    val opts = new org.yaml.snakeyaml.LoaderOptions()
-    val yaml = new org.yaml.snakeyaml.Yaml(
-      new org.yaml.snakeyaml.constructor.SafeConstructor(opts))
-    val parsed = yaml.load[Object](cleaned)
+    val cleaned = rubyTag.matcher(y).replaceAll("")
+    val parsed = yamlTL.get().load[Object](cleaned)
     mapper.writeValueAsString(parsed)
   }
 

@@ -279,6 +279,15 @@ final class LakeTable(val root: String, spark: SparkSession) {
           val dst = new HPath(dataDir, name)
           if (!fs.rename(src.getPath, dst))
             throw new java.io.IOException(s"rename ${src.getPath} -> $dst failed")
+          // restart the vacuum grace clock AT PUBLICATION: rename preserves
+          // mtime, so a task file closed early in a write job longer than
+          // graceMs would otherwise land in data/ already "old" —
+          // unreferenced until the commit, and a concurrent vacuum would
+          // delete it before the snapshot publishes (data loss). setTimes is
+          // one cheap RPC per file; ignore filesystems that refuse it (the
+          // grace default still covers any sane write-to-commit gap there).
+          try fs.setTimes(dst, System.currentTimeMillis(), -1)
+          catch { case _: UnsupportedOperationException | _: java.io.IOException => }
           (name, bucket, dst)
         }
     }

@@ -260,6 +260,13 @@ object DedupOps {
     * Output: (id, cluster_id) for every doc appearing in ≥1 pair; docs with
     * no candidate pair are their own cluster and are simply absent (join
     * docs with "left" and coalesce to the doc's own id to materialize them).
+    *
+    * Cache lifetime: the returned labeling is backed by the FINAL
+    * generation's persisted RDD (that persistence is what truncates the
+    * per-round plan growth). It cannot be unpersisted here — the caller has
+    * not consumed it yet — and is released by Spark's ContextCleaner once
+    * the result is no longer referenced; a driver looping over many corpora
+    * should drop its reference between iterations.
     */
   /** The end-to-end dedup step: drop every document that belongs to a
     * duplicate cluster but is not its canonical (min-id) member. Singleton
@@ -270,9 +277,14 @@ object DedupOps {
     */
   def canonical(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
+    // cast the LONG cluster ids back to the caller's id type BEFORE the
+    // anti-join: joining long against (say) a string id column would coerce
+    // both sides (to double under legacy mode — ids above 2^53 collide and
+    // silently drop non-duplicate docs); an exact same-type equality cannot
+    val idType = docs.schema(docs.schema.fieldIndex(idCol)).dataType
     val losers = clusters(pairs)
       .filter(col("id") =!= col("cluster_id"))
-      .select(col("id").as(idCol))
+      .select(col("id").cast(idType).as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
 

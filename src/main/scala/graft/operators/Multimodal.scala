@@ -79,6 +79,9 @@ object MultimodalOps {
     * the fan-out shape 1→n, the explode, and the per-frame feature columns
     * are the tested contract). */
   def sampleFrames(media: Dataset[MediaRecord], n: Int): DataFrame = {
+    // n=0 would make sequence(0, -1) emit a DESCENDING [0, -1] frame pair
+    // and the substring arithmetic divide by zero mid-job — reject up front
+    require(n >= 1, s"sampleFrames needs n >= 1 frames, got $n")
     val df = media.toDF()
     df.filter(col("kind") === "video")
       .withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))

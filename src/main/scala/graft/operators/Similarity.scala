@@ -60,15 +60,22 @@ object SimilarityOps {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane m,
-    * dimension d) in [-1, 1]: a double-stepped MINSTD generator (two LCG
-    * steps kill the per-dimension linearity a single step would have) —
-    * pure 64-bit integer arithmetic with no overflow, so ANY SQL engine
-    * reproduces it exactly (the DuckDB oracle does). */
+    * dimension d) in [-1, 1] — pure 64-bit integer arithmetic with no
+    * overflow, so ANY SQL engine reproduces it exactly (the DuckDB oracle
+    * does). The seed is SQUARED mod p before the two LCG steps: LCG steps
+    * compose affinely, so without the quadratic the stride between
+    * consecutive dimensions (and between planes) would be a constant
+    * a²·Δseed mod p — an arithmetic-progression lattice whose planes are
+    * pointwise translates of each other, skewing the LSH sign bits.
+    * Squaring makes consecutive seeds differ by 2s+1 (seed-dependent), which
+    * breaks the lattice; s < 2³¹ keeps s² < 2⁶² inside int64 in both
+    * engines. */
   private def planeComponent(m: Int, d: Column, seed: Long): Column = {
     val p = 2147483647L // 2^31 - 1 (MINSTD modulus)
     val a = 48271L
-    val x0 = lit(m.toLong * 4099L + seed) + d.cast("long")
-    val h1 = pmod(lit(a) * x0 + lit(12345L), lit(p))
+    val s = pmod(lit(m.toLong * 4099L + seed) + d.cast("long"), lit(p))
+    val sq = pmod(s * s, lit(p))
+    val h1 = pmod(lit(a) * sq + lit(12345L), lit(p))
     val h2 = pmod(lit(a) * h1 + lit(12345L), lit(p))
     (pmod(h2, lit(2000001L)) - lit(1000000L)).cast("double") / 1000000.0
   }

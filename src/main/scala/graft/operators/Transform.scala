@@ -19,12 +19,19 @@ object SqlTransform {
   /** Run `sql` (tables must be registered as temp views / catalog tables)
     * and publish the result as the new content of `dest`. Empty `keyCols`
     * buckets by the result's first column (the reference's transform output
-    * has no declared key either, transform.go:10-40). */
+    * has no declared key either, transform.go:10-40). Bucket count for a
+    * NEW destination comes from `graft.transform.numBuckets` (default 16 —
+    * transform outputs are typically aggregates): numBuckets is fixed at
+    * create, so size it for the result's target scale (~0.5-2 GB/bucket,
+    * the LakeTable sizing rule) — a hardcoded granule would force a full
+    * rebucket() rewrite on any large output. */
   def apply(spark: SparkSession, sql: String, dest: LakeTable,
       keyCols: Seq[String], appId: String): Unit = {
     val result = spark.sql(sql)
     val keys = if (keyCols.nonEmpty) keyCols else result.columns.take(1).toSeq
-    if (!dest.exists) dest.create(result.schema, numBuckets = 16, appId)
+    val buckets = spark.conf.getOption("graft.transform.numBuckets")
+      .map(_.toInt).getOrElse(16)
+    if (!dest.exists) dest.create(result.schema, buckets, appId, keys)
     dest.overwrite(result, keys, appId)
   }
 }

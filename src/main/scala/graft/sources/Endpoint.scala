@@ -77,10 +77,19 @@ object Endpoint {
       if (!items.isArray)
         return Left(FetchError.InvalidBody(s"no array at '${cfg.itemsField}'"))
       val recs = (0 until items.size).map(i => mapper.writeValueAsString(items.get(i)))
-      val next = Option(root.get(cfg.offsetField))
-        .filter(n => !n.isNull && n.canConvertToLong)
-        .map(_.asLong)
-      Right(Page(recs, next))
+      // null/absent offset stops; a string-encoded number ("100") is the
+      // same quoted-scalar shape the data path supports and must paginate;
+      // any OTHER non-null shape is a protocol the offset plumbing cannot
+      // drive — fail loudly instead of silently truncating after this page
+      Option(root.get(cfg.offsetField)).filter(!_.isNull) match {
+        case None => Right(Page(recs, None))
+        case Some(n) if n.canConvertToLong => Right(Page(recs, Some(n.asLong)))
+        case Some(n) if n.isTextual && n.asText.matches("-?\\d{1,18}") =>
+          Right(Page(recs, Some(n.asText.toLong)))
+        case Some(n) => Left(FetchError.InvalidBody(
+          s"non-numeric '${cfg.offsetField}' value ${n.toString} — offset pagination " +
+          "needs an integer (or null to stop)"))
+      }
     } catch {
       case e: Exception => Left(FetchError.InvalidBody(e.getMessage))
     }
@@ -163,10 +172,18 @@ object Endpoint {
     * Any non-null value that fails its cast errors loudly either way. */
   def pageFrame(spark: org.apache.spark.sql.SparkSession, cfg: EndpointConfig,
       schema: org.apache.spark.sql.types.StructType,
-      recs: Seq[String]): org.apache.spark.sql.DataFrame = {
+      recs: Seq[String]): org.apache.spark.sql.DataFrame =
+    typedFrame(spark, schema, recs, emptyIsNull = cfg.responseType == "csv")
+
+  /** [[pageFrame]] without an [[EndpointConfig]]: the text-first read +
+    * loud-cast discipline for ANY JSON record batch (PaginatedSource.drain
+    * routes through this so string-encoded scalars load typed there too,
+    * instead of silently nulling under a schema-first JSON parse). */
+  def typedFrame(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      recs: Seq[String], emptyIsNull: Boolean): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{coalesce, col, concat, lit, raise_error, when}
-    val emptyIsNull = cfg.responseType == "csv"
     val strSchema = org.apache.spark.sql.types.StructType(
       schema.fields.map(_.copy(dataType = org.apache.spark.sql.types.StringType)))
     spark.read.schema(strSchema).json(recs.toDS())

@@ -78,11 +78,13 @@ final class PaginatedSource(
     * removed. Returns (batches delivered, records delivered). */
   def drain(spark: SparkSession, schema: StructType,
       sink: DataFrame => Unit, offset: Long = 0L): (Int, Long) = {
-    import spark.implicits._
     @tailrec def loop(off: Long, batches: Int, records: Long): (Int, Long) = {
       val (recs, next) = pullBatch(off)
       if (recs.nonEmpty)
-        sink(spark.read.schema(schema).json(recs.toDS()))
+        // text-first read + loud cast (Endpoint.typedFrame), NOT a
+        // schema-first JSON parse — the latter silently nulls
+        // string-encoded scalars ({"id": "123"} against LongType)
+        sink(Endpoint.typedFrame(spark, schema, recs, emptyIsNull = false))
       val (b, r) = (batches + (if (recs.nonEmpty) 1 else 0), records + recs.size)
       next match {
         case None => (b, r)

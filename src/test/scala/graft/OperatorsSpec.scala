@@ -220,6 +220,11 @@ class OperatorsSpec extends SparkSuite {
       .toDF("text")
     val r = d.select(TextFunctions.redactPii(col("text"))).collect()(0).getString(0)
     assert(r === "mail <EMAIL>, ip <IP>, call <PHONE> or <PHONE> end")
+    // standard 10-digit US formats redact WHOLE (area code must not leak)
+    val d2 = Seq("call 555-123-4567 or (555) 123-4567 or 5551234567 done")
+      .toDF("text")
+    val r2 = d2.select(TextFunctions.redactPii(col("text"))).collect()(0).getString(0)
+    assert(r2 === "call <PHONE> or <PHONE> or <PHONE> done")
   }
 
   test("line dedup keeps first occurrence, preserves order") {
