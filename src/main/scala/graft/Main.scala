@@ -77,6 +77,7 @@ object Main {
       val maxFiles = rest.drop(1).headOption.filter(_ != "mor").map(_.toInt)
       val mor = rest.contains("mor")
       val table = LakeTable(tableRoot)(spark)
+      val v0 = table.latestVersion // -1 when the table does not exist yet
       val t0 = System.nanoTime()
       val (q, pipeline) = CdcStream.startWithPipeline(spark, eventsDir, table,
         checkpointDir, appId, maxFilesPerTrigger = maxFiles, mergeOnRead = mor)
@@ -87,8 +88,12 @@ object Main {
       val state = graft.cdc.CdcPipeline.liveState(table)
       val rows = state.count()
       val sec = (System.nanoTime() - t0) / 1e9
+      // THIS run's events only (lineage versions above the pre-run version)
+      // — summing the whole table would fold earlier runs into this run's
+      // events/s — and coalesce for the zero-batch case (null sum → NPE)
       val applied = Lineage.read(spark, tableRoot)
-        .agg(sum("eventsIn")).collect()(0).getLong(0)
+        .filter(col("version") > v0)
+        .agg(coalesce(sum("eventsIn"), lit(0L))).collect()(0).getLong(0)
       println(f"[replay] $applied events applied in $sec%.1fs " +
         f"(${applied / sec}%.0f events/s) → $rows rows at version ${table.latestVersion}")
 
@@ -98,9 +103,12 @@ object Main {
       println(s"[show] version=${s.version} files=${s.files.size} " +
         s"rows=${s.files.map(_.rows).sum} watermarkLsn=${s.watermarkLsn} " +
         s"batchId=${s.batchId} offsets=${s.sourceOffsets}")
-      table.read().drop(CdcModel.RowLsnCol)
-        .withColumn("content_sha", sha2(col("content"), 256))
-        .drop("content").show(5, truncate = false)
+      // digest the content column when the table HAS one (CDC tables);
+      // config-frontend tables with arbitrary schemas just preview as-is
+      val preview = table.read().drop(CdcModel.RowLsnCol)
+      (if (preview.columns.contains("content"))
+        preview.withColumn("content_sha", sha2(col("content"), 256)).drop("content")
+      else preview).show(5, truncate = false)
       Lineage.read(spark, tableRoot).orderBy("batchId").show(50, truncate = false)
 
     case "compact" :: tableRoot :: rest =>

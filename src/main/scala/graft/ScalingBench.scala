@@ -116,7 +116,13 @@ object ScalingBench {
       val bw2 = memBw(p2)
       (a, b, bw1, bw2, stA, stB)
     }
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    // true median (average the middle two on even length): picking the
+    // upper-middle would systematically overstate the published efficiency
+    // on even rep counts — same correction Bench's headline median makes
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     // Efficiency per adjacent A/B PAIR, then the median of pair ratios:
     // this host's noise arrives in multi-minute bursts, so a burst hits the
     // two halves of one pair together (ratio survives) or lands between

@@ -153,6 +153,25 @@ object Merge {
 
     val numBuckets = snap.numBuckets
 
+    // --- key layout: the snapshot's RECORDED key is the bucket layout.
+    // A caller passing the CDC-model default on a table recorded with a
+    // different key (config-frontend tables keyed on e.g. ["id"]) adopts the
+    // recorded key — bucketing/pruning with the wrong key would silently
+    // read and prune the wrong files. An EXPLICIT mismatching key is a
+    // config error (the layout is fixed at create; rebucket() changes it). ---
+    val keys: Seq[String] =
+      if (snap.keyCols.isEmpty) keyCols
+      else if (keyCols == CdcModel.KeyCols || keyCols == snap.keyCols) snap.keyCols
+      else throw new IllegalArgumentException(
+        s"merge keyCols ${keyCols.mkString("(", ",", ")")} differ from the table's " +
+        s"recorded key ${snap.keyCols.mkString("(", ",", ")")} at ${table.root} — " +
+        "the bucket layout is fixed at create(); use rebucket() to change keys")
+    val missingKeys = keys.filterNot(events.columns.contains)
+    if (missingKeys.nonEmpty) throw new IllegalArgumentException(
+      s"batch is missing key column(s) ${missingKeys.mkString(", ")} required by " +
+      s"${table.root} (key ${keys.mkString("(", ",", ")")}) — conforming them to " +
+      "null would bucket every row together and corrupt the layout")
+
     // --- schema evolution: incoming payload vs table schema ---
     val metaCols = Set(CdcModel.LsnCol, CdcModel.OpCol, "eventTime")
     val incomingTarget = StructType(
@@ -162,13 +181,13 @@ object Merge {
     val tableSchema = snap.schema
     val evolvedSchema = SchemaEvolution.merge(tableSchema, incomingTarget)
     val schemaEvolved = evolvedSchema != tableSchema
-    val payloadCols = evolvedSchema.fieldNames.filterNot(keyCols.contains).toSeq // incl _lsn, _deleted
+    val payloadCols = evolvedSchema.fieldNames.filterNot(keys.contains).toSeq // incl _lsn, _deleted
 
     // --- LSN watermark guard (ordered sources only) + bucket the batch ---
     val fresh =
       if (orderedDelivery) Dedup.aboveWatermark(events, snap.watermarkLsn)
       else events
-    val batchB = LakeTable.withBucket(fresh, keyCols, numBuckets)
+    val batchB = LakeTable.withBucket(fresh, keys, numBuckets)
 
     // --- job 1 (copy-on-write ONLY): touched buckets + batch size + lsn
     // range. The bucket set must exist BEFORE the merge plan is built — it
@@ -210,10 +229,7 @@ object Merge {
     val targetRows =
       if (mergeOnRead) table.readBuckets(snap, Set.empty) // empty, schema-typed
       else table.readBuckets(snap, buckets)
-    val tieBreak =
-      if (evolvedSchema.fieldNames.contains("content"))
-        coalesce(col("content").cast(StringType), lit(""))
-      else lit("")
+    val tieBreak = CdcModel.lwwTieBreak(evolvedSchema.fieldNames.toIndexedSeq)
     // stored rows re-enter the LWW total order EXACTLY as the event that
     // produced them would: (their _lsn, their tombstone flag, their content).
     // This makes redelivery of ANY event subset a no-op — including a
@@ -227,7 +243,7 @@ object Merge {
     val target = SchemaEvolution.conform(targetRows, evolvedSchema)
       .withColumn(CdcModel.DeletedCol, coalesce(col(CdcModel.DeletedCol), lit(false)))
       .withColumn(SrcCol, lit(0L))
-      .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(keyCols, numBuckets))
+      .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(keys, numBuckets))
 
     val batchConformed =
       SchemaEvolution.conform(
@@ -235,7 +251,7 @@ object Merge {
             .withColumn(CdcModel.DeletedCol, col(CdcModel.OpCol) === "D"),
           evolvedSchema)
         .withColumn(SrcCol, lit(1L))
-        .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(keyCols, numBuckets))
+        .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(keys, numBuckets))
 
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // Sub-bucket salting (skew): partitioning the merge shuffle on _bucket
@@ -261,7 +277,7 @@ object Merge {
     val unioned = target
       .select(batchConformed.columns.map(col): _*) // align column order for union
       .unionByName(batchConformed)
-      .withColumn(KeyHash, xxhash64(keyCols.map(col): _*))
+      .withColumn(KeyHash, xxhash64(keys.map(col): _*))
     val combined0 =
       (if (salt <= 1) unioned
        else unioned.withColumn(SaltCol, pmod(col(KeyHash), lit(salt))))
@@ -303,7 +319,7 @@ object Merge {
     // function of khash, which already follows it)
     val partCols =
       (if (salt <= 1) Seq(col(LakeTable.BucketCol), col(KeyHash))
-       else Seq(col(LakeTable.BucketCol), col(SaltCol), col(KeyHash))) ++ keyCols.map(col)
+       else Seq(col(LakeTable.BucketCol), col(SaltCol), col(KeyHash))) ++ keys.map(col)
     val sortKeys = partCols ++ Seq(
       col(CdcModel.RowLsnCol).desc, col(OpRankCol).desc, col(TieCol).desc)
     val w = org.apache.spark.sql.expressions.Window
@@ -341,7 +357,7 @@ object Merge {
       else filtered.observe(obs, sum("_hasBatch").as("distinctKeys"),
         sum("_nB").as("n"), min("_mnL").as("mn"), max("_mxL").as("mx"))
     val winners = observed
-      .select((col(LakeTable.BucketCol) +: keyCols.map(col)) ++
+      .select((col(LakeTable.BucketCol) +: keys.map(col)) ++
         payloadCols.map(col): _*)
 
     val added = phase("write", batchId) { table.writeDataFilesPrePartitioned(winners) }

@@ -385,9 +385,7 @@ object CdcPipeline {
     * folds generations through this same function, so reads and maintenance
     * can never diverge on a tie-break. */
   private[cdc] def lwwResolve(df: DataFrame, keys: Seq[String]): DataFrame = {
-    val tie =
-      if (df.columns.contains("content")) coalesce(col("content"), lit(""))
-      else lit("")
+    val tie = CdcModel.lwwTieBreak(df.columns.toIndexedSeq)
     val del =
       if (df.columns.contains(CdcModel.DeletedCol))
         coalesce(col(CdcModel.DeletedCol), lit(false))

@@ -51,6 +51,7 @@ object PortSpec {
     var itemsField: Option[String] = None
     var apiTransforms: Seq[ColumnSpec] = Nil
     var transformSeen = false
+    var transformArgs: Seq[String] = Nil
     var schemaDef: Option[String] = None
     var retry4xx = false
     var topStrategy: Option[TableExtractSpec] = None
@@ -86,9 +87,11 @@ object PortSpec {
         case "Paginate" =>
           paginate(s, fns) // validates the idiom; offset token rides the url
         case "Transform" =>
-          val (f, tf) = transformDirective(argsOf(s, "Transform"), fns,
-            api.map(_.responseType).getOrElse("json"))
-          itemsField = f; apiTransforms = tf; transformSeen = true
+          // record the args; TRANSLATE after the statement loop — Starlark
+          // call order is irrelevant to the final config, so a
+          // ResponseType("csv") AFTER the Transform line must still steer
+          // the CSV-idiom translation
+          transformArgs = argsOf(s, "Transform"); transformSeen = true
         case "ErrorHandling" =>
           retry4xx = errorHandling(s)
         case other =>
@@ -103,11 +106,16 @@ object PortSpec {
       case Some(src) =>
         // Transform/Paginate may be plain `def`s with the magic name instead
         // of directive calls (api_incremental_load_strategy.port,
-        // example_widgets.port) — same translation either way. Guarded on
-        // transformSeen, NOT on empty results: an explicit directive whose
+        // example_widgets.port) — same translation either way. The directive
+        // (recorded above) translates HERE, against the file's FINAL
+        // responseType; the magic-name fallback is guarded on directive
+        // presence, NOT on empty results: an explicit directive whose
         // translation is legitimately empty (the CSV header idiom) must not
         // be silently overridden by a leftover `def Transform` body.
-        if (!transformSeen && fns.contains("Transform")) {
+        if (transformSeen) {
+          val (f, tf) = transformDirective(transformArgs, fns, src.responseType)
+          itemsField = f; apiTransforms = tf
+        } else if (fns.contains("Transform")) {
           val (f, tf) = transformDirective(Nil, fns, src.responseType)
           itemsField = f; apiTransforms = tf
         }
@@ -249,11 +257,15 @@ object PortSpec {
     n
   }
 
-  /** Arguments of the first `name(...)` call in `s` (balanced, quote-aware). */
+  /** Arguments of the first `name(...)` call in `s` (balanced, quote-aware).
+    * Tolerates whitespace before the paren — the statement dispatcher's
+    * `name\s*\(` already admitted it, so rejecting it here would turn a
+    * valid Starlark spelling into a misleading 'expected Name(...)' error. */
   private def argsOf(s: String, name: String): Seq[String] = {
-    val at = s.indexOf(name + "(")
-    if (at < 0) throw new PortParseException(s"expected $name(...) in: $s")
-    splitTop(balancedParen(s, at + name.length))
+    val m = ("\\b" + java.util.regex.Pattern.quote(name) + "\\s*\\(").r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new PortParseException(s"expected $name(...) in: $s"))
+    splitTop(balancedParen(s, m.end - 1))
   }
 
   /** The substring inside the paren starting at `s(open)` (which must be '('). */

@@ -59,6 +59,10 @@ object Secrets {
 
   private def readLines(file: java.nio.file.Path): (Header, List[String]) = {
     val lines = java.nio.file.Files.readAllLines(file).toArray(Array.empty[String]).toList
+    if (lines.isEmpty || lines.head.trim.isEmpty)
+      throw new IllegalArgumentException(
+        s"secrets file $file is empty or missing its header line — " +
+        "initialize it with `secrets init` first")
     val h = org.json4s.jackson.JsonMethods.parse(lines.head)
     implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
     (h.extract[Header], lines.tail.filter(_.nonEmpty))

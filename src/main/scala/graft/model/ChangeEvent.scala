@@ -41,6 +41,22 @@ object CdcModel {
     * offset passes their LSN ([[graft.cdc.Compaction]]). */
   val DeletedCol = "_deleted"
 
+  /** THE deterministic LWW tie-break (same-LSN, same-tombstone-rank rows):
+    * the `content` payload when the table has one; otherwise a hash of every
+    * non-internal column (sorted by name, so writer and reader compute the
+    * identical expression over any column order). Without the hash branch, a
+    * no-`content` table whose extract carries duplicate primary keys at one
+    * LSN would pick its winner by shuffle order — nondeterministic across
+    * runs, breaking replay determinism. Used by the MERGE write path, the
+    * generation-resolving read path and compaction alike. */
+  def lwwTieBreak(cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, xxhash64}
+    if (cols.contains("content"))
+      coalesce(col("content").cast(org.apache.spark.sql.types.StringType), lit(""))
+    else xxhash64(cols.filterNot(_.startsWith("_")).sorted.map(col): _*).cast(
+      org.apache.spark.sql.types.StringType)
+  }
+
   val eventSchema: StructType = StructType(Seq(
     StructField("lsn", LongType, nullable = false),
     StructField("op", StringType, nullable = false),

@@ -473,6 +473,51 @@ class CdcPipelineSpec extends SparkSuite {
     assert(Lineage.compact(spark, t.root, keepRecent = 64) === 0)
   }
 
+  test("merge validates the key layout and ties break deterministically without content") {
+    import spark.implicits._
+    val root = SparkTestBase.tmpDir("cdc-keys")
+    val table = new LakeTable(root, spark)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(CdcModel.RowLsnCol, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(CdcModel.DeletedCol, org.apache.spark.sql.types.BooleanType)))
+    table.create(schema, numBuckets = 4, "keys-app", Seq("id"))
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("id", "payload")
+      .withColumn(CdcModel.LsnCol, lit(7L)).withColumn(CdcModel.OpCol, lit("U"))
+    // default CDC-model keys ADOPT the table's recorded key ["id"] (the
+    // pipeline always passes the default; the manifest is the layout truth)
+    val s1 = graft.cdc.Merge(table, batch(1L -> "x", 2L -> "y"), "keys-app", 0L)
+    assert(s1.eventsIn === 2)
+    // an EXPLICIT mismatching key is a config error, not silent mis-bucketing
+    val e = intercept[IllegalArgumentException] {
+      graft.cdc.Merge(table, batch(3L -> "z"), "keys-app", 1L,
+        keyCols = Seq("id", "payload"))
+    }
+    assert(e.getMessage.contains("rebucket"))
+    // a batch missing a key column fails loudly (conforming to null would
+    // bucket every row together)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.cdc.Merge(table,
+        Seq("a").toDF("payload").withColumn(CdcModel.LsnCol, lit(9L))
+          .withColumn(CdcModel.OpCol, lit("U")),
+        "keys-app", 1L)
+    }
+    assert(e2.getMessage.contains("missing key column"))
+    // no-content table, duplicate key at ONE LSN: the winner is the
+    // deterministic hash tie-break, not shuffle order — two fresh replays
+    // must agree with each other and with this table
+    def replayDup(tag: String): String = {
+      val r = SparkTestBase.tmpDir(s"cdc-keys-$tag")
+      val t2 = new LakeTable(r, spark)
+      t2.create(schema, numBuckets = 4, "keys-app", Seq("id"))
+      graft.cdc.Merge(t2, batch(5L -> "AAA", 5L -> "BBB").repartition(4), "keys-app", 0L)
+      CdcPipeline.liveState(t2).select("payload").collect()(0).getString(0)
+    }
+    val (w1, w2) = (replayDup("a"), replayDup("b"))
+    assert(w1 === w2)
+  }
+
   test("synthetic generator is deterministic and skewed") {
     val a = SyntheticEvents.generate(spark, 10000)
     val b = SyntheticEvents.generate(spark, 10000)

@@ -437,6 +437,15 @@ class ConfigSpec extends SparkSuite {
       "def up(value):\n\t\"\"\"upper-case it\"\"\"\n\treturn value.upper()\n" +
       "Table(\"t\").TransformColumn(\"c\", up)").tables("t").transforms
       .head.ops === Seq("upper"))
+    // statement order is irrelevant in Starlark: a ResponseType("csv") AFTER
+    // the Transform directive must still steer the CSV-idiom translation
+    val orderFree = PortSpec.toJobSpec(
+      "def parse_header(data):\n\treturn data.pop(0)\n" +
+      "Get(\"http://x/y\")\nTransform(parse_header)\nResponseType(\"csv\")")
+    assert(orderFree.source.responseType === "csv")
+    // whitespace before the call paren is valid Starlark
+    assert(PortSpec.toJobSpec("Table (\"w\").LoadStrategy(Full)")
+      .tables("w").loadStrategy === "Full")
   }
 
   test(".port subset reader: reference API fixtures translate to JobSpec") {
