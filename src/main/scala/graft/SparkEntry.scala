@@ -28,9 +28,28 @@ object SparkEntry {
   /** Scratch root for gate-query temp tables: tmpfs when available — the
     * CDC gate queries run the real engine into a throwaway LakeTable, and on
     * this host /tmp sustains ~70MB/s buffered (3-4x the wall time of the
-    * same query on tmpfs); a real cluster would use local SSD scratch. */
-  private def scratch(prefix: String): String =
-    Files.createTempDirectory(java.nio.file.Paths.get(Bench.fastTmp), prefix).toString
+    * same query on tmpfs); a real cluster would use local SSD scratch.
+    * Every directory is deleted on JVM exit (deletion cannot happen at
+    * query-function return — the returned DataFrame still reads lazily from
+    * the scratch table): tmpfs is RAM, so leaked gate tables from repeated
+    * verify/bench runs would otherwise accrete against the same memory
+    * Spark's shuffle space uses. */
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchDirs.forEach { d =>
+        try {
+          Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { try Files.deleteIfExists(p) catch { case _: java.io.IOException => () } })
+        } catch { case _: java.io.IOException => () }
+      }
+    }, "graft-scratch-cleanup"))
+  }
+  private def scratch(prefix: String): String = {
+    val d = Files.createTempDirectory(java.nio.file.Paths.get(Bench.fastTmp), prefix)
+    scratchDirs.add(d)
+    d.toString
+  }
 
   /** Flagship: full CDC replay on sf0.001 (driver smoke-checks rows>0). */
   def entry(spark: SparkSession): DataFrame =

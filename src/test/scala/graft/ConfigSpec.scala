@@ -20,7 +20,7 @@ class ConfigSpec extends SparkSuite {
     p
   }
 
-  private def eventsSpec(dir: String, dest: String, strategy: String = "Full",
+  private def eventsSpec(dest: String, strategy: String = "Full",
       tableKey: String = "events"): String = s"""{
     "source": {"format": "parquet", "path": "$sfDir/events.parquet"},
     "destination": {"root": "$dest", "numBuckets": 4},
@@ -63,7 +63,7 @@ class ConfigSpec extends SparkSuite {
   test("full extract-load through a spec file: projection + transform applied") {
     val dir = SparkTestBase.tmpDir("cfg-full")
     val dest = s"$dir/dest"
-    val p = writeSpec(dir, "job.json", eventsSpec(dir, dest))
+    val p = writeSpec(dir, "job.json", eventsSpec(dest))
     val r = JobRunner.run(spark, JobSpec.load(spark, p), "events")
     assert(!r.previewed && r.rowsLoaded > 0)
     val out = LakeTable(dest)(spark).read()
@@ -74,7 +74,7 @@ class ConfigSpec extends SparkSuite {
   test("preview runs the plan but leaves the destination untouched (main.go:29-33)") {
     val dir = SparkTestBase.tmpDir("cfg-prev")
     val dest = s"$dir/dest"
-    val p = writeSpec(dir, "job.json", eventsSpec(dir, dest))
+    val p = writeSpec(dir, "job.json", eventsSpec(dest))
     // preview against an absent table: no create happens
     val r0 = JobRunner.run(spark, JobSpec.load(spark, p), "events", preview = true)
     assert(r0.previewed && !LakeTable(dest)(spark).exists)
@@ -133,7 +133,7 @@ class ConfigSpec extends SparkSuite {
     val dir = SparkTestBase.tmpDir("cfg-force")
     val dest = s"$dir/dest"
     // a ModifiedOnly spec loads only the lookback window...
-    val p = writeSpec(dir, "job.json", eventsSpec(dir, dest, strategy = "ModifiedOnly"))
+    val p = writeSpec(dir, "job.json", eventsSpec(dest, strategy = "ModifiedOnly"))
     JobRunner.run(spark, JobSpec.load(spark, p), "events")
     val partial = LakeTable(dest)(spark).read().count()
     val total = spark.read.parquet(s"$sfDir/events.parquet").count()
@@ -181,8 +181,11 @@ class ConfigSpec extends SparkSuite {
     Secrets.set(f, "OTHER", "x=with=equals", key)
     assert(Secrets.read(f, key) ===
       Map("USER_TOKEN" -> "SAMPLE1joxLCJTYWx0Ijoie", "OTHER" -> "x=with=equals"))
-    // fresh nonce per encryption: same value twice → different ciphertexts
-    Secrets.set(f, "DUP", "same", key); Secrets.set(f, "DUP2", "same", key)
+    // fresh nonce per encryption: the IDENTICAL plaintext twice (set appends
+    // a line encrypting "$key=$value", so same key + same value = same
+    // plaintext) must yield different ciphertexts — a reused GCM nonce would
+    // produce byte-identical lines here and is catastrophic for AES-GCM
+    Secrets.set(f, "DUP", "same", key); Secrets.set(f, "DUP", "same", key)
     val lines = java.nio.file.Files.readAllLines(f)
     assert(lines.get(lines.size - 1) !== lines.get(lines.size - 2))
     Secrets.delete(f, "OTHER", key)

@@ -254,6 +254,18 @@ class OperatorsSpec extends SparkSuite {
     assert(r(0).getString(3).length === 64)
   }
 
+  test("length() counts Unicode code points — pins Spark/DuckDB parity for text gates") {
+    // the text_stats/text_quality oracles pair Spark length() with DuckDB
+    // length(); both count CODE POINTS (Spark: UTF8String.numChars over the
+    // UTF-8 bytes, NOT java.lang.String UTF-16 units), so a supplementary-
+    // plane char (here U+1F600, a surrogate PAIR in the JVM string) counts 1.
+    // If Spark ever counted UTF-16 units this would read 4 and the gates
+    // would silently hold only for ASCII fixtures.
+    val n = Seq("a😀b").toDF("t")
+      .select(length(col("t"))).collect()(0).getInt(0)
+    assert(n === 3)
+  }
+
   test("bpe-ish token count: letter/digit/punct runs, whitespace never counted") {
     def n(s: String) =
       Seq(s).toDF("text").select(TextFunctions.bpeTokenCount(col("text")))

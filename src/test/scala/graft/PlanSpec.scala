@@ -153,8 +153,14 @@ class PlanSpec extends SparkSuite {
       val deadline2 = System.nanoTime() + 30L * 1000000000L
       while (plan2.isEmpty && System.nanoTime() < deadline2) {
         import scala.jdk.CollectionConverters._
+        // "_salt" tags the salted batch's plan specifically: listener delivery
+        // is async, so a straggler plan from batch 0 (unsalted — no _salt
+        // column exists in it) can land after captured.clear() and must not
+        // satisfy this search, or the salted-path assertions below would run
+        // against the wrong plan and a second-exchange regression could hide
         plan2 = captured.asScala.find(s =>
-          s.contains("CollectMetrics") && s.contains("WriteFiles"))
+          s.contains("CollectMetrics") && s.contains("WriteFiles") &&
+          s.contains("_salt"))
         if (plan2.isEmpty) Thread.sleep(100)
       }
       val pl2 = plan2.getOrElse(fail("no salted write-job plan captured"))
