@@ -22,6 +22,10 @@ import graft.model.SyntheticEvents
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // the JSON line below is machine-parsed: under a comma-decimal default
+    // locale (de_DE, fr_FR, ...) Scala's f-interpolator would render 1,234
+    // and break every consumer — pin the numeric locale for this main
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nEvents = sys.env.getOrElse("GRAFT_BENCH_EVENTS", "4000000").toLong
@@ -171,26 +175,30 @@ object Bench {
       java.nio.file.Paths.get(fastTmp), "bench-cdc").toString
     // materialize the change stream as LSN-ranged parquet (untimed setup —
     // a real tail reads event files; generating rows is not merge work)
-    val eventsDir = s"$root/events"
-    SyntheticEvents.generate(spark, n, nRepos = 2000, filesPerRepo = 500)
-      .repartitionByRange(eventFiles, org.apache.spark.sql.functions.col("lsn"))
-      .write.mode("overwrite").parquet(eventsDir)
-    val events = spark.read.parquet(eventsDir)
-    // merge-on-read: the sustained-throughput mode (O(batch) per batch with
-    // periodic compaction folded into the timed run — the honest number)
-    val p = new CdcPipeline(LakeTable(s"$root/table")(spark), "bench",
-      mergeOnRead = true, compactEveryFiles = 8)
-    p.bootstrap(numBuckets = numBuckets)
-    val t0 = System.nanoTime()
-    val stats = p.replay(events, numBatches = batches)
-    // compaction now runs in the background — include the drain in the timed
-    // window so the number still means "all work done" (the honest sustained
-    // figure; mid-run compactions overlap the merges they used to serialize)
-    p.awaitMaintenance()
-    val sec = (System.nanoTime() - t0) / 1e9
-    val applied = stats.map(_.eventsIn).sum
-    require(applied == n, s"replay applied $applied of $n events")
-    LakeTable.deleteRecursively(java.nio.file.Paths.get(root))
-    (n / sec, sec)
+    // finally-scoped cleanup: the scratch tree is tmpfs (RAM) and multi-GB —
+    // a failed rep (the require below, a merge exception) must not leak it
+    // across processes and erode the memory headroom later reps depend on
+    try {
+      val eventsDir = s"$root/events"
+      SyntheticEvents.generate(spark, n, nRepos = 2000, filesPerRepo = 500)
+        .repartitionByRange(eventFiles, org.apache.spark.sql.functions.col("lsn"))
+        .write.mode("overwrite").parquet(eventsDir)
+      val events = spark.read.parquet(eventsDir)
+      // merge-on-read: the sustained-throughput mode (O(batch) per batch with
+      // periodic compaction folded into the timed run — the honest number)
+      val p = new CdcPipeline(LakeTable(s"$root/table")(spark), "bench",
+        mergeOnRead = true, compactEveryFiles = 8)
+      p.bootstrap(numBuckets = numBuckets)
+      val t0 = System.nanoTime()
+      val stats = p.replay(events, numBatches = batches)
+      // compaction now runs in the background — include the drain in the timed
+      // window so the number still means "all work done" (the honest sustained
+      // figure; mid-run compactions overlap the merges they used to serialize)
+      p.awaitMaintenance()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val applied = stats.map(_.eventsIn).sum
+      require(applied == n, s"replay applied $applied of $n events")
+      (n / sec, sec)
+    } finally LakeTable.deleteRecursively(java.nio.file.Paths.get(root))
   }
 }

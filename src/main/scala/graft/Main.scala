@@ -100,12 +100,15 @@ object Main {
     case "show" :: tableRoot :: Nil =>
       val table = LakeTable(tableRoot)(spark)
       val s = table.currentSnapshot.getOrElse(sys.error(s"no table at $tableRoot"))
+      // physicalRows counts what the manifest references (tombstones and
+      // superseded merge-on-read generations included) — O(1) from metadata;
+      // the preview below shows FINAL state (LWW-resolved, tombstones out)
       println(s"[show] version=${s.version} files=${s.files.size} " +
-        s"rows=${s.files.map(_.rows).sum} watermarkLsn=${s.watermarkLsn} " +
+        s"physicalRows=${s.files.map(_.rows).sum} watermarkLsn=${s.watermarkLsn} " +
         s"batchId=${s.batchId} offsets=${s.sourceOffsets}")
       // digest the content column when the table HAS one (CDC tables);
       // config-frontend tables with arbitrary schemas just preview as-is
-      val preview = table.read().drop(CdcModel.RowLsnCol)
+      val preview = graft.cdc.CdcPipeline.liveState(table)
       (if (preview.columns.contains("content"))
         preview.withColumn("content_sha", sha2(col("content"), 256)).drop("content")
       else preview).show(5, truncate = false)
@@ -162,7 +165,11 @@ object Main {
               s""""kind":"${e.kind}","to":"${e.to}"}""")
           }
       } else {
-        val spec = graft.config.JobSpec.load(spark, specPath)
+        // same secrets overlay as every other spec-loading verb: a spec whose
+        // strings reference $SECRET_VAR must parse identically under all verbs
+        val env = graft.config.Secrets.envWith(
+          sys.env.get("GRAFT_SECRETS_FILE").map(java.nio.file.Paths.get(_)))
+        val spec = graft.config.JobSpec.load(spark, specPath, env)
         spec.tables.toSeq.sortBy(_._1).foreach { case (t, e) =>
           e.schedule.foreach { s =>
             println(s"""{"table":"$t","schedule":${graft.streaming.Schedule.toJson(s)}}""")

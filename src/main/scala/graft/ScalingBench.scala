@@ -16,6 +16,9 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
+    // the JSON line is machine-parsed: pin the numeric locale so f"%.3f"
+    // never renders a comma decimal separator (see Bench.main)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val n = sys.env.getOrElse("GRAFT_SCALE_EVENTS", "4000000").toLong
     val batches = sys.env.getOrElse("GRAFT_SCALE_BATCHES", "4").toInt
     if (args.headOption.contains("alt")) return altMode(n, batches,

@@ -286,14 +286,9 @@ object JobRunner {
     val extract = spec.extractFor(table)
     val source = readSource(spark, spec.source)
 
-    // column selection: '*' keeps everything (star.port), else project —
+    // projection + transform chain: the ONE shared definition (shapeFor) —
     // projection happens BEFORE transforms so pushdown reaches the scan
-    val projected = extract.columns match {
-      case Seq("*") | Nil => source
-      case cols => source.select(cols.map(col): _*)
-    }
-    val transformed =
-      ColumnTransforms(projected, extract.transforms, extract.computed)
+    val transformed = shapeFor(extract)(source)
 
     // strategy WHERE clause (database.go:178-187): ModifiedOnly filters to
     // the lookback window; the cutoff anchors to the data's max modified-at

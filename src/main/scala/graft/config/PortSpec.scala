@@ -131,7 +131,13 @@ object PortSpec {
         // then dropped), and here the page frame reads with that schema, so
         // a transform on an absent column would fail analysis: filter to the
         // declared columns — identical outcome to the reference
-        val schemaCols = schemaDef.map(_.split(",").map(_.split(":")(0)).toSet)
+        // split only on commas that start a new `name:` entry (same lookahead
+        // as JobRunner.parseSchemaSpec) so parameterized types keep their
+        // internal commas — `price:decimal(18,4)` must not yield a junk "4)"
+        // column that could shadow a real column's transform filtering
+        val schemaCols = schemaDef.map(
+          _.split(",(?=\\s*[A-Za-z_][A-Za-z0-9_]*\\s*:)")
+            .map(_.split(":")(0).trim).toSet)
         val kept = schemaCols.fold(apiTransforms)(cols =>
           apiTransforms.filter(t => cols.contains(t.column)))
         // an api file defines ONE unnamed table — expose it as the wildcard

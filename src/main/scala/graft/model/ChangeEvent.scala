@@ -87,7 +87,14 @@ object CdcModel {
     */
   def orderKey(df: DataFrame): org.apache.spark.sql.Column = {
     val delRank = when(col(OpCol) === "D", 1).otherwise(0)
-    struct(col(LsnCol), delRank.as("del_rank"), coalesce(col("content"), lit("")).as("tb"))
+    // tie-break over the PERSISTED view of the event (exclude the event-only
+    // bookkeeping columns lsn/op) via the ONE shared lwwTieBreak definition:
+    // content tables break ties on content exactly as before; a content-less
+    // frame hashes its payload columns instead of failing analysis — and the
+    // tie stays op-insensitive, so a stored row re-enters the order
+    // identically to the event that produced it
+    val tb = lwwTieBreak(df.columns.toIndexedSeq.filterNot(c => c == LsnCol || c == OpCol))
+    struct(col(LsnCol), delRank.as("del_rank"), tb.as("tb"))
   }
 }
 

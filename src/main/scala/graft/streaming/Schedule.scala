@@ -12,15 +12,21 @@ import org.apache.spark.sql.streaming.Trigger
 object Schedule {
   private val Every = """(?i)\s*(?:every\s+)?(\d+)\s*(minute|minutes|hour|hours|day|days)\s*""".r
 
-  /** Parse the DSL. ≙ parseSchedule (schedule.go:46-76): N {minute,hour,day}. */
+  /** Parse the DSL. ≙ parseSchedule (schedule.go:46-76): N {minute,hour,day}.
+    * Honors the Option contract for EVERY malformed input: a count that
+    * overflows Int, or a duration beyond FiniteDuration's Long-nanos range
+    * (~106751 days), returns None instead of leaking NumberFormatException /
+    * IllegalArgumentException — so trigger/toJson always surface the
+    * documented `bad schedule: '...'` message. */
   def parse(s: String): Option[FiniteDuration] = s match {
     case Every(n, unit) =>
-      val d = unit.toLowerCase match {
-        case u if u.startsWith("minute") => n.toInt.minutes
-        case u if u.startsWith("hour")   => n.toInt.hours
-        case _                            => n.toInt.days
+      n.toIntOption.flatMap { i =>
+        try Some(unit.toLowerCase match {
+          case u if u.startsWith("minute") => i.minutes
+          case u if u.startsWith("hour")   => i.hours
+          case _                            => i.days
+        }) catch { case _: IllegalArgumentException => None }
       }
-      Some(d)
     case _ => None
   }
 
