@@ -135,18 +135,37 @@ object Merge {
     *        tables through the same merge — everything here is key-generic:
     *        bucketing, pruning, salting and the LWW window all derive from
     *        this sequence. */
+  /** @param metaCols batch columns that are CDC bookkeeping, not payload —
+    *        excluded from schema evolution. The default is the CDC event
+    *        schema's set; the config frontend constructs only lsn/op and
+    *        passes a narrower set, so an extract whose PAYLOAD genuinely has
+    *        an `eventTime` column is not silently dropped. */
   def apply(table: LakeTable, events: DataFrame, appId: String, batchId: Long,
       sourceOffsets: Map[String, Long] = Map.empty,
       orderedDelivery: Boolean = false,
       mergeOnRead: Boolean = false,
-      keyCols: Seq[String] = CdcModel.KeyCols): MergeStats = {
+      keyCols: Seq[String] = CdcModel.KeyCols,
+      metaCols: Set[String] = Set(CdcModel.LsnCol, CdcModel.OpCol, "eventTime")): MergeStats = {
     val t0 = System.nanoTime()
     val spark = events.sparkSession
     val snap = table.currentSnapshot.getOrElse(
       throw new IllegalStateException(s"target table ${table.root} has no snapshot — bootstrap first"))
 
-    // --- commit-epoch fencing (replayed foreachBatch after restart) ---
-    if (snap.appId == appId && snap.batchId == batchId && batchId >= 0) {
+    // --- commit-epoch fencing (replayed foreachBatch after restart).
+    // >= not ==: batchIds are monotonic within an appId (the foreachBatch
+    // contract), so a batch at or BELOW the snapshot's epoch was already
+    // applied — a zombie driver re-presenting batch N after N+1 committed
+    // must be fenced too, or a MOR table gains the whole batch again as
+    // duplicate generation files (same rule as the commit-retry fence below).
+    if (snap.appId == appId && snap.batchId >= batchId && batchId >= 0) {
+      if (snap.batchId > batchId)
+        // equal = the normal restart replay; BELOW the epoch = a zombie
+        // driver, or a checkpoint reset under a reused appId — the latter
+        // would silently drop genuinely-new batches, so say what happened
+        // and what the fix is (new appId, or fullRefresh)
+        System.err.println(s"[merge] fencing batch $batchId of app '$appId': table " +
+          s"${table.root} is already at batch ${snap.batchId} — if this is not a " +
+          "zombie writer but a reset checkpoint, restart the stream under a NEW appId")
       return MergeStats(batchId, snap.version, 0, 0, 0, 0, 0, 0, 0, -1, -1,
         schemaEvolved = false, skippedFenced = true, (System.nanoTime() - t0) / 1000000)
     }
@@ -171,14 +190,35 @@ object Merge {
       s"batch is missing key column(s) ${missingKeys.mkString(", ")} required by " +
       s"${table.root} (key ${keys.mkString("(", ",", ")")}) — conforming them to " +
       "null would bucket every row together and corrupt the layout")
+    // key column TYPES are part of the bucket layout, exactly like the key
+    // names: xxhash64 hashes INT and BIGINT (or INT and STRING) differently,
+    // so a batch delivering a key in a different type — or schema evolution
+    // widening a key column — would compute bucket ids that disagree with
+    // the stored DataFile.bucket labels. Pruning would read the wrong files,
+    // the stored row would never meet its update in the LWW window, and the
+    // same key would land in two buckets (silent, permanent duplicates in
+    // liveState, which resolves per bucket). Fail loudly instead: the key's
+    // types are fixed at create(); rebucket() is the layout-change path.
+    val tableSchema = snap.schema
+    val tableFields = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    val keyTypeMismatch = keys.flatMap { k =>
+      for {
+        tt <- tableFields.get(k)
+        bt = events.schema(k).dataType
+        if bt != tt
+      } yield s"$k: batch ${bt.simpleString} vs table ${tt.simpleString}"
+    }
+    if (keyTypeMismatch.nonEmpty) throw new IllegalArgumentException(
+      s"batch key column type(s) differ from ${table.root}'s stored layout " +
+      s"(${keyTypeMismatch.mkString("; ")}) — the bucket hash is computed over " +
+      "the key's exact types, so merging this batch would corrupt bucket " +
+      "pruning; cast the batch to the table's key types, or rebucket()")
 
     // --- schema evolution: incoming payload vs table schema ---
-    val metaCols = Set(CdcModel.LsnCol, CdcModel.OpCol, "eventTime")
     val incomingTarget = StructType(
       events.schema.fields.filterNot(f => metaCols.contains(f.name)) ++ Seq(
         StructField(CdcModel.RowLsnCol, LongType, nullable = false),
         StructField(CdcModel.DeletedCol, BooleanType, nullable = false)))
-    val tableSchema = snap.schema
     val evolvedSchema = SchemaEvolution.merge(tableSchema, incomingTarget)
     val schemaEvolved = evolvedSchema != tableSchema
     val payloadCols = evolvedSchema.fieldNames.filterNot(keys.contains).toSeq // incl _lsn, _deleted

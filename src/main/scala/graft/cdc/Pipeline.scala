@@ -277,14 +277,17 @@ final class CdcPipeline(val table: LakeTable, val appId: String,
     }
     if (lineage) Lineage.append(table, stats)
     // schedule background maintenance: at most one task in flight, never
-    // blocking the batch. The fragmentation probe runs on the in-memory
-    // snapshot (driver-side, no IO beyond the metadata read applyBatch
-    // already did); the lineage roll-up fires every 64th batch (a listStatus
-    // probe per batch would add an RPC per micro-batch for a directory that
-    // grows one file per commit — the periodic fold keeps it O(100) files).
+    // blocking the batch. The fragmentation probe reads the snapshot the
+    // merge JUST committed from the table's in-process cache — zero metadata
+    // IO per batch (currentSnapshot would re-list + re-read + re-inflate on
+    // an object store every few seconds, forever); the lineage roll-up fires
+    // every 64th batch (a listStatus probe per batch would add an RPC per
+    // micro-batch for a directory that grows one file per commit — the
+    // periodic fold keeps it O(100) files).
     val spark = events.sparkSession
     val needCompact = mergeOnRead && compactEveryFiles > 0 &&
-      table.currentSnapshot.exists(_.files.groupBy(_.bucket).exists(_._2.size > compactEveryFiles))
+      table.lastCommitted.orElse(table.currentSnapshot)
+        .exists(_.files.groupBy(_.bucket).exists(_._2.size > compactEveryFiles))
     val needRollup = lineage && batchId > 0 && batchId % 64 == 0
     if ((needCompact || needRollup) && (inflight == null || inflight.isDone))
       inflight = maintenancePool.submit(new Runnable {
@@ -323,14 +326,14 @@ final class CdcPipeline(val table: LakeTable, val appId: String,
     if (bounds.isNullAt(0)) return Nil
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (hi - lo + numBatches) / numBatches)
-    (0 until numBatches).flatMap { i =>
+    (0 until numBatches).map { i =>
       val (b0, b1) = (lo + i * width, lo + (i + 1) * width)
       val slice = events.filter(col(CdcModel.LsnCol) >= b0 && col(CdcModel.LsnCol) < b1)
       // LSN-range slices ascend, so ordered delivery holds and the watermark
       // fast-path may skip already-applied prefixes on re-runs; empty slices
       // still commit (fencing epoch advances uniformly)
-      Some(applyBatch(slice, startBatchId + i, Map("replay" -> (b1 - 1)),
-        orderedDelivery = true))
+      applyBatch(slice, startBatchId + i, Map("replay" -> (b1 - 1)),
+        orderedDelivery = true)
     }
   }
 

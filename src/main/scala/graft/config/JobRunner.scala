@@ -92,7 +92,10 @@ object JobRunner {
           .withColumn(graft.model.CdcModel.LsnCol, lit(runLsn))
           .withColumn(graft.model.CdcModel.OpCol, lit("U"))
         val stats = graft.cdc.Merge(dest, events, appId = "extract-load",
-          batchId = -1L, keyCols = keys)
+          batchId = -1L, keyCols = keys,
+          // only the two constructed columns are bookkeeping here: an extract
+          // payload column named e.g. `eventTime` must evolve in, not vanish
+          metaCols = Set(graft.model.CdcModel.LsnCol, graft.model.CdcModel.OpCol))
         graft.cdc.Lineage.append(dest, stats)
         Result(table, strategy, stats.eventsIn, stats.committedVersion,
           previewed = false, mergeStats = Some(stats))
@@ -253,7 +256,8 @@ object JobRunner {
           .withColumn(graft.model.CdcModel.OpCol, lit("U"))
         val stats = graft.cdc.Merge(dest, events, appId = "extract-load-api",
           batchId = -1L, keyCols = keys,
-          sourceOffsets = Map(offsetKey -> next.getOrElse(-1L)))
+          sourceOffsets = Map(offsetKey -> next.getOrElse(-1L)),
+          metaCols = Set(graft.model.CdcModel.LsnCol, graft.model.CdcModel.OpCol))
         graft.cdc.Lineage.append(dest, stats)
         last = Some(stats)
       }

@@ -202,6 +202,14 @@ final class LakeTable(val root: String, spark: SparkSession) {
     case v   => Some(snapshot(v))
   }
 
+  // The most recent snapshot THIS process committed, flat file list included —
+  // a free read for heuristic per-batch probes (the auto-compaction
+  // fragmentation check), which would otherwise pay a listStatus + snapshot
+  // read + manifest inflation per micro-batch. May be stale vs OTHER writers;
+  // correctness decisions must use currentSnapshot.
+  @volatile private var lastCommittedSnap: Snapshot = null
+  private[graft] def lastCommitted: Option[Snapshot] = Option(lastCommittedSnap)
+
   /** Read the current table state. Schema comes from the manifest (not file
     * footers) so schema-evolution commits govern; files written before an
     * added column are read with that column as null (Parquet missing-column
@@ -398,13 +406,28 @@ final class LakeTable(val root: String, spark: SparkSession) {
             throw new CommitConflictException(s"snapshot ${s.version} already committed")
         }
       } else {
-        if (fs.exists(target) || !fs.rename(tmp, target))
+        if (fs.exists(target))
           throw new CommitConflictException(s"snapshot ${s.version} already committed")
+        if (!fs.rename(tmp, target)) {
+          // HDFS rename returns false for non-conflict faults too (missing
+          // temp, parent trouble, transient namenode errors). Misreporting
+          // those as a conflict would make applyBatch re-run the full merge
+          // 5 times against phantom contention and then diagnose the wrong
+          // thing — only call it a conflict if a racing commit actually took
+          // the slot between the exists probe and the rename.
+          if (fs.exists(target))
+            throw new CommitConflictException(s"snapshot ${s.version} already committed")
+          throw new java.io.IOException(
+            s"rename $tmp -> $target returned false with no competing snapshot " +
+            "present — filesystem fault, not a commit conflict")
+        }
       }
       // in-memory result keeps the flat file list AND the manifest refs (and
       // the granule they were grouped with), so a follow-up commit with this
       // snapshot as parent reuses refs with no IO
-      s.copy(manifests = refs, bucketsPerGroup = bpg)
+      val published = s.copy(manifests = refs, bucketsPerGroup = bpg)
+      lastCommittedSnap = published
+      published
     } finally {
       fs.delete(tmp, false)
     }
@@ -541,10 +564,25 @@ final class LakeTable(val root: String, spark: SparkSession) {
     // 3. data files no retained snapshot references
     val live = retained.flatMap(s => inflate(s).files.map(_.path)).toSet
     if (!fs.isDirectory(dataDir)) return 0
-    val dead = fs.listStatus(dataDir).toList.filter(st =>
+    val entries = fs.listStatus(dataDir).toList
+    val dead = entries.filter(st =>
       st.isFile && !live.contains(st.getPath.getName) &&
         st.getModificationTime < cutoff)
     dead.foreach(st => fs.delete(st.getPath, false))
+    // 4. staging DIRECTORIES a crashed writer left behind: writeDataFiles*
+    // deletes its `.staging-<uuid>` in a try/finally, but a SIGKILL between
+    // the parquet write and the finally leaks a full batch copy — and the
+    // isFile filter above would skip the directory forever. Same
+    // grace-guarded sweep the lineage roll-up uses for its `.rollup-*` dirs;
+    // the grace window protects a writer whose rename pass is in flight
+    // (collectStagedFiles moves files OUT of staging before the commit).
+    entries.filter(st => st.isDirectory && st.getPath.getName.startsWith(".staging-"))
+      .foreach { st =>
+        try {
+          if (fs.getFileStatus(st.getPath).getModificationTime < cutoff)
+            fs.delete(st.getPath, true)
+        } catch { case _: java.io.FileNotFoundException => }
+      }
     dead.size
   }
 }

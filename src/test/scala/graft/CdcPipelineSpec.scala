@@ -429,9 +429,13 @@ class CdcPipelineSpec extends SparkSuite {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     // both writers read snapshot v0; the commit CAS serializes them — the
-    // loser must re-merge against the winner's snapshot, not die
+    // loser must re-merge against the winner's snapshot, not die. Distinct
+    // appIds: batchIds are monotonic only WITHIN an appId, so concurrent
+    // unordered writers each carry their own fencing identity (the same-appId
+    // shape would be a zombie driver, which the epoch fence rightly skips).
+    val p2 = new CdcPipeline(LakeTable(root)(spark), "app-occ-2")
     val fa = Future { p.applyBatch(batch("a", 0), batchId = 0) }
-    val fb = Future { p.applyBatch(batch("b", 1000000), batchId = 1) }
+    val fb = Future { p2.applyBatch(batch("b", 1000000), batchId = 0) }
     Await.result(Future.sequence(Seq(fa, fb)), 180.seconds)
     assert(p.state().count() === 400)
     assert(p.state().filter(col("repo") === "r-a").count() === 200)
@@ -516,6 +520,80 @@ class CdcPipelineSpec extends SparkSuite {
     }
     val (w1, w2) = (replayDup("a"), replayDup("b"))
     assert(w1 === w2)
+  }
+
+  test("zombie batch BELOW the snapshot epoch is fenced (MOR gains no duplicate generations)") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def b(lsn: Long, c: String) = Seq((lsn, "U", "r1", "p1", "c1", "scala", c, ts))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content", "eventTime")
+    val t = LakeTable(SparkTestBase.tmpDir("cdc-zombie"))(spark)
+    val p = new CdcPipeline(t, "app-z", mergeOnRead = true)
+    p.bootstrap(numBuckets = 4)
+    p.applyBatch(b(1, "v1"), batchId = 0)
+    p.applyBatch(b(2, "v2"), batchId = 1)
+    val files = t.currentSnapshot.get.files.size
+    // a zombie driver re-presents batch 0 AFTER batch 1 committed: must be
+    // fenced at entry (batchIds are monotonic per appId), not re-appended
+    val s = p.applyBatch(b(1, "v1"), batchId = 0)
+    assert(s.skippedFenced, "batch below the snapshot epoch must be fenced")
+    assert(t.currentSnapshot.get.files.size === files,
+      "re-applied zombie batch must not add generation files")
+    assert(p.state().select("content").collect()(0).getString(0) === "v2")
+  }
+
+  test("merge rejects a batch whose key column TYPE differs from the stored layout") {
+    import spark.implicits._
+    val t = LakeTable(SparkTestBase.tmpDir("cdc-keytype"))(spark)
+    t.create(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(CdcModel.RowLsnCol, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(CdcModel.DeletedCol, org.apache.spark.sql.types.BooleanType))),
+      numBuckets = 4, "keytype-app", Seq("id"))
+    // xxhash64(INT) != xxhash64(BIGINT): an int-typed id would bucket rows
+    // differently than the stored long-typed layout — must fail loudly
+    val bad = Seq((1, "x")).toDF("id", "payload")
+      .withColumn("lsn", lit(1L)).withColumn("op", lit("U"))
+    val e = intercept[IllegalArgumentException] {
+      graft.cdc.Merge(t, bad, "keytype-app", 0L, keyCols = Seq("id"))
+    }
+    assert(e.getMessage.contains("key column type"))
+    // the exact type merges fine
+    val ok = Seq((1L, "x")).toDF("id", "payload")
+      .withColumn("lsn", lit(1L)).withColumn("op", lit("U"))
+    graft.cdc.Merge(t, ok, "keytype-app", 0L, keyCols = Seq("id"))
+    assert(CdcPipeline.liveState(t).count() === 1)
+  }
+
+  test("config-frontend metaCols: a payload column named eventTime evolves in, not dropped") {
+    import spark.implicits._
+    val t = LakeTable(SparkTestBase.tmpDir("cdc-evtpayload"))(spark)
+    t.create(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(CdcModel.RowLsnCol, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(CdcModel.DeletedCol, org.apache.spark.sql.types.BooleanType))),
+      numBuckets = 4, "evt-app", Seq("id"))
+    // the endpoint schema gained an eventTime PAYLOAD column after the
+    // destination was created — with the config frontend's narrowed metaCols
+    // it must evolve into the table like any other new column
+    val batch = Seq((1L, "x", "2024-05-01")).toDF("id", "payload", "eventTime")
+      .withColumn("lsn", lit(1L)).withColumn("op", lit("U"))
+    graft.cdc.Merge(t, batch, "evt-app", 0L, keyCols = Seq("id"),
+      metaCols = Set(CdcModel.LsnCol, CdcModel.OpCol))
+    val live = CdcPipeline.liveState(t)
+    assert(live.columns.contains("eventTime"),
+      "payload eventTime column must survive a config-frontend merge")
+    assert(live.select("eventTime").collect()(0).getString(0) === "2024-05-01")
+    // the CDC default still treats eventTime as bookkeeping (no evolution)
+    val t2 = LakeTable(SparkTestBase.tmpDir("cdc-evtmeta"))(spark)
+    val p2 = new CdcPipeline(t2, "app-evt2")
+    p2.bootstrap(numBuckets = 4)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    p2.applyBatch(Seq((1L, "U", "r1", "p1", "c1", "scala", "c", ts))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content", "eventTime"), 0L)
+    assert(!p2.state().columns.contains("eventTime"))
   }
 
   test("synthetic generator is deterministic and skewed") {

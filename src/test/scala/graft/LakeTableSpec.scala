@@ -254,4 +254,23 @@ class LakeTableSpec extends SparkSuite {
     assert(removed === v1files.size)
     assert(t.read().as[(String, Long)].collect().toSeq === Seq(("b", 2L)))
   }
+
+  test("vacuum sweeps staging directories a crashed writer left behind") {
+    val t = LakeTable(SparkTestBase.tmpDir("lake-stagegc"))(spark)
+    t.create(schema, 4, "t")
+    t.overwrite(Seq(("a", 1L)).toDF("k", "v"), Seq("k"), "t")
+    // simulate a writer SIGKILLed between its parquet write and the finally:
+    // a .staging-<uuid> dir with data parts remains under data/
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val dead = new org.apache.hadoop.fs.Path(s"${t.root}/data/.staging-deadbeef")
+    fs.mkdirs(dead)
+    LakeTable.writeString(fs, new org.apache.hadoop.fs.Path(dead, "part-0.parquet"), "x")
+    // within the grace window the (possibly in-flight) staging dir survives
+    t.vacuum(graceMs = 600000L)
+    assert(fs.exists(dead), "grace window must protect an in-flight writer")
+    // past the grace window it is dead weight and must be collected
+    t.vacuum(graceMs = 0L)
+    assert(!fs.exists(dead), "orphaned staging dir must be swept")
+    assert(t.read().count() === 1) // live data untouched
+  }
 }
