@@ -30,7 +30,8 @@ object Main {
 
   private[graft] val usage: String =
     "usage: gen <dir> <n> [files] | replay <eventsDir> <tableRoot> <ckpt> [appId] [maxFiles] [mor] | " +
-    "compact <tableRoot> [horizonLsn] | vacuum <tableRoot> [graceMs] [retainSnapshots] | show <tableRoot> | " +
+    "compact <tableRoot> [horizonLsn] | vacuum <tableRoot> [graceMs] [retainSnapshots] | " +
+    "show <tableRoot> [version] | history <tableRoot> | " +
     "extract-load <spec.json> <table> [--preview] [--full] | schedule <spec.json> | " +
     "list-tables <dir> | " +
     "describe-table <root> | table-metadata <root> | drop-table <root> | rebucket <root> <numBuckets> | " +
@@ -97,9 +98,20 @@ object Main {
       println(f"[replay] $applied events applied in $sec%.1fs " +
         f"(${applied / sec}%.0f events/s) → $rows rows at version ${table.latestVersion}")
 
-    case "show" :: tableRoot :: Nil =>
+    case "show" :: tableRoot :: rest if rest.length <= 1 =>
       val table = LakeTable(tableRoot)(spark)
-      val s = table.currentSnapshot.getOrElse(sys.error(s"no table at $tableRoot"))
+      // optional second arg = time travel: read a RETAINED older version
+      // (history lists them; vacuum's retainSnapshots bounds the horizon)
+      val s = rest.headOption match {
+        case Some(v) =>
+          val want = v.toLong
+          if (!table.versions.contains(want)) sys.error(
+            s"version $want is not retained at $tableRoot — " +
+            s"available: ${table.versions.mkString(", ")}")
+          table.snapshot(want)
+        case None =>
+          table.currentSnapshot.getOrElse(sys.error(s"no table at $tableRoot"))
+      }
       // physicalRows counts what the manifest references (tombstones and
       // superseded merge-on-read generations included) — O(1) from metadata;
       // the preview below shows FINAL state (LWW-resolved, tombstones out)
@@ -108,11 +120,37 @@ object Main {
         s"batchId=${s.batchId} offsets=${s.sourceOffsets}")
       // digest the content column when the table HAS one (CDC tables);
       // config-frontend tables with arbitrary schemas just preview as-is
-      val preview = graft.cdc.CdcPipeline.liveState(table)
+      val preview = graft.cdc.CdcPipeline.liveState(table, s.version)
       (if (preview.columns.contains("content"))
         preview.withColumn("content_sha", sha2(col("content"), 256)).drop("content")
       else preview).show(5, truncate = false)
       Lineage.read(spark, tableRoot).orderBy("batchId").show(50, truncate = false)
+
+    // snapshot history (Iceberg `history` metadata): one line per RETAINED
+    // version, stats straight from the O(#groups) snapshot record — no
+    // manifest or data IO. `show <root> <version>` time-travels to any of
+    // these; vacuum's retainSnapshots bounds the list.
+    case "history" :: tableRoot :: Nil =>
+      val table = LakeTable(tableRoot)(spark)
+      if (!table.exists) sys.error(s"no table at $tableRoot")
+      println(f"${"version"}%8s ${"appId"}%-16s ${"batchId"}%8s ${"files"}%8s " +
+        f"${"rows"}%12s ${"bytes"}%14s ${"watermarkLsn"}%13s  schema")
+      table.versions.foreach { v =>
+        val s = table.describe(v)
+        // round-4+ records carry per-group totals in the refs; legacy
+        // snapshots carry the flat file list inline — stats from either
+        val (nf, rows, bytes) =
+          if (s.manifests.nonEmpty)
+            (s.manifests.map(_.files).sum, s.manifests.map(_.rows).sum,
+              s.manifests.map(_.bytes).sum)
+          else (s.files.size, s.files.map(_.rows).sum, s.files.map(_.bytes).sum)
+        val schemaNote =
+          if (s.parentVersion >= 0 && table.versions.contains(s.parentVersion) &&
+              table.describe(s.parentVersion).schemaJson != s.schemaJson) "evolved"
+          else ""
+        println(f"$v%8d ${s.appId}%-16s ${s.batchId}%8d $nf%8d " +
+          f"$rows%12d $bytes%14d ${s.watermarkLsn}%13d  $schemaNote")
+      }
 
     case "compact" :: tableRoot :: rest =>
       val horizon = rest.headOption.map(_.toLong).getOrElse(-1L)

@@ -94,6 +94,48 @@ object SparkEntry {
       .orderBy("repo", "path", "commit")
   }
 
+  /** Time travel: apply two batches, then read live state AS OF the version
+    * the first batch committed (LakeTable.readAt / liveState(table, v)). The
+    * oracle recomputes LWW over only the first batch's LSN range. */
+  private def cdcTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = derivedEvents(spark, dir)
+    val b = ev.agg(min("lsn"), max("lsn")).collect()(0)
+    val split = (b.getLong(0) + b.getLong(1)) / 2
+    val root = scratch("gate-cdc-tt")
+    val p = new CdcPipeline(LakeTable(root)(spark), "gate", lineage = false)
+    p.bootstrap(numBuckets = 16)
+    p.applyBatch(ev.filter(col("lsn") < split), 0L, orderedDelivery = true)
+    val v1 = p.table.latestVersion // the snapshot batch 0 committed
+    p.applyBatch(ev.filter(col("lsn") >= split), 1L, orderedDelivery = true)
+    CdcPipeline.liveState(p.table, v1)
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        sha2(col("content"), 256).as("content_sha"))
+      .orderBy("repo", "path", "commit")
+  }
+
+  /** Incremental read (Iceberg append scan): files added between the first
+    * and second merge-on-read commits are EXACTLY batch 2's LWW winners,
+    * tombstones included — the downstream-consumer "what changed since v"
+    * feed. The oracle replays LWW over only the second batch's LSN range. */
+  private def cdcIncrementalRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = derivedEvents(spark, dir)
+    val b = ev.agg(min("lsn"), max("lsn")).collect()(0)
+    val split = (b.getLong(0) + b.getLong(1)) / 2
+    val root = scratch("gate-cdc-incr")
+    val p = new CdcPipeline(LakeTable(root)(spark), "gate", lineage = false,
+      mergeOnRead = true)
+    p.bootstrap(numBuckets = 16)
+    p.applyBatch(ev.filter(col("lsn") < split), 0L, orderedDelivery = true)
+    val v1 = p.table.latestVersion
+    p.applyBatch(ev.filter(col("lsn") >= split), 1L, orderedDelivery = true)
+    val v2 = p.table.latestVersion
+    p.table.readAppends(v1, v2)
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        sha2(col("content"), 256).as("content_sha"),
+        col("_deleted").as("is_delete"))
+      .orderBy("repo", "path", "commit")
+  }
+
   private def cdcLineage(spark: SparkSession, dir: String): DataFrame = {
     val root = scratch("gate-cdc-lin")
     val p = new CdcPipeline(LakeTable(root)(spark), "gate")
@@ -684,6 +726,8 @@ object SparkEntry {
           col("lang"), sha2(col("content"), 256).as("content_sha"))
         .orderBy("lsn", "repo", "path", "op", "content_sha")),
     "cdc_schema_evolution" -> (cdcSchemaEvolution _),
+    "cdc_time_travel" -> (cdcTimeTravel _),
+    "cdc_incremental_read" -> (cdcIncrementalRead _),
     "cdc_lineage" -> (cdcLineage _),
     "q1_agg" -> (q1Agg _),
     "s1_scan_filter" -> (s1ScanFilter _),
@@ -775,6 +819,31 @@ object SparkEntry {
         FROM ev2)
       SELECT repo, path, "commit", lang, sha256(content) AS content_sha, quality
       FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY repo, path, "commit"""",
+    "cdc_time_travel" -> s"""$evCte,
+      bounds AS (SELECT (min(lsn)+max(lsn))//2 AS split FROM ev),
+      ev1 AS (SELECT * FROM ev WHERE lsn < (SELECT split FROM bounds)),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY repo, path, "commit"
+          ORDER BY lsn DESC,
+            (CASE WHEN op = 'D' THEN 1 ELSE 0 END) DESC,
+            content DESC) AS rn
+        FROM ev1)
+      SELECT repo, path, "commit", lang, sha256(content) AS content_sha
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY repo, path, "commit"""",
+    "cdc_incremental_read" -> s"""$evCte,
+      bounds AS (SELECT (min(lsn)+max(lsn))//2 AS split FROM ev),
+      ev2 AS (SELECT * FROM ev WHERE lsn >= (SELECT split FROM bounds)),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY repo, path, "commit"
+          ORDER BY lsn DESC,
+            (CASE WHEN op = 'D' THEN 1 ELSE 0 END) DESC,
+            content DESC) AS rn
+        FROM ev2)
+      SELECT repo, path, "commit", lang, sha256(content) AS content_sha,
+        (op = 'D') AS is_delete
+      FROM ranked WHERE rn = 1
       ORDER BY repo, path, "commit"""",
     "cdc_lineage" -> s"""$evCte,
       bounds AS (SELECT min(lsn) AS lo, max(lsn) AS hi,

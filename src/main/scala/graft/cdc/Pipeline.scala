@@ -363,9 +363,13 @@ object CdcPipeline {
     * reference's Full-load semantics — it INSERTs the extract verbatim,
     * /root/reference/dialect.go:22-24.)
     */
-  def resolved(table: LakeTable): DataFrame = {
-    val snap = table.currentSnapshot.getOrElse(
-      throw new IllegalStateException(s"no snapshot in ${table.root}"))
+  def resolved(table: LakeTable): DataFrame =
+    resolved(table, table.currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no snapshot in ${table.root}")))
+
+  /** [[resolved]] pinned to an explicit snapshot — the time-travel read path
+    * (pass `table.snapshot(v)` for a retained older version). */
+  def resolved(table: LakeTable, snap: Snapshot): DataFrame = {
     val allBuckets = snap.files.map(_.bucket).toSet
     val all = table.readBuckets(snap, allBuckets)
     if (!all.columns.contains(CdcModel.RowLsnCol)) return all
@@ -403,8 +407,16 @@ object CdcPipeline {
   /** Live rows of a CDC target table: LWW-resolved across generations,
     * tombstones + internal columns removed. `_deleted` may be null in files
     * written before tombstone support or by fullRefresh — treated as live. */
-  def liveState(table: LakeTable): DataFrame = {
-    val df = resolved(table)
+  def liveState(table: LakeTable): DataFrame = liveStateOf(resolved(table))
+
+  /** Time-travel live state: LWW-resolved rows as of snapshot `version`
+    * (must be retained — see [[graft.lake.LakeTable.versions]]). Same
+    * generation-aware plan: a version whose buckets are single-file reads
+    * with no shuffle. */
+  def liveState(table: LakeTable, version: Long): DataFrame =
+    liveStateOf(resolved(table, table.snapshot(version)))
+
+  private def liveStateOf(df: DataFrame): DataFrame = {
     val filtered =
       if (df.columns.contains(CdcModel.DeletedCol))
         df.filter(!coalesce(col(CdcModel.DeletedCol), lit(false))).drop(CdcModel.DeletedCol)

@@ -202,6 +202,52 @@ final class LakeTable(val root: String, spark: SparkSession) {
     case v   => Some(snapshot(v))
   }
 
+  /** All RETAINED snapshot versions, ascending — the time-travel horizon.
+    * `vacuum(retainSnapshots = k)` bounds how far back this reaches; a
+    * version absent here has been expired and its files may be gone. */
+  def versions: List[Long] = allVersions
+
+  /** The persisted snapshot record at `version` WITHOUT inflating manifests
+    * — O(#groups) metadata, for history listings: [[ManifestRef]] carries
+    * per-group file/row/byte totals, so per-version stats never open a
+    * manifest (`files` is empty on round-4+ snapshots; legacy snapshots
+    * carry it inline). Use [[snapshot]] when the flat file list is needed. */
+  def describe(version: Long): Snapshot = rawSnapshot(version)
+
+  /** Time-travel read: the table's file state as of snapshot `version`
+    * (same physical-rows semantics as [[read]] — CDC readers resolve LWW via
+    * [[graft.cdc.CdcPipeline.liveState]], which has a versioned overload).
+    * The version must still be retained; reading an expired snapshot fails
+    * with the missing-manifest error. Schema is the snapshot's own, so a
+    * read below a schema-evolution commit sees the old columns. */
+  def readAt(version: Long): DataFrame = {
+    val s = snapshot(version)
+    readFiles(s, s.files)
+  }
+
+  /** Incremental read: rows in data files ADDED between `fromVersion`
+    * (exclusive; -1 = since table creation) and `toVersion` (inclusive) —
+    * the Iceberg incremental-append scan, the feed for downstream
+    * consumers that want "what changed since I last looked" without
+    * re-scanning the table. O(changed files) IO by construction.
+    *
+    * Exact change semantics on merge-on-read tables: each MOR commit's
+    * added files are exactly its batch's LWW winners (tombstones included,
+    * `_deleted=true`), because the merge never rewrites target files. On
+    * copy-on-write commits a rewritten bucket's file also carries the
+    * CARRIED rows of that bucket — a superset of the changes, same caveat
+    * as Iceberg's append scan over rewrites. Schema is `toVersion`'s.
+    */
+  def readAppends(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"readAppends needs fromVersion < toVersion (got $fromVersion, $toVersion)")
+    val before =
+      if (fromVersion < 0) Set.empty[String]
+      else snapshot(fromVersion).files.map(_.path).toSet
+    val to = snapshot(toVersion)
+    readFiles(to, to.files.filterNot(f => before.contains(f.path)))
+  }
+
   // The most recent snapshot THIS process committed, flat file list included —
   // a free read for heuristic per-batch probes (the auto-compaction
   // fragmentation check), which would otherwise pay a listStatus + snapshot

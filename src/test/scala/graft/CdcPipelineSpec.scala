@@ -56,6 +56,47 @@ class CdcPipelineSpec extends SparkSuite {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("time-travel live state: liveState(table, v) reproduces each batch's committed state") {
+    val root = SparkTestBase.tmpDir("cdc-tt")
+    val p = new CdcPipeline(LakeTable(root)(spark), "app-tt", lineage = false,
+      mergeOnRead = true)
+    p.bootstrap(numBuckets = 16)
+    val b = events.agg(min("lsn"), max("lsn")).collect()(0)
+    val split = (b.getLong(0) + b.getLong(1)) / 2
+    val batch0 = events.filter(col("lsn") < split)
+    val batch1 = events.filter(col("lsn") >= split)
+    p.applyBatch(batch0, 0L, orderedDelivery = true)
+    val v1 = p.table.latestVersion
+    p.applyBatch(batch1, 1L, orderedDelivery = true)
+    val v2 = p.table.latestVersion
+    // state AS OF v1 = LWW fold of batch 0 alone (MOR: batch 1's generation
+    // files are invisible to the pinned snapshot)
+    val got1 = CdcPipeline.liveState(p.table, v1)
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        sha2(col("content"), 256).as("content_sha"))
+    val want1 = oracle(batch0)
+    assert(got1.count() === want1.count())
+    assert(got1.exceptAll(want1).count() === 0 && want1.exceptAll(got1).count() === 0)
+    // state AS OF the head version = the current state
+    assert(CdcPipeline.liveState(p.table, v2).exceptAll(p.state()).count() === 0)
+    // incremental read between the two merge commits = exactly batch 1's LWW
+    // winners, tombstones included (MOR appends make the scan exact)
+    val incr = p.table.readAppends(v1, v2)
+    val opRank = when(col("op") === "D", 1).otherwise(0)
+    val w = Window.partitionBy("repo", "path", "commit")
+      .orderBy(col("lsn").desc, opRank.desc, coalesce(col("content"), lit("")).desc)
+    val wantIncr = batch1.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("repo"), col("path"), col("commit"),
+        sha2(col("content"), 256).as("content_sha"),
+        (col("op") === "D").as("is_delete"))
+    val gotIncr = incr.select(col("repo"), col("path"), col("commit"),
+      sha2(col("content"), 256).as("content_sha"),
+      col(CdcModel.DeletedCol).as("is_delete"))
+    assert(gotIncr.count() === wantIncr.count())
+    assert(gotIncr.exceptAll(wantIncr).count() === 0)
+  }
+
   test("compaction is key-generic: manifest keyCols govern bucketing and LWW") {
     import spark.implicits._
     // a config-frontend-style table keyed on ["id"] — no repo/path/commit
