@@ -31,7 +31,7 @@ object Main {
   private[graft] val usage: String =
     "usage: gen <dir> <n> [files] | replay <eventsDir> <tableRoot> <ckpt> [appId] [maxFiles] [mor] | " +
     "compact <tableRoot> [horizonLsn] | vacuum <tableRoot> [graceMs] [retainSnapshots] | " +
-    "show <tableRoot> [version] | history <tableRoot> | " +
+    "show <tableRoot> [version] | history <tableRoot> | incremental <tableRoot> <fromV> [toV] | " +
     "extract-load <spec.json> <table> [--preview] [--full] | schedule <spec.json> | " +
     "list-tables <dir> | " +
     "describe-table <root> | table-metadata <root> | drop-table <root> | rebucket <root> <numBuckets> | " +
@@ -150,6 +150,33 @@ object Main {
           else ""
         println(f"$v%8d ${s.appId}%-16s ${s.batchId}%8d $nf%8d " +
           f"$rows%12d $bytes%14d ${s.watermarkLsn}%13d  $schemaNote")
+      }
+
+    // the change feed: rows in files added in (fromV, toV] — EXACT per-batch
+    // changes (tombstones included, _deleted=true) on merge-on-read tables,
+    // superset-on-rewrite for copy-on-write (see LakeTable.readAppends).
+    // toV defaults to the head; both versions must still be retained.
+    case "incremental" :: tableRoot :: fromV :: rest if rest.length <= 1 =>
+      val table = LakeTable(tableRoot)(spark)
+      if (!table.exists) sys.error(s"no table at $tableRoot")
+      val from = fromV.toLong
+      val to = rest.headOption.map(_.toLong).getOrElse(table.latestVersion)
+      Seq(from, to).filter(_ >= 0).foreach { v =>
+        if (!table.versions.contains(v)) sys.error(
+          s"version $v is not retained at $tableRoot — " +
+          s"available: ${table.versions.mkString(", ")}")
+      }
+      if (from >= to)
+        // a consumer already caught up (from == head) is a normal state
+        println(s"[incremental] ($from, $to]: 0 rows (nothing newer than $from)")
+      else {
+        val incr = table.readAppends(from, to)
+        val shown =
+          if (incr.columns.contains("content"))
+            incr.withColumn("content_sha", sha2(col("content"), 256)).drop("content")
+          else incr
+        println(s"[incremental] ($from, $to]: ${incr.count()} rows")
+        shown.show(10, truncate = false)
       }
 
     case "compact" :: tableRoot :: rest =>

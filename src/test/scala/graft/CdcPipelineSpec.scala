@@ -97,6 +97,43 @@ class CdcPipelineSpec extends SparkSuite {
     assert(gotIncr.exceptAll(wantIncr).count() === 0)
   }
 
+  test("CLI history/show <v>/incremental verbs walk the retained timeline") {
+    val root = SparkTestBase.tmpDir("cdc-cli-tt")
+    val p = new CdcPipeline(LakeTable(root)(spark), "app-cli-tt", lineage = false,
+      mergeOnRead = true)
+    p.bootstrap(numBuckets = 16)
+    val b = events.agg(min("lsn"), max("lsn")).collect()(0)
+    val split = (b.getLong(0) + b.getLong(1)) / 2
+    p.applyBatch(events.filter(col("lsn") < split), 0L, orderedDelivery = true)
+    val v1 = p.table.latestVersion
+    p.applyBatch(events.filter(col("lsn") >= split), 1L, orderedDelivery = true)
+    val v2 = p.table.latestVersion
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Main.run(spark, List("history", root))
+      Main.run(spark, List("show", root, v1.toString))
+      Main.run(spark, List("incremental", root, v1.toString))
+      Main.run(spark, List("incremental", root, v2.toString)) // caught up
+    }
+    val printed = out.toString("UTF-8")
+    // history prints one line per retained version (bootstrap + 2 merges)
+    p.table.versions.foreach { v =>
+      assert(printed.linesIterator.exists(_.trim.startsWith(s"$v app-cli-tt")),
+        s"history output missing version $v")
+    }
+    // show <v1> pins the older snapshot's metadata
+    assert(printed.contains(s"[show] version=$v1"))
+    // incremental default-to-head = batch 1's LWW winners incl. tombstones
+    val incrRows = p.table.readAppends(v1, v2).count()
+    assert(printed.contains(s"[incremental] ($v1, $v2]: $incrRows rows"))
+    assert(printed.contains(s"[incremental] ($v2, $v2]: 0 rows"))
+    // a non-retained version fails loudly
+    val e = intercept[RuntimeException] {
+      Main.run(spark, List("incremental", root, "99"))
+    }
+    assert(e.getMessage.contains("not retained"))
+  }
+
   test("compaction is key-generic: manifest keyCols govern bucketing and LWW") {
     import spark.implicits._
     // a config-frontend-style table keyed on ["id"] — no repo/path/commit
