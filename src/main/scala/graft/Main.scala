@@ -32,6 +32,7 @@ object Main {
     "usage: gen <dir> <n> [files] | replay <eventsDir> <tableRoot> <ckpt> [appId] [maxFiles] [mor] | " +
     "compact <tableRoot> [horizonLsn] | vacuum <tableRoot> [graceMs] [retainSnapshots] | " +
     "show <tableRoot> [version] | history <tableRoot> | incremental <tableRoot> <fromV> [toV] | " +
+    "lookup <tableRoot> <keyValue...> | " +
     "extract-load <spec.json> <table> [--preview] [--full] | schedule <spec.json> | " +
     "list-tables <dir> | " +
     "describe-table <root> | table-metadata <root> | drop-table <root> | rebucket <root> <numBuckets> | " +
@@ -178,6 +179,33 @@ object Main {
         println(s"[incremental] ($from, $to]: ${incr.count()} rows")
         shown.show(10, truncate = false)
       }
+
+    // point lookup: live row(s) of ONE key, reading only the bucket the key
+    // hashes to — O(table/numBuckets) IO vs show/db-terminal's full scan.
+    // Values are positional in the table's recorded key-column order and are
+    // cast to the recorded key types (bucketOf fails loudly on a bad cast).
+    case "lookup" :: tableRoot :: values if values.nonEmpty =>
+      val table = LakeTable(tableRoot)(spark)
+      val snap = table.currentSnapshot.getOrElse(sys.error(s"no table at $tableRoot"))
+      val keys = Some(snap.keyCols.toSeq).filter(_.nonEmpty).getOrElse(CdcModel.KeyCols)
+      if (values.length != keys.length) sys.error(
+        s"lookup needs one value per key column (${keys.mkString(", ")}) — got ${values.length}")
+      val kv: Map[String, Any] = keys.zip(values).toMap
+      val bucket = table.bucketOf(snap, keys, kv)
+      val bucketFiles = snap.files.count(_.bucket == bucket)
+      println(s"[lookup] key (${values.mkString(", ")}) → bucket $bucket: " +
+        s"$bucketFiles of ${snap.files.size} files read")
+      val rows = graft.cdc.CdcPipeline.lookup(table, kv)
+      val shown =
+        if (rows.columns.contains("content"))
+          rows.withColumn("content_sha", sha2(col("content"), 256)).drop("content")
+        else rows
+      // ≤1 row on CDC tables (LWW leaves one per key); bounded anyway for
+      // Full-load tables where duplicate keys pass through unresolved
+      val got = shown.limit(20).collect()
+      if (got.isEmpty) println("[lookup] no live row (never written, or deleted)")
+      else got.foreach(r => println(
+        shown.columns.zip(r.toSeq).map { case (c, v) => s"$c=$v" }.mkString("  ")))
 
     case "compact" :: tableRoot :: rest =>
       val horizon = rest.headOption.map(_.toLong).getOrElse(-1L)

@@ -136,6 +136,34 @@ object SparkEntry {
       .orderBy("repo", "path", "commit")
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Point lookups through the bucket-pruned read path: replay a fragmented
+    * merge-on-read table, then fetch 12 deterministic keys one at a time via
+    * [[CdcPipeline.lookup]] — each lookup reads ONE bucket's files
+    * (O(table/numBuckets) IO, the 100 TB point-read path). doc_ids 1..12
+    * cover never-updated, updated (%2/%3 incl. the %6 LSN-collision
+    * tie-break) and deleted (%5 → the lookup must return NOTHING) keys.
+    * The oracle recomputes final LWW state filtered to the same keys. */
+  private def cdcPointLookup(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("gate-cdc-lookup")
+    val p = new CdcPipeline(LakeTable(root)(spark), "gate", lineage = false,
+      mergeOnRead = true)
+    p.bootstrap(numBuckets = 16)
+    p.replay(derivedEvents(spark, dir), numBatches = 4)
+    (1L to 12L).map { id =>
+      CdcPipeline.lookup(p.table, Map(
+        "repo" -> s"repo-${id % 50}",
+        "path" -> s"src/f$id.txt",
+        "commit" -> md5Hex(s"c$id")))
+    }.reduce(_ unionByName _)
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        sha2(col("content"), 256).as("content_sha"))
+      .orderBy("repo", "path", "commit")
+  }
+
   private def cdcLineage(spark: SparkSession, dir: String): DataFrame = {
     val root = scratch("gate-cdc-lin")
     val p = new CdcPipeline(LakeTable(root)(spark), "gate")
@@ -728,6 +756,7 @@ object SparkEntry {
     "cdc_schema_evolution" -> (cdcSchemaEvolution _),
     "cdc_time_travel" -> (cdcTimeTravel _),
     "cdc_incremental_read" -> (cdcIncrementalRead _),
+    "cdc_point_lookup" -> (cdcPointLookup _),
     "cdc_lineage" -> (cdcLineage _),
     "q1_agg" -> (q1Agg _),
     "s1_scan_filter" -> (s1ScanFilter _),
@@ -844,6 +873,13 @@ object SparkEntry {
       SELECT repo, path, "commit", lang, sha256(content) AS content_sha,
         (op = 'D') AS is_delete
       FROM ranked WHERE rn = 1
+      ORDER BY repo, path, "commit"""",
+    "cdc_point_lookup" -> s"""$evCte, $lwwRanked
+      SELECT repo, path, "commit", lang, sha256(content) AS content_sha
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+        AND path IN ('src/f1.txt','src/f2.txt','src/f3.txt','src/f4.txt',
+                     'src/f5.txt','src/f6.txt','src/f7.txt','src/f8.txt',
+                     'src/f9.txt','src/f10.txt','src/f11.txt','src/f12.txt')
       ORDER BY repo, path, "commit"""",
     "cdc_lineage" -> s"""$evCte,
       bounds AS (SELECT min(lsn) AS lo, max(lsn) AS hi,

@@ -416,6 +416,38 @@ object CdcPipeline {
   def liveState(table: LakeTable, version: Long): DataFrame =
     liveStateOf(resolved(table, table.snapshot(version)))
 
+  /** Point lookup: the LIVE row(s) of one concrete key, reading ONLY the
+    * bucket that key hashes to ([[graft.lake.LakeTable.bucketOf]]) —
+    * O(table/numBuckets) IO where [[liveState]] scans the table, which is
+    * what makes "current state of repo X path Y" answerable in near-constant
+    * time on a 100 TB table. The key-equality filter is applied BEFORE the
+    * LWW window, so even a fragmented bucket resolves only this key's
+    * generations (and parquet predicate pushdown skips non-matching row
+    * groups inside the bucket's files); single-generation buckets skip the
+    * window entirely, same as [[resolved]]. Requires the FULL key — the
+    * bucket hash covers every key column, so a partial key cannot prune
+    * (use `liveState(table).filter(...)` for partial-key scans).
+    * Deleted keys return an empty frame (the tombstone is the live state).
+    */
+  def lookup(table: LakeTable, keyValues: Map[String, Any]): DataFrame = {
+    val snap = table.currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no snapshot in ${table.root}"))
+    val keys = Some(snap.keyCols.toSeq).filter(_.nonEmpty).getOrElse(CdcModel.KeyCols)
+    val extra = keyValues.keySet -- keys.toSet
+    require(extra.isEmpty,
+      s"not key columns of this table: ${extra.mkString(", ")} (key: ${keys.mkString(", ")})")
+    val bucket = table.bucketOf(snap, keys, keyValues)
+    val schema = snap.schema
+    val df = table.readBuckets(snap, Set(bucket))
+    val keyed = keys.foldLeft(df) { (d, k) =>
+      d.filter(col(k) === lit(keyValues(k)).cast(schema(schema.fieldIndex(k)).dataType))
+    }
+    val multiGen = snap.files.count(_.bucket == bucket) > 1
+    liveStateOf(
+      if (!df.columns.contains(CdcModel.RowLsnCol) || !multiGen) keyed
+      else lwwResolve(keyed, keys))
+  }
+
   private def liveStateOf(df: DataFrame): DataFrame = {
     val filtered =
       if (df.columns.contains(CdcModel.DeletedCol))

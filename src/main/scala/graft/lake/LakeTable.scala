@@ -272,6 +272,40 @@ final class LakeTable(val root: String, spark: SparkSession) {
   def readBuckets(s: Snapshot, buckets: Set[Int]): DataFrame =
     readFiles(s, s.files.filter(f => buckets.contains(f.bucket)))
 
+  /** The bucket a CONCRETE key hashes to under this snapshot's recorded
+    * layout — the reader-side inverse of [[LakeTable.bucketExpr]]. Evaluated
+    * by running the writer's OWN expression over a one-row local relation
+    * (each value first cast to its key column's recorded type), so reader
+    * and writer can never disagree on the hash — the same exact-types rule
+    * the merge's key-layout guard enforces on the write side. Point lookups
+    * use this to prune a keyed read to ONE bucket's files:
+    * O(table/numBuckets) IO instead of a full scan.
+    */
+  def bucketOf(s: Snapshot, keyCols: Seq[String], keyValues: Map[String, Any]): Int = {
+    require(keyCols.nonEmpty, "bucketOf needs the table's key columns")
+    val missing = keyCols.filterNot(keyValues.contains)
+    require(missing.isEmpty,
+      s"bucketOf needs a value for EVERY key column (missing ${missing.mkString(", ")}) — " +
+      "the bucket hash covers the full key, so a partial key cannot prune")
+    val nulls = keyCols.filter(k => keyValues(k) == null)
+    require(nulls.isEmpty,
+      s"null key value for ${nulls.mkString(", ")} — key columns are non-null " +
+      "by the write-side layout guard, so no stored row can match")
+    val schema = s.schema
+    val typed = keyCols.map { k =>
+      val f = schema.fields.find(_.name == k).getOrElse(
+        throw new IllegalArgumentException(
+          s"key column $k is not in the snapshot schema (${schema.fieldNames.mkString(", ")})"))
+      lit(keyValues(k)).cast(f.dataType).as(k)
+    }
+    val row = spark.range(1).select(typed: _*)
+      .select(bucketExpr(keyCols, s.numBuckets).as("_b"))
+      .head() // one-row local relation — constant-folds, bounded by construction
+    require(!row.isNullAt(0),
+      s"key value failed to cast to the recorded key type (${keyCols.mkString(", ")})")
+    row.getInt(0)
+  }
+
   private def readFiles(s: Snapshot, files: List[DataFile]): DataFrame = {
     val schema = s.schema
     if (files.isEmpty) {

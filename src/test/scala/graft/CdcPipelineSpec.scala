@@ -494,6 +494,65 @@ class CdcPipelineSpec extends SparkSuite {
     assert(p.state().count() === n0 - 3)
   }
 
+  test("point lookup: bucket-pruned read equals liveState per key, deleted keys empty") {
+    import spark.implicits._
+    // mixed fragmentation, same shape as the generation-aware test: lookup
+    // must LWW-resolve keys in fragmented buckets and skip the window in
+    // single-file ones — and always read ONLY the key's bucket
+    val p = new CdcPipeline(LakeTable(SparkTestBase.tmpDir("cdc-lookup"))(spark),
+      "app-lookup", mergeOnRead = true, compactEveryFiles = 0)
+    p.bootstrap(numBuckets = 8)
+    p.applyBatch(events, batchId = 0)
+    val upd = events.orderBy("lsn").limit(20)
+      .withColumn("lsn", col("lsn") + 5000000L)
+      .withColumn("op", lit("U"))
+      .withColumn("content", concat(lit("v2-"), col("content")))
+    p.applyBatch(upd, batchId = 1)
+    val snap = p.table.currentSnapshot.get
+    assert(snap.files.groupBy(_.bucket).values.exists(_.size > 1))
+    val live = p.state().cache()
+    // probe keys: an UPDATED key (2nd generation must win), an untouched
+    // key, and a DELETED key (tombstone → empty result)
+    val updatedKey = upd.select("repo", "path", "commit").head()
+    val untouchedKey = live.orderBy("repo", "path", "commit").head()
+    def kv(r: org.apache.spark.sql.Row): Map[String, Any] =
+      Map("repo" -> r.getString(0), "path" -> r.getString(1), "commit" -> r.getString(2))
+    for (key <- Seq(kv(updatedKey),
+        Map("repo" -> untouchedKey.getString(0), "path" -> untouchedKey.getString(1),
+            "commit" -> untouchedKey.getString(2)))) {
+      val got = CdcPipeline.lookup(p.table, key)
+      val want = key.foldLeft(p.state()) { case (d, (c, v)) => d.filter(col(c) === v) }
+      assert(got.count() === 1, s"lookup($key) must find exactly one live row")
+      assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+        s"lookup($key) must equal liveState filtered to the key")
+      // pruning evidence: the lookup plan reads only the key's bucket's files
+      val bucket = p.table.bucketOf(snap, snap.keyCols.toSeq, key)
+      val bucketFiles = snap.files.count(_.bucket == bucket)
+      assert(got.inputFiles.length === bucketFiles &&
+        got.inputFiles.length < snap.files.size,
+        s"lookup must scan the one bucket ($bucketFiles files), " +
+        s"not the table (${snap.files.size})")
+    }
+    // deleted key: tombstone wins → no live row
+    val victim = live.orderBy(col("path").desc).head()
+    p.applyBatch(Seq((30000000L, "D", victim.getString(0), victim.getString(1),
+        victim.getString(2), "scala", "",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content", "eventTime"),
+      batchId = 2)
+    assert(CdcPipeline.lookup(p.table, Map("repo" -> victim.getString(0),
+      "path" -> victim.getString(1), "commit" -> victim.getString(2))).count() === 0)
+    // never-written key: empty, not an error
+    assert(CdcPipeline.lookup(p.table, Map("repo" -> "no-such-repo",
+      "path" -> "nope.txt", "commit" -> "deadbeef")).count() === 0)
+    // partial key cannot prune: loud failure, not a silent wrong answer
+    val e = intercept[IllegalArgumentException] {
+      CdcPipeline.lookup(p.table, Map("repo" -> victim.getString(0)))
+    }
+    assert(e.getMessage.contains("EVERY key column"))
+    live.unpersist()
+  }
+
   test("two concurrent writers: commit conflict retried, both batches land (optimistic concurrency)") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
