@@ -228,6 +228,26 @@ class PlanSpec extends SparkSuite {
       s"compacted MOR liveState must read window-free:\n$plan3")
   }
 
+  test("point lookup plans a pushed-down single-bucket scan; no shuffle off the fast path") {
+    val ev = DerivedEvents.fromDocuments(spark.read.parquet(s"$sfDir/documents.parquet"))
+    val p = new CdcPipeline(LakeTable(SparkTestBase.tmpDir("plan-lookup"))(spark),
+      "planlk", lineage = false)
+    p.bootstrap(numBuckets = 4)
+    p.applyBatch(ev, 0) // CoW: every bucket single-file → lookup skips the window
+    val key = p.state().orderBy("repo", "path", "commit").head()
+    val plan = planOf(CdcPipeline.lookup(p.table, Map(
+      "repo" -> key.getString(0), "path" -> key.getString(1), "commit" -> key.getString(2))))
+    // key-equality filters must reach the parquet scan (row-group skipping
+    // INSIDE the one bucket's files — the second pruning level after bucketOf)
+    // the PushedFilters list is elided in toString, so assert the leading
+    // entries there and the full triple on the (untruncated) Filter node
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(repo,") &&
+      Seq("repo#", "path#", "commit#").forall(c => s"\\($c\\d+ = ".r.findFirstIn(plan).isDefined),
+      s"key equality must push down to the scan:\n$plan")
+    assert(!plan.contains("Exchange") && !"\\bWindow \\[".r.findFirstIn(plan).isDefined,
+      s"single-generation lookup must be scan+filter only:\n$plan")
+  }
+
   test("dedup operators never build a cartesian product") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
     val p1 = planOf(graft.operators.DedupOps.ngramJaccardPairs(docs, 3, 0.5))
