@@ -187,15 +187,15 @@ object Main {
     case "lookup" :: tableRoot :: values if values.nonEmpty =>
       val table = LakeTable(tableRoot)(spark)
       val snap = table.currentSnapshot.getOrElse(sys.error(s"no table at $tableRoot"))
-      val keys = Some(snap.keyCols.toSeq).filter(_.nonEmpty).getOrElse(CdcModel.KeyCols)
+      val keys = graft.cdc.CdcPipeline.effectiveKeys(snap)
       if (values.length != keys.length) sys.error(
         s"lookup needs one value per key column (${keys.mkString(", ")}) — got ${values.length}")
       val kv: Map[String, Any] = keys.zip(values).toMap
-      val bucket = table.bucketOf(snap, keys, kv)
-      val bucketFiles = snap.files.count(_.bucket == bucket)
+      // snapshot-pinned: the printed pruning stats describe the SAME snapshot
+      // and bucket evaluation the read uses (one hash, no metadata re-read)
+      val (bucket, rows) = graft.cdc.CdcPipeline.lookupAt(table, snap, kv)
       println(s"[lookup] key (${values.mkString(", ")}) → bucket $bucket: " +
-        s"$bucketFiles of ${snap.files.size} files read")
-      val rows = graft.cdc.CdcPipeline.lookup(table, kv)
+        s"${snap.files.count(_.bucket == bucket)} of ${snap.files.size} files read")
       val shown =
         if (rows.columns.contains("content"))
           rows.withColumn("content_sha", sha2(col("content"), 256)).drop("content")

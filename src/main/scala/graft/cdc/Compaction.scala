@@ -43,10 +43,9 @@ object Compaction {
   private[graft] def compactFrom(table: LakeTable, snap: graft.lake.Snapshot,
       horizonLsn: Long, maxFilesPerBucket: Int, maxBucketsPerRun: Int): Int = {
     if (snap.files.isEmpty) return 0
-    // key-generic like Merge: the manifest records the table's key columns
-    // (round 3+); pre-round-3 manifests carry none → the CDC model's key.
-    // A config-frontend table with key ["id"] compacts on ITS buckets.
-    val keyCols = if (snap.keyCols.nonEmpty) snap.keyCols else CdcModel.KeyCols
+    // key-generic like Merge: a config-frontend table with key ["id"]
+    // compacts on ITS buckets (shared fallback rule: CdcPipeline.effectiveKeys)
+    val keyCols = CdcPipeline.effectiveKeys(snap)
     val filesPerBucket = snap.files.groupBy(_.bucket)
     val fragmented = filesPerBucket.filter(_._2.size > maxFilesPerBucket).keySet
 

@@ -376,9 +376,7 @@ object CdcPipeline {
     val byBucket = snap.files.groupBy(_.bucket)
     val multi = byBucket.collect { case (b, fl) if fl.size > 1 => b }.toSet
     if (multi.isEmpty) return all // single-generation everywhere: no window
-    // key columns from the manifest (recorded at create since round 3);
-    // pre-round-3 manifests carry none → the CDC model's key
-    val keys = Some(snap.keyCols.toSeq).filter(_.nonEmpty).getOrElse(CdcModel.KeyCols)
+    val keys = effectiveKeys(snap)
     val windowed = lwwResolve(table.readBuckets(snap, multi), keys)
     if (multi.size == byBucket.size) windowed
     // keys are bucket-hashed, so no key spans the two sides: resolving each
@@ -429,10 +427,17 @@ object CdcPipeline {
     * (use `liveState(table).filter(...)` for partial-key scans).
     * Deleted keys return an empty frame (the tombstone is the live state).
     */
-  def lookup(table: LakeTable, keyValues: Map[String, Any]): DataFrame = {
-    val snap = table.currentSnapshot.getOrElse(
-      throw new IllegalStateException(s"no snapshot in ${table.root}"))
-    val keys = Some(snap.keyCols.toSeq).filter(_.nonEmpty).getOrElse(CdcModel.KeyCols)
+  def lookup(table: LakeTable, keyValues: Map[String, Any]): DataFrame =
+    lookupAt(table, table.currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no snapshot in ${table.root}")), keyValues)._2
+
+  /** [[lookup]] pinned to an explicit snapshot, returning the pruned bucket
+    * alongside the rows — so a caller reporting pruning stats (the CLI)
+    * describes the SAME snapshot and hash evaluation the read uses, instead
+    * of re-reading metadata that a concurrent commit may have moved. */
+  def lookupAt(table: LakeTable, snap: Snapshot,
+      keyValues: Map[String, Any]): (Int, DataFrame) = {
+    val keys = effectiveKeys(snap)
     val extra = keyValues.keySet -- keys.toSet
     require(extra.isEmpty,
       s"not key columns of this table: ${extra.mkString(", ")} (key: ${keys.mkString(", ")})")
@@ -443,10 +448,18 @@ object CdcPipeline {
       d.filter(col(k) === lit(keyValues(k)).cast(schema(schema.fieldIndex(k)).dataType))
     }
     val multiGen = snap.files.count(_.bucket == bucket) > 1
-    liveStateOf(
+    (bucket, liveStateOf(
       if (!df.columns.contains(CdcModel.RowLsnCol) || !multiGen) keyed
-      else lwwResolve(keyed, keys))
+      else lwwResolve(keyed, keys)))
   }
+
+  /** The key columns a snapshot's buckets hash: the RECORDED key (round-3+
+    * manifests), falling back to the CDC model's key for pre-round-3 tables.
+    * THE one definition of the fallback — [[resolved]], [[lookupAt]],
+    * [[Compaction]] and the CLI all route through it, so no read surface can
+    * drift on what a table's key is. */
+  private[graft] def effectiveKeys(snap: Snapshot): Seq[String] =
+    if (snap.keyCols.nonEmpty) snap.keyCols.toSeq else CdcModel.KeyCols
 
   private def liveStateOf(df: DataFrame): DataFrame = {
     val filtered =

@@ -296,14 +296,26 @@ final class LakeTable(val root: String, spark: SparkSession) {
       val f = schema.fields.find(_.name == k).getOrElse(
         throw new IllegalArgumentException(
           s"key column $k is not in the snapshot schema (${schema.fieldNames.mkString(", ")})"))
-      lit(keyValues(k)).cast(f.dataType).as(k)
+      // try_cast: null on a bad value under EVERY ansi mode (a plain cast
+      // throws a raw CAST_INVALID_INPUT under ansi=true and silently nulls
+      // under ansi=false — and xxhash64 SKIPS null children, so an unchecked
+      // null would hash to a wrong-but-plausible bucket: a silent miss)
+      lit(keyValues(k)).try_cast(f.dataType).as(k)
     }
-    val row = spark.range(1).select(typed: _*)
-      .select(bucketExpr(keyCols, s.numBuckets).as("_b"))
-      .head() // one-row local relation — constant-folds, bounded by construction
-    require(!row.isNullAt(0),
-      s"key value failed to cast to the recorded key type (${keyCols.mkString(", ")})")
-    row.getInt(0)
+    import spark.implicits._
+    // a true LocalRelation — NOT spark.range(1), which is a Range exec and
+    // would launch a real one-task job per lookup; this folds to a
+    // LocalTableScan evaluated driver-side
+    val row = Seq(1).toDF("one").select(typed: _*)
+      .select((keyCols.map(col) :+ bucketExpr(keyCols, s.numBuckets).as("_b")): _*)
+      .head()
+    keyCols.zipWithIndex.foreach { case (k, i) =>
+      require(!row.isNullAt(i),
+        s"value '${keyValues(k)}' for key column $k does not cast to its recorded " +
+        s"type (${schema.fields.find(_.name == k).get.dataType.simpleString}) — " +
+        "no stored row can match it")
+    }
+    row.getInt(keyCols.length)
   }
 
   private def readFiles(s: Snapshot, files: List[DataFile]): DataFrame = {

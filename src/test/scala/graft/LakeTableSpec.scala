@@ -89,6 +89,33 @@ class LakeTableSpec extends SparkSuite {
     assert(snap.appId === t.snapshot(snap.parentVersion).appId)
   }
 
+  test("bucketOf: agrees with the writer's buckets; bad cast and partial key fail loudly") {
+    val t = LakeTable(SparkTestBase.tmpDir("lake-bucketof"))(spark)
+    val sch = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    t.create(sch, 8, "t", keyCols = Seq("id"))
+    t.overwrite(spark.range(200).select(col("id"), concat(lit("v"), col("id")).as("v")),
+      Seq("id"), "t")
+    val snap = t.currentSnapshot.get
+    // reader-side hash must equal the bucket each row was WRITTEN into
+    for (f <- snap.files.take(4)) {
+      val id = spark.read.parquet(s"${t.root}/data/${f.path}").select("id").head().getLong(0)
+      assert(t.bucketOf(snap, Seq("id"), Map("id" -> id)) === f.bucket)
+      // and the CLI's string form casts to the recorded LongType identically
+      assert(t.bucketOf(snap, Seq("id"), Map("id" -> id.toString)) === f.bucket)
+    }
+    // a value that does NOT cast to the recorded key type: loud, in any ansi
+    // mode (xxhash64 would silently skip a null child → wrong bucket)
+    val bad = intercept[IllegalArgumentException] {
+      t.bucketOf(snap, Seq("id"), Map("id" -> "not-a-number"))
+    }
+    assert(bad.getMessage.contains("does not cast"))
+    val partial = intercept[IllegalArgumentException] {
+      t.bucketOf(snap, Seq("id"), Map.empty)
+    }
+    assert(partial.getMessage.contains("EVERY key column"))
+  }
+
   test("commit writes O(changed groups) manifest bytes and vacuum bounds meta/") {
     spark.conf.set("graft.manifest.bucketsPerGroup", "4")
     try {
