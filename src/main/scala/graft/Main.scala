@@ -28,6 +28,15 @@ object Main {
     * per round; the spark/scala build triple rides along for bug reports. */
   val Version = "0.5.0"
 
+  /** Preview masking: digest the content column when the table HAS one (CDC
+    * tables — full blobs are unreadable in a terminal and the digest is the
+    * row invariant anyway); config-frontend tables with arbitrary schemas
+    * pass through unchanged. Shared by show/incremental/lookup. */
+  private def maskContent(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.columns.contains("content"))
+      df.withColumn("content_sha", sha2(col("content"), 256)).drop("content")
+    else df
+
   private[graft] val usage: String =
     "usage: gen <dir> <n> [files] | replay <eventsDir> <tableRoot> <ckpt> [appId] [maxFiles] [mor] | " +
     "compact <tableRoot> [horizonLsn] | vacuum <tableRoot> [graceMs] [retainSnapshots] | " +
@@ -119,12 +128,7 @@ object Main {
       println(s"[show] version=${s.version} files=${s.files.size} " +
         s"physicalRows=${s.files.map(_.rows).sum} watermarkLsn=${s.watermarkLsn} " +
         s"batchId=${s.batchId} offsets=${s.sourceOffsets}")
-      // digest the content column when the table HAS one (CDC tables);
-      // config-frontend tables with arbitrary schemas just preview as-is
-      val preview = graft.cdc.CdcPipeline.liveState(table, s.version)
-      (if (preview.columns.contains("content"))
-        preview.withColumn("content_sha", sha2(col("content"), 256)).drop("content")
-      else preview).show(5, truncate = false)
+      maskContent(graft.cdc.CdcPipeline.liveState(table, s.version)).show(5, truncate = false)
       Lineage.read(spark, tableRoot).orderBy("batchId").show(50, truncate = false)
 
     // snapshot history (Iceberg `history` metadata): one line per RETAINED
@@ -172,12 +176,8 @@ object Main {
         println(s"[incremental] ($from, $to]: 0 rows (nothing newer than $from)")
       else {
         val incr = table.readAppends(from, to)
-        val shown =
-          if (incr.columns.contains("content"))
-            incr.withColumn("content_sha", sha2(col("content"), 256)).drop("content")
-          else incr
         println(s"[incremental] ($from, $to]: ${incr.count()} rows")
-        shown.show(10, truncate = false)
+        maskContent(incr).show(10, truncate = false)
       }
 
     // point lookup: live row(s) of ONE key, reading only the bucket the key
@@ -196,10 +196,7 @@ object Main {
       val (bucket, rows) = graft.cdc.CdcPipeline.lookupAt(table, snap, kv)
       println(s"[lookup] key (${values.mkString(", ")}) → bucket $bucket: " +
         s"${snap.files.count(_.bucket == bucket)} of ${snap.files.size} files read")
-      val shown =
-        if (rows.columns.contains("content"))
-          rows.withColumn("content_sha", sha2(col("content"), 256)).drop("content")
-        else rows
+      val shown = maskContent(rows)
       // ≤1 row on CDC tables (LWW leaves one per key); bounded anyway for
       // Full-load tables where duplicate keys pass through unresolved
       val got = shown.limit(20).collect()

@@ -153,11 +153,12 @@ object SparkEntry {
       mergeOnRead = true)
     p.bootstrap(numBuckets = 16)
     p.replay(derivedEvents(spark, dir), numBatches = 4)
+    val snap = p.table.currentSnapshot.get // pin once: 12 lookups, 1 metadata read
     (1L to 12L).map { id =>
-      CdcPipeline.lookup(p.table, Map(
+      CdcPipeline.lookupAt(p.table, snap, Map(
         "repo" -> s"repo-${id % 50}",
         "path" -> s"src/f$id.txt",
-        "commit" -> md5Hex(s"c$id")))
+        "commit" -> md5Hex(s"c$id")))._2
     }.reduce(_ unionByName _)
       .select(col("repo"), col("path"), col("commit"), col("lang"),
         sha2(col("content"), 256).as("content_sha"))

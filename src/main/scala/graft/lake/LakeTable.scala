@@ -292,30 +292,45 @@ final class LakeTable(val root: String, spark: SparkSession) {
       s"null key value for ${nulls.mkString(", ")} — key columns are non-null " +
       "by the write-side layout guard, so no stored row can match")
     val schema = s.schema
-    val typed = keyCols.map { k =>
-      val f = schema.fields.find(_.name == k).getOrElse(
+    val fieldOf = keyCols.map { k =>
+      k -> schema.fields.find(_.name == k).getOrElse(
         throw new IllegalArgumentException(
           s"key column $k is not in the snapshot schema (${schema.fieldNames.mkString(", ")})"))
-      // try_cast: null on a bad value under EVERY ansi mode (a plain cast
-      // throws a raw CAST_INVALID_INPUT under ansi=true and silently nulls
-      // under ansi=false — and xxhash64 SKIPS null children, so an unchecked
-      // null would hash to a wrong-but-plausible bucket: a silent miss)
-      lit(keyValues(k)).try_cast(f.dataType).as(k)
-    }
+    }.toMap
+    // try_cast: null on a bad value under EVERY ansi mode (a plain cast
+    // throws a raw CAST_INVALID_INPUT under ansi=true and silently nulls
+    // under ansi=false — and xxhash64 SKIPS null children, so an unchecked
+    // null would hash to a wrong-but-plausible bucket: a silent miss)
+    val typed = keyCols.map(k => lit(keyValues(k)).try_cast(fieldOf(k).dataType).as(k))
+    // …and a cast that SUCCEEDS but changes the value (42.9 passed for a
+    // long key truncates to 42) would silently return ANOTHER key's row:
+    // require the typed value to round-trip back to the input, in the
+    // input's own type domain
+    val inType = keyCols.map { k =>
+      k -> (try org.apache.spark.sql.catalyst.expressions.Literal(keyValues(k)).dataType
+      catch { case e: RuntimeException => throw new IllegalArgumentException(
+        s"unsupported value type for key column $k: ${keyValues(k).getClass.getName}", e) })
+    }.toMap
+    val roundtrip = keyCols.map(k =>
+      (col(k).cast(inType(k)) <=> lit(keyValues(k))).as(s"_rt_$k"))
     import spark.implicits._
     // a true LocalRelation — NOT spark.range(1), which is a Range exec and
     // would launch a real one-task job per lookup; this folds to a
     // LocalTableScan evaluated driver-side
     val row = Seq(1).toDF("one").select(typed: _*)
-      .select((keyCols.map(col) :+ bucketExpr(keyCols, s.numBuckets).as("_b")): _*)
+      .select((keyCols.map(col) ++ roundtrip :+
+        bucketExpr(keyCols, s.numBuckets).as("_b")): _*)
       .head()
     keyCols.zipWithIndex.foreach { case (k, i) =>
       require(!row.isNullAt(i),
         s"value '${keyValues(k)}' for key column $k does not cast to its recorded " +
-        s"type (${schema.fields.find(_.name == k).get.dataType.simpleString}) — " +
-        "no stored row can match it")
+        s"type (${fieldOf(k).dataType.simpleString}) — no stored row can match it")
+      require(row.getBoolean(keyCols.length + i),
+        s"value '${keyValues(k)}' for key column $k does not round-trip through its " +
+        s"recorded type (${fieldOf(k).dataType.simpleString}) — the cast is lossy, " +
+        "so the lookup would silently hit a DIFFERENT key")
     }
-    row.getInt(keyCols.length)
+    row.getInt(2 * keyCols.length)
   }
 
   private def readFiles(s: Snapshot, files: List[DataFile]): DataFrame = {

@@ -114,6 +114,15 @@ class LakeTableSpec extends SparkSuite {
       t.bucketOf(snap, Seq("id"), Map.empty)
     }
     assert(partial.getMessage.contains("EVERY key column"))
+    // a cast that SUCCEEDS but is lossy (42.9 → long 42) must also be loud:
+    // silently hashing the truncated value would return ANOTHER key's row
+    val lossy = intercept[IllegalArgumentException] {
+      t.bucketOf(snap, Seq("id"), Map("id" -> 42.9))
+    }
+    assert(lossy.getMessage.contains("round-trip"))
+    // …while a lossless widening of the same shape still resolves
+    assert(t.bucketOf(snap, Seq("id"), Map("id" -> 42.0)) ===
+      t.bucketOf(snap, Seq("id"), Map("id" -> 42L)))
   }
 
   test("commit writes O(changed groups) manifest bytes and vacuum bounds meta/") {
