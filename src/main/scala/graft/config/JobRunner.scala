@@ -182,8 +182,14 @@ object JobRunner {
     val pageSchema = s.schema match {
       case Some(ddl) => parseSchemaSpec(ddl)
       case None if dest.exists =>
+        // drop the engine's OWN bookkeeping columns by exact name — a
+        // prefix filter would also remove legitimate payload columns that
+        // start with underscore (Mongo-style `_id`), silently nulling them
+        // on every subsequent load
+        val internal = Set(graft.model.CdcModel.RowLsnCol,
+          graft.model.CdcModel.DeletedCol, LakeTable.BucketCol)
         org.apache.spark.sql.types.StructType(dest.currentSnapshot.get.schema
-          .filterNot(f => f.name.startsWith("_")))
+          .filterNot(f => internal.contains(f.name)))
       case None => throw new IllegalArgumentException(
         "api source needs source.schema (TableDefinition) or an existing destination")
     }

@@ -90,12 +90,26 @@ object JobSpec {
 
   /** `$VAR` / `${VAR}` environment interpolation over the raw spec text
     * (≙ the reference's endpoint env expansion, F7). Unset vars expand to
-    * the empty string, like os.ExpandEnv. */
+    * the empty string, like os.ExpandEnv. Substitution happens inside a
+    * JSON document (almost always inside a quoted string), so the value is
+    * JSON-string-escaped: a password containing `"` or `\` must arrive in
+    * the parsed spec intact, not corrupt the document — or worse, splice
+    * crafted text into sibling fields. */
   def interpolate(raw: String, env: String => Option[String]): String = {
     val re = "\\$\\{([A-Za-z_][A-Za-z0-9_]*)\\}|\\$([A-Za-z_][A-Za-z0-9_]*)".r
     re.replaceAllIn(raw, m => {
       val name = Option(m.group(1)).getOrElse(m.group(2))
-      scala.util.matching.Regex.quoteReplacement(env(name).getOrElse(""))
+      val v = env(name).getOrElse("")
+      val escaped = v.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < 0x20 => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      scala.util.matching.Regex.quoteReplacement(escaped)
     })
   }
 

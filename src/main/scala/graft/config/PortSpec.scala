@@ -54,6 +54,7 @@ object PortSpec {
     var transformArgs: Seq[String] = Nil
     var schemaDef: Option[String] = None
     var retry4xx = false
+    var offsetPaging = false
     var topStrategy: Option[TableExtractSpec] = None
     val tables = scala.collection.mutable.LinkedHashMap.empty[String, TableExtractSpec]
 
@@ -85,7 +86,7 @@ object PortSpec {
         case "TableDefinition" =>
           schemaDef = Some(tableDefinition(s))
         case "Paginate" =>
-          paginate(s, fns) // validates the idiom; offset token rides the url
+          offsetPaging |= paginate(s, fns) // validates the idiom
         case "Transform" =>
           // record the args; TRANSLATE after the statement loop — Starlark
           // call order is irrelevant to the final config, so a
@@ -120,7 +121,15 @@ object PortSpec {
           itemsField = f; apiTransforms = tf
         }
         if (fns.contains("Paginate"))
-          validatePagination(fns("Paginate").body)
+          offsetPaging |= validatePagination(fns("Paginate").body)
+        // offset pagination without the {offset} url token would send the
+        // IDENTICAL request every pull — a non-advancing loop the runtime
+        // also traps (PaginatedSource), but a config error should fail at
+        // conversion, not mid-extract (the reference injects offset params
+        // itself via str.format, api.go:196-200 — our token is explicit)
+        if (offsetPaging && !src.url.contains("{offset}"))
+          throw new PortParseException(
+            s"offset pagination but the Get url carries no {offset} token: ${src.url}")
         val full = src.copy(
           itemsField = itemsField.getOrElse(src.itemsField),
           schema = schemaDef,
@@ -425,8 +434,10 @@ object PortSpec {
   }
 
   /** Validate the Paginate idiom. Offset pagination is our `{offset}` url
-    * token + offsetField plumbing; `return None` means single-page. */
-  private def paginate(stmt: String, fns: Map[String, Fn]): Unit = {
+    * token + offsetField plumbing; `return None` means single-page.
+    * Returns true when the body is the OFFSET idiom (the caller then
+    * requires the Get url to carry the {offset} token). */
+  private def paginate(stmt: String, fns: Map[String, Fn]): Boolean = {
     val arg = argsOf(stmt, "Paginate").headOption.getOrElse("").trim
     val body: Seq[String] =
       if (arg.startsWith("lambda")) {
@@ -444,7 +455,7 @@ object PortSpec {
     validatePagination(body)
   }
 
-  private def validatePagination(body: Seq[String]): Unit = {
+  private def validatePagination(body: Seq[String]): Boolean = {
     val text = body.mkString(" ")
     val offsetIdiom = text.contains("'offset'") || text.contains("\"offset\"")
     val nonePaging = body == Seq("return None")
@@ -452,6 +463,7 @@ object PortSpec {
       throw new PortParseException(
         "unsupported pagination function (only the offset idiom and 'return None' " +
         s"translate):\n${body.mkString("\n")}")
+    offsetIdiom
   }
 
   /** `Transform(lambda data: data['items'])` / `def Transform(data): return
@@ -503,7 +515,7 @@ object PortSpec {
                 java.util.regex.Pattern.quote(k) + "['\"]\\]\\s*\\)?\\s*\\)$").r
               if (ident.contains(e)) None // straight field copy
               else if (intRe.findFirstIn(e).isDefined)
-                Some(ColumnSpec(k, Nil, Some("int")))
+                Some(ColumnSpec(k, Nil, Some("integer")))
               else if (ftRe.findFirstIn(e).isDefined)
                 Some(ColumnSpec(k,
                   Seq(s"sql:timestamp_seconds(cast(`$k` as bigint))"), None))
@@ -619,7 +631,7 @@ object PortSpec {
     val mulInt = s"^int\\(\\s*$v\\s*\\*\\s*([0-9.]+)\\s*\\)$$".r
     ret match {
       case mul(n) => (Seq(s"multiply:$n"), None)
-      case mulInt(n) => (Seq(s"multiply:$n"), Some("int"))
+      case mulInt(n) => (Seq(s"multiply:$n"), Some("integer"))
       case s if s == s"${fn.arg}.upper()" => (Seq("upper"), None)
       case s if s == s"${fn.arg}.lower()" => (Seq("lower"), None)
       case s if s == s"${fn.arg}.strip()" => (Seq("trim"), None)
@@ -650,7 +662,10 @@ object PortSpec {
       val exprSub = "^(.+)\\[\\s*['\"]([^'\"]+)['\"]\\s*\\]$".r
       e match {
         case strftime(base, fmt) =>
-          V(s"date_format(${evalExpr(base).sql}, '${strftimeToSpark(fmt)}')", json = false)
+          // the translated pattern may contain Java-pattern quote chars
+          // ('yyyy'' year''…') — escape them for the SQL string literal
+          V(s"date_format(${evalExpr(base).sql}, '${escapeSql(strftimeToSpark(fmt))}')",
+            json = false)
         case split0(base, _, sep) =>
           // sep comes from raw source text: decode python escapes first so
           // "\nivars:" means newline+ivars:, then re-encode for the SQL literal
@@ -712,18 +727,48 @@ object PortSpec {
     s.replace("\\", "\\\\").replace("'", "\\'")
       .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r")
 
-  /** The strftime directives the corpus uses (+ the common ones). */
-  private def strftimeToSpark(fmt: String): String = fmt
-    .replace("%F", "yyyy-MM-dd").replace("%Y", "yyyy").replace("%m", "MM")
-    .replace("%d", "dd").replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+  /** The strftime directives the corpus uses (+ the common ones), translated
+    * by TOKENIZING the format: an unknown `%x` directive fails loudly (the
+    * module's contract) instead of leaking a literal `%x` into a Java
+    * datetime pattern, and literal text containing letters is single-quoted
+    * — bare letters are LIVE pattern characters there ('%Y year' would
+    * otherwise render era/day-of-week instead of the word "year"). Pure
+    * punctuation passes through unquoted, so '%Y-%m-%d' still emits the
+    * familiar 'yyyy-MM-dd'. */
+  private val strftimeMap = Map(
+    'F' -> "yyyy-MM-dd", 'Y' -> "yyyy", 'm' -> "MM", 'd' -> "dd",
+    'H' -> "HH", 'M' -> "mm", 'S' -> "ss", '%' -> "%")
+  private def strftimeToSpark(fmt: String): String = {
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) {
+      val s = lit.result(); lit.clear()
+      if (s.exists(c => c.isLetter || c == '\'')) out ++= s"'${s.replace("'", "''")}'"
+      else out ++= s
+    }
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%') {
+        if (i + 1 >= fmt.length) throw new PortParseException(
+          s"strftime format ends with a bare '%': $fmt")
+        val d = fmt.charAt(i + 1)
+        val m = strftimeMap.getOrElse(d, throw new PortParseException(
+          s"unsupported strftime directive %$d in '$fmt' — port this lambda by hand"))
+        flush(); out ++= m; i += 2
+      } else { lit += fmt.charAt(i); i += 1 }
+    }
+    flush()
+    out.result()
+  }
 
   /** Reference SQL column types (ParseDatabaseTypeFromString) → Spark DDL. */
   private[config] def sqlTypeToSpark(t: String): String = {
     val up = t.trim.toUpperCase
     val dec = "^(?:DECIMAL|NUMERIC)\\s*\\((\\d+)\\s*,\\s*(\\d+)\\)$".r
     up match {
-      case "INT" | "INTEGER" => "int"
-      case "SMALLINT" => "smallint"
+      // emit the engine's OWN type vocabulary (SchemaTools.parseType):
+      // "int"/"smallint" are Spark DDL names the runtime would reject loudly
+      case "INT" | "INTEGER" | "SMALLINT" => "integer"
       case "BIGINT" => "bigint"
       case "FLOAT" | "REAL" => "float"
       case "DOUBLE" | "DOUBLE PRECISION" => "double"

@@ -70,7 +70,8 @@ object Secrets {
 
   private def write(file: java.nio.file.Path, h: Header, lines: List[String]): Unit = {
     val head = s"""{"version":${h.version},"salt":"${h.salt}"}"""
-    java.nio.file.Files.createDirectories(file.getParent)
+    // a bare filename ("secrets.enc") has a null parent — cwd needs no mkdir
+    Option(file.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(file, (head :: lines).mkString("", "\n", "\n"))
   }
 

@@ -134,6 +134,12 @@ object Endpoint {
     val field = new StringBuilder
     var row = Vector.empty[String]
     var inQ = false
+    // drop only truly BLANK lines (zero characters — the trailing-newline
+    // artifact). Distinguishing them needs a flag DURING the scan: a
+    // single-column row whose value is the quoted empty string (`""`) also
+    // parses to Vector("") but is a real record (all-NULL under
+    // EMPTYASNULL) — an output-side emptiness filter would eat it.
+    var rowHadContent = false
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
@@ -143,19 +149,18 @@ object Endpoint {
           else inQ = false
         } else field += c
       } else c match {
-        case '"' => inQ = true
-        case ',' => row :+= field.result(); field.clear()
+        case '"' => inQ = true; rowHadContent = true
+        case ',' => row :+= field.result(); field.clear(); rowHadContent = true
         case '\r' => // row break handled at \n
-        case '\n' => row :+= field.result(); field.clear(); rows += row; row = Vector.empty
-        case other => field += other
+        case '\n' =>
+          if (rowHadContent) { row :+= field.result(); rows += row }
+          field.clear(); row = Vector.empty; rowHadContent = false
+        case other => field += other; rowHadContent = true
       }
       i += 1
     }
-    if (field.nonEmpty || row.nonEmpty) { row :+= field.result(); rows += row }
-    // drop only BLANK LINES (a single empty field — the trailing-newline
-    // artifact); a multi-field all-empty row like ",," is a real record
-    // meaning all-NULL under the EMPTYASNULL rule and must survive
-    rows.toList.filterNot(r => r.length == 1 && r.head.isEmpty)
+    if (rowHadContent) { row :+= field.result(); rows += row }
+    rows.toList
   }
 
   /** Build a typed DataFrame from one page's records. BOTH body types read

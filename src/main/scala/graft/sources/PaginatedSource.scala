@@ -61,6 +61,12 @@ final class PaginatedSource(
       val page = fetchRetry(off, 0)
       val recs = acc ++ page.records
       page.nextOffset match {
+        // a continuation that does not ADVANCE would re-fetch the same page
+        // forever (a server echoing a constant offset field, or a paginated
+        // url missing its {offset} token) — and in runApi each lap commits a
+        // snapshot, growing the table without bound. Fail loudly instead.
+        case Some(n) if n <= off => throw new FetchFailedException(
+          FetchError.InvalidBody(s"non-advancing pagination: offset $off → $n"), off)
         case None => (recs, None)
         case Some(n) if pages + 1 >= pagesPerBatch => (recs, Some(n))
         case Some(n) => loop(n, pages + 1, recs)

@@ -19,7 +19,12 @@ object SchemaTools {
     val Dec = """(?i)decimal\((\d+),\s*(\d+)\)""".r
     val Str = """(?i)(?:string|varchar)\((\d+)\)""".r
     s.trim match {
-      case t if t.equalsIgnoreCase("integer") || t.equalsIgnoreCase("bigint") => Some(LongType)
+      // int/smallint/long accepted as aliases: common hand-written forms
+      // (and pre-fix port-convert output) — all store as the engine's one
+      // integer width, exactly like the reference's INTEGER
+      case t if t.equalsIgnoreCase("integer") || t.equalsIgnoreCase("bigint") ||
+        t.equalsIgnoreCase("int") || t.equalsIgnoreCase("smallint") ||
+        t.equalsIgnoreCase("long") => Some(LongType)
       case t if t.equalsIgnoreCase("float") || t.equalsIgnoreCase("double") => Some(DoubleType)
       case Dec(p, sc) => Some(DecimalType(p.toInt, sc.toInt))
       case Str(_) => Some(StringType) // LENGTH enforced by validation, not storage

@@ -58,6 +58,14 @@ class ConfigSpec extends SparkSuite {
     assert(spec.destination.root === "/d/out")
     // unset var expands empty, like os.ExpandEnv
     assert(JobSpec.interpolate("x$NOPE_VAR_42/y", _ => None) === "x/y")
+    // values land inside quoted JSON strings: a password with '"' or '\'
+    // must arrive intact, not corrupt the document or splice sibling fields
+    val hostile = Map("PW" -> """p"ss\w0rd""", "NL" -> "a\nb")
+    val spec2 = JobSpec.parse(
+      """{"source":{"format":"api","basicAuthPassword":"$PW","url":"$NL"},
+         "destination":{"root":"/out"}}""", hostile.get)
+    assert(spec2.source.basicAuthPassword === Some("""p"ss\w0rd"""))
+    assert(spec2.source.url === "a\nb")
   }
 
   test("full extract-load through a spec file: projection + transform applied") {
@@ -338,7 +346,7 @@ class ConfigSpec extends SparkSuite {
       Seq(ColumnSpec("ranking", Seq("multiply:100"), None)))
     assert(PortSpec.toJobSpec(port("transform_column_and_change_type.port"))
       .tables("widgets").transforms ===
-      Seq(ColumnSpec("ranking", Seq("multiply:100"), Some("int"))))
+      Seq(ColumnSpec("ranking", Seq("multiply:100"), Some("integer"))))
     assert(PortSpec.toJobSpec(port("compute_column.port")).tables("widgets").computed ===
       Seq(ComputedSpec("created_date", "date_format(`created_at`, 'yyyy-MM-dd')", Some("date"))))
     assert(PortSpec.toJobSpec(port("deserialize_json_column.port"))
@@ -353,6 +361,17 @@ class ConfigSpec extends SparkSuite {
     // translation as a named def
     assert(PortSpec.toJobSpec(port("transform_column_mysql.port")).tables("objects").computed ===
       Seq(ComputedSpec("updated_on", "date_format(`updated_at`, 'yyyy-MM-dd')", Some("date"))))
+    // strftime: literal text with letters is single-quoted (bare letters are
+    // LIVE Java pattern chars — '%Y year' would otherwise render era/weekday),
+    // and the pattern-quote chars are escaped for the SQL string literal
+    def strfPort(f: String): String =
+      s"def d(row):\n\treturn row['ts'].strftime(\"$f\")\n" +
+      "Table(\"t\").LoadStrategy(Full).ComputeColumn(\"c\", d, \"VARCHAR(32)\")"
+    assert(PortSpec.toJobSpec(strfPort("%Y year")).tables("t").computed.head.sqlExpr ===
+      """date_format(`ts`, 'yyyy\' year\'')""")
+    // unknown directives fail loudly instead of leaking '%b' into the pattern
+    val badDir = intercept[PortParseException] { PortSpec.toJobSpec(strfPort("%b %Y")) }
+    assert(badDir.getMessage.contains("%b"))
   }
 
   test(".port subset reader: fail-loudly contract on near-miss constructs") {
@@ -411,10 +430,17 @@ class ConfigSpec extends SparkSuite {
     // Paginate(by_offset) resolves the NAMED helper like Transform does
     PortSpec.toJobSpec(
       "def by_offset(prev):\n\treturn {'offset': 1}\n" +
-      "Get(\"http://x/y\")\nPaginate(by_offset)")
+      "Get(\"http://x/y?offset={offset}\")\nPaginate(by_offset)")
     assert(intercept[PortParseException] {
-      PortSpec.toJobSpec("Get(\"http://x/y\")\nPaginate(by_offset)")
+      PortSpec.toJobSpec("Get(\"http://x/y?offset={offset}\")\nPaginate(by_offset)")
     }.getMessage.contains("by_offset"))
+    // offset pagination whose Get url lacks the {offset} token would send
+    // the IDENTICAL request every pull — caught at conversion, not mid-run
+    assert(intercept[PortParseException] {
+      PortSpec.toJobSpec(
+        "def by_offset(prev):\n\treturn {'offset': 1}\n" +
+        "Get(\"http://x/y\")\nPaginate(by_offset)")
+    }.getMessage.contains("{offset}"))
     // inline json.loads(row['c'])['k'] — the advertised idiom without the
     // intermediate variable — translates like the two-statement form, and a
     // chained subscript folds into one JSON path
@@ -462,11 +488,11 @@ class ConfigSpec extends SparkSuite {
     assert(off.source.basicAuthUser === Some("user") &&
       off.source.basicAuthPassword === Some("pass"))
     assert(off.source.responseType === "json" && off.source.itemsField === "items")
-    assert(off.source.schema === Some("id:int,name:string"))
+    assert(off.source.schema === Some("id:integer,name:string"))
     assert(off.extractFor("whatever").loadStrategy === "Full")
     val csv = PortSpec.toJobSpec(port("api_csv.port"), env)
     assert(csv.source.responseType === "csv")
-    assert(csv.source.schema === Some("id:int,price:decimal(10,2),ranking:float," +
+    assert(csv.source.schema === Some("id:integer,price:decimal(10,2),ranking:float," +
       "name:string,active:boolean,launched:date,created_at:timestamp,description:string"))
     val inc = PortSpec.toJobSpec(port("api_incremental_load_strategy.port"), env)
     assert(inc.extractFor("t").loadStrategy === "Incremental")
@@ -493,7 +519,7 @@ class ConfigSpec extends SparkSuite {
     // typed load takes only the schema's columns, so its transform is
     // FILTERED (keeping it would reference a column the page frame never has)
     val ba = PortSpec.toJobSpec(port("api_basic_auth.port"), env)
-    assert(ba.source.itemsField === "items" && ba.source.schema === Some("id:int,name:string"))
+    assert(ba.source.itemsField === "items" && ba.source.schema === Some("id:integer,name:string"))
     assert(ba.extractFor("t").transforms === Nil)
     // …but when the user's TableDefinition DOES declare the field, the
     // fromtimestamp translation is retained
@@ -505,7 +531,7 @@ class ConfigSpec extends SparkSuite {
         Seq("sql:timestamp_seconds(cast(`created_at` as bigint))"), None)))
     assert(PortSpec.toJobSpec(port("api_integer_data_type.port"), env)
       .extractFor("t").transforms === Seq(
-        graft.operators.ColumnTransforms.ColumnSpec("id", Nil, Some("int"))))
+        graft.operators.ColumnTransforms.ColumnSpec("id", Nil, Some("integer"))))
     // reference parity for the two invalid fixtures: loud failures
     intercept[PortParseException] { // ResponseType("glorb")
       PortSpec.toJobSpec(port("api_invalid_configuration.port"), env)
@@ -561,6 +587,19 @@ class ConfigSpec extends SparkSuite {
     // toPercent(value) = value * 100 applied by the load
     val live = graft.cdc.CdcPipeline.liveState(LakeTable(s"$dir/dest")(spark))
     assert(live.filter(col("id") === 7).select("ranking").collect()(0).getDouble(0) === 70.0)
+    // …and the int()-cast variant EXECUTES too (regression: the translator
+    // used to emit Spark-DDL "int", which the runtime type parser rejects —
+    // parse-level assertions alone never caught it)
+    val spec2 = PortSpec.toJobSpec(
+      Files.readString(Paths.get(
+        "/root/reference/testdata/databases/transform_column_and_change_type.port")),
+      destination = graft.config.DestinationSpec(s"$dir/dest2", 4),
+      dbSource = Some(graft.config.SourceSpec("parquet", path = s"$dir/widgets.parquet")))
+    val r2 = JobRunner.run(spark, spec2, "widgets", preview = false, forceFull = false)
+    assert(r2.rowsLoaded === 50)
+    val live2 = graft.cdc.CdcPipeline.liveState(LakeTable(s"$dir/dest2")(spark))
+    val rank7 = live2.filter(col("id") === 7).select("ranking").collect()(0)
+    assert(rank7.getLong(0) === 70L, "int(value*100) must cast to the integer type")
   }
 
   test(".port sweep: EVERY reference fixture parses or fails loudly — no silent misreads") {

@@ -158,6 +158,13 @@ class SourcesSpec extends SparkSuite {
     assert(e.getMessage.contains("fatal") && e.error === FetchError.Http4xx(401))
     val flaky5 = new PaginatedSource(_ => Left(FetchError.Http5xx(503)), maxRetries = 1)
     assert(intercept[graft.sources.FetchFailedException] { flaky5.pullBatch(0) }.error.retryable)
+    // a non-advancing continuation (server echoing a constant offset, or a
+    // paginated url missing its {offset} token) must fail loudly — the old
+    // behavior looped forever, committing a snapshot per lap in runApi
+    val stuck = new PaginatedSource(
+      off => Right(Page(Seq(s"""{"id":$off,"name":"x"}"""), Some(off))))
+    val stuckErr = intercept[graft.sources.FetchFailedException] { stuck.pullBatch(0) }
+    assert(stuckErr.getMessage.contains("non-advancing"))
   }
 
   test("endpoint config: auth headers, {offset} substitution, pagination, status classes") {
@@ -236,6 +243,14 @@ class SourcesSpec extends SparkSuite {
     // only blank lines (one empty field) are trailing-newline artifacts
     val page2 = Endpoint.parsePage(cfg, "a,b\n1,x\n,\n\n").toOption.get
     assert(page2.records.size === 2)
+    // a SINGLE-column row whose value is the quoted empty string is a real
+    // record (all-NULL under EMPTYASNULL) — only zero-character lines are
+    // artifacts (regression: an output-side emptiness filter used to eat it)
+    val page3 = Endpoint.parsePage(cfg, "name\n\"\"\nbob\n\n").toOption.get
+    assert(page3.records.size === 2, s"quoted-empty row must survive: ${page3.records}")
+    val df3 = Endpoint.pageFrame(spark, cfg,
+      StructType(Seq(StructField("name", StringType))), page3.records).collect()
+    assert(df3.count(_.isNullAt(0)) === 1 && df3.exists(r => !r.isNullAt(0) && r.getString(0) == "bob"))
     // schema specs keep parameterized types whole across commas
     val dec = graft.config.JobRunner.parseSchemaSpec(
       "id:integer, price:decimal(18,4), name:string")
