@@ -961,7 +961,7 @@ object SparkEntry {
     "dedup_exact" -> """
       SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         min(doc_id) AS keep_id, count(*) AS dup_count
-      FROM documents GROUP BY 1 ORDER BY fp""",
+      FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY fp""",
     "text_stats" -> """
       SELECT doc_id,
         CASE WHEN length(trim(text)) = 0 THEN 0

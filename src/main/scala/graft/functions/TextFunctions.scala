@@ -148,6 +148,12 @@ object TextFunctions {
       struct(langHits(text, ms).as("hits"), lit(code).as("code"))
     }
     val best = greatest(scored: _*) // struct compare: hits first, then code
-    when(best.getField("hits") === 0, "und").otherwise(best.getField("code"))
+    // NULL text stays NULL (a missing document has no language — the same
+    // convention as bpeTokenCount): without the guard every language's hits
+    // field is NULL, the struct compare degenerates to the code tie-break,
+    // and every null-text row would be labeled with the LAST language code
+    when(text.isNull, lit(null).cast("string"))
+      .when(best.getField("hits") === 0, "und")
+      .otherwise(best.getField("code"))
   }
 }

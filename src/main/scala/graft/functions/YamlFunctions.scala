@@ -24,7 +24,16 @@ object YamlFunctions {
   // reusable but not thread-safe, and building a parser object graph (and
   // recompiling the regex via String.replaceAll) PER ROW was pure overhead
   // in the package's one non-codegen function
-  @transient private lazy val rubyTag = java.util.regex.Pattern.compile("!ruby/\\S*")
+  // only strip tags in TAG POSITION (document start, after `key: `, or a
+  // `- ` sequence item) — a bare `!ruby/\S*` pattern also mutated quoted
+  // scalar VALUES that merely mention a ruby tag ("see !ruby/object:Set
+  // docs" lost its substring). A plain scalar cannot START with '!' in
+  // YAML, so anything matched here really is a node tag. Residual
+  // limitation (documented): a tag-looking string directly after `: `
+  // INSIDE a quoted value is still stripped — regexes cannot see quote
+  // context, and the fixture corpus never hits it.
+  @transient private lazy val rubyTag =
+    java.util.regex.Pattern.compile("(?m)(^---\\s*|:\\s+|-\\s+|^)!ruby/\\S*")
   @transient private lazy val yamlTL: ThreadLocal[org.yaml.snakeyaml.Yaml] =
     ThreadLocal.withInitial { () =>
       new org.yaml.snakeyaml.Yaml(
@@ -36,7 +45,7 @@ object YamlFunctions {
     if (y == null) return null
     // ruby tag surgery: "--- !ruby/hash-with-ivars:Klass" → "---";
     // "x: !ruby/object:Set ..." → untagged node
-    val cleaned = rubyTag.matcher(y).replaceAll("")
+    val cleaned = rubyTag.matcher(y).replaceAll("$1")
     val parsed = yamlTL.get().load[Object](cleaned)
     mapper.writeValueAsString(parsed)
   }

@@ -85,15 +85,19 @@ object CdcModel {
     * op-sensitive rank would need the op persisted per row; delete-vs-write
     * is persisted as the tombstone flag. (SURVEY.md §7.4#2.)
     */
-  def orderKey(df: DataFrame): org.apache.spark.sql.Column = {
+  def orderKey(df: DataFrame,
+      metaCols: Set[String] = Set(LsnCol, OpCol, "eventTime")): org.apache.spark.sql.Column = {
     val delRank = when(col(OpCol) === "D", 1).otherwise(0)
-    // tie-break over the PERSISTED view of the event (exclude the event-only
-    // bookkeeping columns lsn/op) via the ONE shared lwwTieBreak definition:
-    // content tables break ties on content exactly as before; a content-less
-    // frame hashes its payload columns instead of failing analysis — and the
-    // tie stays op-insensitive, so a stored row re-enters the order
-    // identically to the event that produced it
-    val tb = lwwTieBreak(df.columns.toIndexedSeq.filterNot(c => c == LsnCol || c == OpCol))
+    // tie-break over the PERSISTED view of the event (exclude the CDC
+    // bookkeeping columns — the SAME default meta set the merge excludes
+    // from the stored schema, so on a content-less table this order and the
+    // merge's stored-row order can never diverge on a column like eventTime
+    // that only the event side carries) via the ONE shared lwwTieBreak
+    // definition: content tables break ties on content exactly as before;
+    // a content-less frame hashes its payload columns instead of failing
+    // analysis — and the tie stays op-insensitive, so a stored row
+    // re-enters the order identically to the event that produced it
+    val tb = lwwTieBreak(df.columns.toIndexedSeq.filterNot(metaCols.contains))
     struct(col(LsnCol), delRank.as("del_rank"), tb.as("tb"))
   }
 }

@@ -21,9 +21,15 @@ object DedupOps {
 
   /** Exact dedup on a canonical fingerprint: one row per distinct normalized
     * text, keeping the smallest id; `dup_count` sizes each duplicate class.
+    * NULL-text documents are excluded — missing texts are not EQUAL texts
+    * (groupBy would otherwise fold every null-text doc in the corpus into
+    * one giant "duplicate class" under the NULL fingerprint, and a consumer
+    * dropping non-keep ids would delete all but one of them). Same
+    * convention as the near-dup operators, which never pair null docs.
     */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
+      .filter(col(textCol).isNotNull)
       .groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
@@ -149,9 +155,14 @@ object DedupOps {
     * signature. Near-dups = signatures within small Hamming distance.
     */
   def simhash(text: Column): Column = {
-    val toks = split(trim(text), "\\s+")
-    val bitSum = (b: Int) => aggregate(toks, lit(0L), (acc, t) =>
-      acc + when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+    // hash each token ONCE, then run the 64 per-bit vote aggregates over the
+    // hashed array (shift/mask only per element): the per-bit lambdas are
+    // separate scopes, so an xxhash64 call INSIDE them is not merged by
+    // subexpression elimination — a 1,000-token doc would pay 64,000 hash
+    // evaluations instead of 1,000
+    val hashes = transform(split(trim(text), "\\s+"), t => xxhash64(t))
+    val bitSum = (b: Int) => aggregate(hashes, lit(0L), (acc, h) =>
+      acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
     (0 until 64).map(b =>
       when(bitSum(b) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
@@ -296,6 +307,22 @@ object DedupOps {
     // every corpus reaches the explicit null check below and its actionable
     // "hash your ids first" error
     def asLong(c: String) = expr(s"try_cast(`$c` AS LONG)")
+    // …and the cast must ROUND-TRIP: a non-canonical numeric string like
+    // '0042' casts to 42 whose string form '42' no longer matches the
+    // caller's id — canonical()'s anti-join would then miss the duplicate
+    // entirely, and distinct ids '42'/'0042' would collapse to ONE node,
+    // merging unrelated components. Same rule as the lake's bucketOf guard.
+    def roundTrips(c: String) = pairs.schema(pairs.schema.fieldIndex(c)).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => lit(true)
+      case dt => asLong(c).cast(dt) <=> col(c)
+    }
+    val nonCanonical = pairs
+      .filter(!roundTrips(aCol) || !roundTrips(bCol)).limit(1).count()
+    if (nonCanonical > 0) throw new IllegalArgumentException(
+      "clusters() ids must round-trip through LONG (e.g. '0042' does not) — " +
+      "hash non-canonical ids first, e.g. xxhash64(id), and keep a " +
+      "(hash → id) mapping for the canonical join")
     val edges = pairs.select(asLong(aCol).as("x"), asLong(bCol).as("y"))
       .union(pairs.select(asLong(bCol).as("x"), asLong(aCol).as("y")))
       .distinct()

@@ -86,7 +86,11 @@ object MultimodalOps {
     df.filter(col("kind") === "video")
       .withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))
       .withColumn("frame_bytes",
-        expr(s"substring(bytes, cast(frame_idx * octet_length(bytes) / $n as int) + 1, " +
+        // frame_idx * octet_length in BIGINT: the int product overflows at
+        // ~2GB·frame-weighted payloads (frame 7 of a 307MB video) — ANSI
+        // aborts the job, non-ANSI wraps negative and substring() silently
+        // reads from the END of the blob (wrong frame bytes, wrong sha)
+        expr(s"substring(bytes, cast(cast(frame_idx as bigint) * octet_length(bytes) / $n as bigint) + 1, " +
           s"cast(octet_length(bytes) / $n as int))"))
       .select(col("media_id"), col("frame_idx"),
         octet_length(col("frame_bytes")).as("frame_n_bytes"),

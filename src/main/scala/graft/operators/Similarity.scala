@@ -86,6 +86,11 @@ object SimilarityOps {
     * executor regenerates it, and the same formula is reproducible in SQL.
     */
   def lshBucket(vec: Column, planes: Int, seed: Long = 7L): Column = {
+    // JVM shifts wrap mod 64: shiftleft(1L, 64) == 1L, so plane 64 would
+    // silently alias plane 0's bit and corrupt bucket ids (same guard as
+    // sigBands) — 63 planes max keeps every bit distinct in one Long
+    require(planes >= 1 && planes <= 63,
+      s"lshBucket needs planes in [1, 63] (bits of one Long), got $planes")
     val proj = (m: Int) => aggregate(
       zip_with(vec, sequence(lit(0), size(vec) - 1), (v, d) =>
         v.cast("double") * planeComponent(m, d, seed)),

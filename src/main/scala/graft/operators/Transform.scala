@@ -84,6 +84,16 @@ object ColumnTransforms {
     // .port-translated ruby-yaml lambda path) — registration is idempotent
     graft.functions.YamlFunctions.register(df.sparkSession)
     val afterTransforms = transforms.foldLeft(df) { (d, spec) =>
+      // a sql: op ignores its chained input (it re-reads the ROW by name),
+      // so anywhere but FIRST it would silently discard every earlier op in
+      // the chain — reject the spec instead of computing a wrong value
+      spec.ops.zipWithIndex.drop(1).foreach { case (op, i) =>
+        if (op.startsWith("sql:")) throw new IllegalArgumentException(
+          s"column ${spec.column}: sql: op at chain position $i would discard " +
+          "the preceding ops (a sql: expression reads the original row, not " +
+          "the chained value) — make sql: the first op, or fold the whole " +
+          "chain into one sql: expression")
+      }
       val chained = spec.ops.foldLeft(col(spec.column))((c, op) => scalarOp(op)(c))
       val castDt = spec.castTo.map(parse)
       d.withColumn(spec.column, castDt.fold(chained)(chained.cast))

@@ -176,6 +176,12 @@ class ConfigSpec extends SparkSuite {
         "get_json_object(options, '$.elements.append')")))
     // ≙ extractAppendFromOptions → "Hello!" (database_test.go:174)
     assert(out.select("append").as[String].collect() === Array("Hello!"))
+    // tag surgery is POSITIONAL: a quoted value merely MENTIONING a ruby tag
+    // keeps its text (the old bare-pattern strip mutated the payload)
+    val mention = Seq((1L, "note: \"see !ruby/object:Set docs\"\n")).toDF("id", "y")
+      .select(graft.functions.YamlFunctions.yamlToJson(col("y")).as("j"))
+      .as[String].collect()(0)
+    assert(mention.contains("see !ruby/object:Set docs"), mention)
   }
 
   test("secrets: encrypt/decrypt round-trip, fresh nonces, delete, bad key fails") {

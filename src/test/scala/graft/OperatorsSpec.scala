@@ -69,7 +69,16 @@ class OperatorsSpec extends SparkSuite {
     // drop the non-numeric doc from the labeling (sum/least absorb nulls)
     val mixed = Seq(("123", "abc"), ("123", "456")).toDF("a", "b")
     val e = intercept[IllegalArgumentException](DedupOps.clusters(mixed).count())
-    assert(e.getMessage.contains("castable to LONG"))
+    assert(e.getMessage.contains("round-trip")) // non-numeric fails the round-trip guard first
+    // NON-CANONICAL numeric strings are just as dangerous: '0042' casts to
+    // 42, whose string form no longer matches the caller's id — canonical()
+    // would miss the duplicate, and '42'/'0042' would collapse to one node
+    val padded = Seq(("0042", "17"), ("42", "17")).toDF("a", "b")
+    val e2 = intercept[IllegalArgumentException](DedupOps.clusters(padded).count())
+    assert(e2.getMessage.contains("round-trip"))
+    // canonical numeric STRINGS still work (round-trip holds)
+    val strOk = Seq(("1", "2")).toDF("a", "b")
+    assert(DedupOps.clusters(strOk).count() === 2)
   }
 
   test("canonical keeps cluster minima and singletons, drops the rest") {
@@ -286,6 +295,23 @@ class OperatorsSpec extends SparkSuite {
     val r = docs.select(TextFunctions.langId(col("text")).as("l"))
       .groupBy("l").count().collect()
     assert(r.forall(_.getString(0) != null))
+    // NULL text → NULL prediction (a missing doc has no language), NOT the
+    // last profile's code — and the empty string is 'und', not null
+    import docs.sparkSession.implicits._
+    val edge = Seq((1, null: String), (2, ""), (3, "zzz qqq")).toDF("i", "text")
+      .select(col("i"), TextFunctions.langId(col("text")).as("l")).collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(edge(1) == null && edge(2) == "und" && edge(3) == "und")
+  }
+
+  test("exact dedup never folds null-text docs into one duplicate class") {
+    import docs.sparkSession.implicits._
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, null: String),
+      (4L, null: String)).toDF("doc_id", "text")
+    val r = DedupOps.exact(d).collect()
+    // one class for the real duplicates; the null-text docs are EXCLUDED
+    // (missing ≠ equal), so no class ever claims doc 3 or 4 as duplicates
+    assert(r.length === 1 && r(0).getLong(1) === 1L && r(0).getLong(2) === 2L)
   }
 
   test("langid classifies planted multilingual docs across all 7 profiles") {
