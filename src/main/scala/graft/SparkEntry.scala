@@ -191,8 +191,14 @@ object SparkEntry {
         count(lit(1)).as("n"),
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+        // the revenue sum is a scale-8 decimal; cast it to scale 4 FIRST so
+        // the decimal→double conversion is exact in both engines (a scale-4
+        // integer representation stays < 2^53 at gate scales, so the double
+        // is correctly rounded everywhere) — DuckDB's direct int128-decimal→
+        // double cast double-rounds (…0.0123005 vs the correct …0.0123 at
+        // sf0.1), which was the one 10×-scale gate divergence
         sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
-          .cast("double").as("revenue"))
+          .cast("decimal(38,4)").cast("double").as("revenue"))
       .orderBy("l_returnflag", "l_linestatus")
 
   private def s1ScanFilter(spark: SparkSession, dir: String): DataFrame =
@@ -237,8 +243,9 @@ object SparkEntry {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
+        // scale-4 first: exact decimal→double in both engines (see q1Agg)
         sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
-          .cast("double").as("revenue"),
+          .cast("decimal(38,4)").cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("n_name")
   }
@@ -900,8 +907,8 @@ object SparkEntry {
       SELECT l_returnflag, l_linestatus, count(*) AS n,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
       FROM lineitem GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
     "s1_scan_filter" -> """
@@ -925,8 +932,8 @@ object SparkEntry {
       ORDER BY o_orderkey""",
     "j2_join_agg" -> """
       SELECT n_name,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
         count(*) AS n_items
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
