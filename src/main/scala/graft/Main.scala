@@ -38,7 +38,7 @@ object Main {
     else df
 
   private[graft] val usage: String =
-    "usage: gen <dir> <n> [files] | replay <eventsDir> <tableRoot> <ckpt> [appId] [maxFiles] [mor] | " +
+    "usage: gen <dir> <n> [files] | replay <eventsDir> <tableRoot> <ckpt> [appId] [maxFiles] [mor] [retain=N] | " +
     "compact <tableRoot> [horizonLsn] | vacuum <tableRoot> [graceMs] [retainSnapshots] | " +
     "show <tableRoot> [version] | history <tableRoot> | incremental <tableRoot> <fromV> [toV] | " +
     "lookup <tableRoot> <keyValue...> | " +
@@ -83,7 +83,13 @@ object Main {
         .write.mode("overwrite").parquet(dir)
       println(s"[gen] wrote ${n} events to $dir in $files lsn-ranged files")
 
-    case "replay" :: eventsDir :: tableRoot :: checkpointDir :: rest =>
+    case "replay" :: eventsDir :: tableRoot :: checkpointDir :: rest0 =>
+      // retain=N anywhere in the tail: in-loop retention vacuum for an
+      // unattended stream (bounds meta/ + superseded data/ growth; truncates
+      // the time-travel horizon to the newest N versions — opt-in)
+      val retain = rest0.collectFirst { case s if s.startsWith("retain=") =>
+        s.stripPrefix("retain=").toInt }.getOrElse(0)
+      val rest = rest0.filterNot(_.startsWith("retain="))
       val appId = rest.headOption.getOrElse("graft-cdc")
       val maxFiles = rest.drop(1).headOption.filter(_ != "mor").map(_.toInt)
       val mor = rest.contains("mor")
@@ -91,7 +97,8 @@ object Main {
       val v0 = table.latestVersion // -1 when the table does not exist yet
       val t0 = System.nanoTime()
       val (q, pipeline) = CdcStream.startWithPipeline(spark, eventsDir, table,
-        checkpointDir, appId, maxFilesPerTrigger = maxFiles, mergeOnRead = mor)
+        checkpointDir, appId, maxFilesPerTrigger = maxFiles, mergeOnRead = mor,
+        retainSnapshots = retain)
       q.awaitTermination()
       // drain any in-flight background compaction before the final read, so
       // the reported file/row counts reflect a quiesced table

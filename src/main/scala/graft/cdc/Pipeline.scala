@@ -186,11 +186,31 @@ object Lineage {
   *        rewrites (most-fragmented first): bounds the background
   *        maintenance job so a pathologically fragmented table is healed
   *        over several runs instead of one table-sized rewrite.
+  * @param retainSnapshots when > 0, the background maintenance also runs
+  *        [[graft.lake.LakeTable.vacuum]] every `vacuumEveryBatches` batches,
+  *        keeping the newest `retainSnapshots` versions readable. Without it
+  *        a sustained stream grows `meta/` by one snapshot record (plus
+  *        changed-group manifests) per commit and `data/` by every superseded
+  *        copy-on-write generation — at seconds-per-batch that is the same
+  *        ~500k-files-per-month object-store listing problem the lineage
+  *        roll-up solves for `lineage/`. 0 (default) keeps every version:
+  *        retention deliberately stays OPT-IN because it truncates the time-
+  *        travel horizon (`show <v>`/`history`/`incremental` reach only
+  *        retained versions).
+  * @param vacuumGraceMs passed to vacuum: files younger than this are never
+  *        collected. MUST exceed the longest write-to-commit gap of any
+  *        concurrent writer (this stream's own merges included — staged data
+  *        files are renamed into `data/` BEFORE their snapshot publishes);
+  *        the 10-minute default covers any sane micro-batch. Tests that own
+  *        the table exclusively and are quiesced may pass 0.
   */
 final class CdcPipeline(val table: LakeTable, val appId: String,
     lineage: Boolean = true, val mergeOnRead: Boolean = false,
     val compactEveryFiles: Int = 16,
-    val maxCompactBucketsPerRun: Int = 256) {
+    val maxCompactBucketsPerRun: Int = 256,
+    val retainSnapshots: Int = 0,
+    val vacuumEveryBatches: Int = 64,
+    val vacuumGraceMs: Long = 600000L) {
 
   // --- background maintenance (round 5): auto-compaction used to run
   // SYNCHRONOUSLY inside the micro-batch — at sustained ingest a hot batch
@@ -289,7 +309,9 @@ final class CdcPipeline(val table: LakeTable, val appId: String,
       table.lastCommitted.orElse(table.currentSnapshot)
         .exists(_.files.groupBy(_.bucket).exists(_._2.size > compactEveryFiles))
     val needRollup = lineage && batchId > 0 && batchId % 64 == 0
-    if ((needCompact || needRollup) && (inflight == null || inflight.isDone))
+    val needVacuum = retainSnapshots > 0 && batchId > 0 &&
+      batchId % vacuumEveryBatches == 0
+    if ((needCompact || needRollup || needVacuum) && (inflight == null || inflight.isDone))
       inflight = maintenancePool.submit(new Runnable {
         def run(): Unit = {
           if (needCompact)
@@ -303,6 +325,15 @@ final class CdcPipeline(val table: LakeTable, val appId: String,
               case e: Throwable =>
                 maintenanceError = e
                 System.err.println(s"[cdc] background compaction FAILED: $e")
+            }
+          if (needVacuum)
+            // after compaction, so the generations it just superseded age
+            // toward collection; grace (not ordering) is the safety rail
+            try table.vacuum(vacuumGraceMs, retainSnapshots)
+            catch {
+              case e: Throwable =>
+                maintenanceError = e
+                System.err.println(s"[cdc] retention vacuum FAILED: $e")
             }
           if (needRollup)
             try Lineage.compact(spark, table.root)

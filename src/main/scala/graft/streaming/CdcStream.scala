@@ -37,20 +37,27 @@ object CdcStream {
       readSchema: org.apache.spark.sql.types.StructType = CdcModel.eventSchema,
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None,
-      mergeOnRead: Boolean = false): StreamingQuery =
+      mergeOnRead: Boolean = false,
+      retainSnapshots: Int = 0): StreamingQuery =
     startWithPipeline(spark, eventsDir, table, checkpointDir, appId, readSchema,
-      trigger, maxFilesPerTrigger, mergeOnRead)._1
+      trigger, maxFilesPerTrigger, mergeOnRead, retainSnapshots)._1
 
   /** Like [[start]] but also returns the pipeline, so a caller that stops the
     * stream can `awaitMaintenance()` (background compaction) before reading
-    * file-count invariants or tearing the table down. */
+    * file-count invariants or tearing the table down.
+    * @param retainSnapshots > 0 enables in-loop retention vacuum (see
+    *        [[graft.cdc.CdcPipeline]]) — bounds `meta/` and superseded
+    *        `data/` generations on an unattended tail, at the cost of the
+    *        time-travel horizon. */
   def startWithPipeline(spark: SparkSession, eventsDir: String, table: LakeTable,
       checkpointDir: String, appId: String,
       readSchema: org.apache.spark.sql.types.StructType = CdcModel.eventSchema,
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None,
-      mergeOnRead: Boolean = false): (StreamingQuery, CdcPipeline) = {
-    val pipeline = new CdcPipeline(table, appId, mergeOnRead = mergeOnRead)
+      mergeOnRead: Boolean = false,
+      retainSnapshots: Int = 0): (StreamingQuery, CdcPipeline) = {
+    val pipeline = new CdcPipeline(table, appId, mergeOnRead = mergeOnRead,
+      retainSnapshots = retainSnapshots)
     pipeline.bootstrap()
     val reader = spark.readStream.schema(readSchema)
     val withOpts = maxFilesPerTrigger.fold(reader)(n =>

@@ -614,6 +614,44 @@ class CdcPipelineSpec extends SparkSuite {
     assert(Lineage.compact(spark, t.root, keepRecent = 64) === 0)
   }
 
+  test("in-stream retention vacuum bounds meta/ and data/ without changing state") {
+    val root = SparkTestBase.tmpDir("cdc-retain")
+    val table = LakeTable(root)(spark)
+    // phase 1, retention OFF (the default): copy-on-write batches supersede
+    // files and every version's snapshot record accumulates
+    val p0 = new CdcPipeline(table, "app-retain")
+    p0.bootstrap(numBuckets = 8)
+    val bounds = events.agg(min("lsn"), max("lsn")).collect()(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val split = lo + (hi - lo) * 4 / 5
+    p0.replay(events.filter(col("lsn") <= split), numBatches = 8)
+    assert(table.versions.size === 9, "bootstrap + 8 batch commits")
+    val dataBefore = new java.io.File(s"$root/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // age everything on disk past the grace window, as wall-clock would
+    val fs = table.fs
+    val old = System.currentTimeMillis() - 3600000L
+    for (dir <- Seq("meta", "data"))
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$dir")).filter(_.isFile)
+        .foreach(st => fs.setTimes(st.getPath, old, -1))
+    // phase 2, retention ON: the next batch's background maintenance runs the
+    // vacuum (cadence 1); quiesced afterwards, so grace only shields the
+    // fresh batch's own files
+    val p1 = new CdcPipeline(table, "app-retain", retainSnapshots = 2,
+      vacuumEveryBatches = 1, vacuumGraceMs = 60000L)
+    p1.replay(events.filter(col("lsn") > split), numBatches = 1, startBatchId = 8)
+    p1.awaitMaintenance()
+    assert(table.versions === Seq(8L, 9L),
+      s"expired versions must be gone, got ${table.versions}")
+    val live = (table.snapshot(8L).files ++ table.snapshot(9L).files).map(_.path).toSet
+    val dataAfter = new java.io.File(s"$root/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(dataAfter === live, "data/ must hold exactly the retained snapshots' files")
+    assert(dataAfter.size < dataBefore, "superseded CoW generations must be collected")
+    // the surviving state is still exactly the LWW fold of the whole stream
+    assert(digest(finalState(p1)).sameElements(digest(oracle(events))))
+  }
+
   test("merge validates the key layout and ties break deterministically without content") {
     import spark.implicits._
     val root = SparkTestBase.tmpDir("cdc-keys")
