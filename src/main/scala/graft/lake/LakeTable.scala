@@ -131,7 +131,36 @@ final class LakeTable(val root: String, spark: SparkSession) {
       .toList.sorted
   }
 
-  def latestVersion: Long = allVersions.foldLeft(-1L)(math.max)
+  private def snapshotPath(v: Long): HPath = new HPath(metaDir, s"snapshot-$v.json")
+  private def hintPath: HPath = new HPath(metaDir, "version-hint.text")
+
+  /** Latest committed version, resolved WITHOUT listing `meta/` when the
+    * best-effort `version-hint.text` (the Iceberg HadoopTableOperations
+    * pattern) is present: read the hint, then probe FORWARD until the next
+    * snapshot slot is empty. Sound because versions are consecutive by
+    * construction (version = parent+1 under the commit CAS) and vacuum only
+    * expires the OLDEST, so the existing records always form a contiguous
+    * tail — a hint that is stale-low (a writer crashed between publish and
+    * hint write, or a racing commit landed since) is corrected by the probe,
+    * and a hint pointing at an EXPIRED version misses its probe base and
+    * falls back to the listing. Turns the per-read/per-commit metadata cost
+    * from one LIST (O(retained files), the expensive+slow call on object
+    * stores) into one GET + ~1-2 existence probes. The hint is written
+    * best-effort after every successful commit; any failure to read,
+    * parse, or trust it degrades to the listing, never to a wrong answer. */
+  def latestVersion: Long = {
+    val hinted: Long =
+      try {
+        val h = readString(fs, hintPath).trim.toLong
+        if (h < 0 || !fs.exists(snapshotPath(h))) -1L // stale/expired → list
+        else {
+          var v = h
+          while (fs.exists(snapshotPath(v + 1))) v += 1
+          v
+        }
+      } catch { case _: Exception => -1L }
+    if (hinted >= 0) hinted else allVersions.foldLeft(-1L)(math.max)
+  }
 
   /** Snapshot with `files` inflated from its manifests (cached — manifests
     * are immutable, so one read per path per process). */
@@ -529,6 +558,11 @@ final class LakeTable(val root: String, spark: SparkSession) {
             "present — filesystem fault, not a commit conflict")
         }
       }
+      // best-effort version hint (see [[latestVersion]]): losing this write —
+      // or a concurrent committer overwriting it with its own version — only
+      // costs the next reader a forward probe or a listing, never correctness
+      try writeString(fs, hintPath, s.version.toString)
+      catch { case _: java.io.IOException => }
       // in-memory result keeps the flat file list AND the manifest refs (and
       // the granule they were grouped with), so a follow-up commit with this
       // snapshot as parent reuses refs with no IO

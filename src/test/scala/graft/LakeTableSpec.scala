@@ -270,6 +270,9 @@ class LakeTableSpec extends SparkSuite {
     val fs = t.fs
     val orphan = new org.apache.hadoop.fs.Path(t.root, "meta/manifest-orphan.json")
     val out = fs.create(orphan, true); out.write("[]".getBytes("UTF-8")); out.close()
+    // age it explicitly: grace-0 still requires mtime STRICTLY before the
+    // cutoff, and create + vacuum can land in the same millisecond (flake)
+    fs.setTimes(orphan, System.currentTimeMillis() - 1000L, -1)
     t.vacuum(graceMs = 0L)
     assert(!fs.exists(orphan), "orphan manifest must be collected")
     // live manifests survive and the table still reads
@@ -349,9 +352,41 @@ class LakeTableSpec extends SparkSuite {
     // within the grace window the (possibly in-flight) staging dir survives
     t.vacuum(graceMs = 600000L)
     assert(fs.exists(dead), "grace window must protect an in-flight writer")
-    // past the grace window it is dead weight and must be collected
+    // past the grace window it is dead weight and must be collected (aged
+    // explicitly: mkdir + vacuum in the same millisecond would flake grace-0)
+    fs.setTimes(dead, System.currentTimeMillis() - 1000L, -1)
     t.vacuum(graceMs = 0L)
     assert(!fs.exists(dead), "orphaned staging dir must be swept")
     assert(t.read().count() === 1) // live data untouched
+  }
+
+  test("version hint: stale, expired, corrupt and missing hints all resolve correctly") {
+    val t = LakeTable(SparkTestBase.tmpDir("lake-hint"))(spark)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val hint = new org.apache.hadoop.fs.Path(s"${t.root}/meta/version-hint.text")
+    t.create(schema, 4, "t")
+    (1 to 4).foreach(_ => t.overwrite(Seq(("a", 1L)).toDF("k", "v"), Seq("k"), "t"))
+    // the happy path: every commit refreshed the hint
+    assert(LakeTable.readString(fs, hint).trim === "4")
+    assert(t.latestVersion === 4L)
+    // stale-LOW hint (writer crashed between publish and hint write, or a
+    // racing commit landed since): the forward probe must correct it
+    LakeTable.writeString(fs, hint, "1")
+    assert(t.latestVersion === 4L)
+    // corrupt hint: fall back to the listing, never to a wrong answer
+    LakeTable.writeString(fs, hint, "not-a-number")
+    assert(t.latestVersion === 4L)
+    // missing hint (pre-hint table): the listing path
+    fs.delete(hint, false)
+    assert(t.latestVersion === 4L)
+    // EXPIRED hint: vacuum retention deleted the hinted version's record —
+    // its probe base is gone, so resolution falls back to the listing
+    t.vacuum(graceMs = 0L, retainSnapshots = 2)
+    LakeTable.writeString(fs, hint, "1") // version 1 no longer exists
+    assert(t.versions === List(3L, 4L))
+    assert(t.latestVersion === 4L)
+    // and the next commit repairs the hint
+    t.overwrite(Seq(("b", 2L)).toDF("k", "v"), Seq("k"), "t")
+    assert(LakeTable.readString(fs, hint).trim === "5")
   }
 }
