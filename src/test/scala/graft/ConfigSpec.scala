@@ -232,6 +232,9 @@ class ConfigSpec extends SparkSuite {
     // the published manifest is the winner's, intact
     val s = t.snapshot(1L)
     assert(results.collect { case Right(i) => s"app-$i" }.head === s.appId)
+    // the version hint is the winner's too (losers throw BEFORE the hint
+    // write), and resolution through it lands on the raced slot
+    assert(t.latestVersion === 1L)
   }
 
   test("new scaffold: pad skeleton + example spec round-trips through JobSpec.load") {
