@@ -42,6 +42,7 @@ object Main {
     "compact <tableRoot> [horizonLsn] | vacuum <tableRoot> [graceMs] [retainSnapshots] | " +
     "show <tableRoot> [version] | history <tableRoot> | incremental <tableRoot> <fromV> [toV] | " +
     "lookup <tableRoot> <keyValue...> | " +
+    "follow <sourceRoot> <targetRoot> <offsetDir> [appId] [mor] [reconcile] [where=<sqlExpr>] [batches=N] [poll=ms] [idle=N] | " +
     "extract-load <spec.json> <table> [--preview] [--full] | schedule <spec.json> | " +
     "list-tables <dir> | " +
     "describe-table <root> | table-metadata <root> | drop-table <root> | rebucket <root> <numBuckets> | " +
@@ -185,6 +186,42 @@ object Main {
         val incr = table.readAppends(from, to)
         println(s"[incremental] ($from, $to]: ${incr.count()} rows")
         maskContent(incr).show(10, truncate = false)
+      }
+
+    // downstream change-feed consumer: follow a table's commit history and
+    // maintain a replica (or a key-filtered projection, where=<sqlExpr>) in a
+    // second table — durable offsets in <offsetDir>, exactly-once state via
+    // the same fencing + LWW the ingest side uses. Drains and exits by
+    // default (cron-friendly); idle=N tails through N empty polls.
+    case "follow" :: sourceRoot :: targetRoot :: offsetDir :: rest =>
+      val source = LakeTable(sourceRoot)(spark)
+      if (!source.exists) sys.error(s"no table at $sourceRoot")
+      val appId = rest.filterNot(a => a.contains("=") || a == "mor" || a == "reconcile")
+        .headOption.getOrElse("graft-feed")
+      def opt(k: String) = rest.collectFirst {
+        case s if s.startsWith(s"$k=") => s.stripPrefix(s"$k=") }
+      val transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        opt("where") match {
+          case Some(pred) => _.filter(expr(pred))
+          case None => identity
+        }
+      val stats = graft.cdc.CdcFeed.pipe(source, LakeTable(targetRoot)(spark),
+        appId, offsetDir, transform = transform,
+        mergeOnRead = rest.contains("mor"),
+        idlePollsBeforeStop = opt("idle").map(_.toInt).getOrElse(0),
+        pollMs = opt("poll").map(_.toLong).getOrElse(500L),
+        maxBatches = opt("batches").map(_.toInt).getOrElse(Int.MaxValue))
+      if (stats.batches == 0)
+        println(s"[follow] caught up at source version ${stats.fromVersion}: nothing to apply")
+      else
+        println(s"[follow] applied ${stats.events} rows in ${stats.batches} batch(es): " +
+          s"source (${stats.fromVersion}, ${stats.toVersion}] → $targetRoot " +
+          s"at version ${LakeTable(targetRoot)(spark).latestVersion}")
+      // repair deletes a lagging consumer missed past the tombstone-GC horizon
+      if (rest.contains("reconcile")) {
+        val repaired = graft.cdc.CdcFeed.reconcile(source,
+          LakeTable(targetRoot)(spark), appId, transform)
+        println(s"[follow] reconcile: $repaired stale key(s) deleted from $targetRoot")
       }
 
     // point lookup: live row(s) of ONE key, reading only the bucket the key

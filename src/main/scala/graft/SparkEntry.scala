@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.cdc.{CdcPipeline, Lineage}
+import graft.cdc.{CdcFeed, CdcPipeline, Lineage}
 import graft.functions.TextFunctions
 import graft.lake.LakeTable
 import graft.model.DerivedEvents
@@ -133,6 +133,34 @@ object SparkEntry {
       .select(col("repo"), col("path"), col("commit"), col("lang"),
         sha2(col("content"), 256).as("content_sha"),
         col("_deleted").as("is_delete"))
+      .orderBy("repo", "path", "commit")
+  }
+
+  /** Downstream feed: replay half the stream into a merge-on-read source,
+    * pipe a KEY-FILTERED projection to a second table via [[CdcFeed]]
+    * (durable offsets), land the rest, pipe again — the second pipe must
+    * RESUME from the recorded offset. The replica's live state is the
+    * source's final LWW state under the same key filter; the oracle computes
+    * that directly. */
+  private def cdcFeedReplica(spark: SparkSession, dir: String): DataFrame = {
+    val ev = derivedEvents(spark, dir)
+    val b = ev.agg(min("lsn"), max("lsn")).collect()(0)
+    val split = (b.getLong(0) + b.getLong(1)) / 2
+    val src = new CdcPipeline(
+      LakeTable(scratch("gate-feed-src"))(spark), "gate", lineage = false,
+      mergeOnRead = true)
+    src.bootstrap(numBuckets = 16)
+    val tgt = LakeTable(scratch("gate-feed-tgt"))(spark)
+    val off = scratch("gate-feed-off")
+    val keyFilter = (d: DataFrame) => d.filter(substring(col("commit"), 1, 1) < "8")
+    src.applyBatch(ev.filter(col("lsn") < split), 0L, orderedDelivery = true)
+    CdcFeed.pipe(src.table, tgt, "gate-feed", off, transform = keyFilter)
+    src.applyBatch(ev.filter(col("lsn") >= split), 1L, orderedDelivery = true)
+    val s = CdcFeed.pipe(src.table, tgt, "gate-feed", off, transform = keyFilter)
+    require(s.fromVersion >= 0, "second pipe must resume from the durable offset")
+    CdcPipeline.liveState(tgt)
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        sha2(col("content"), 256).as("content_sha"))
       .orderBy("repo", "path", "commit")
   }
 
@@ -764,6 +792,7 @@ object SparkEntry {
     "cdc_schema_evolution" -> (cdcSchemaEvolution _),
     "cdc_time_travel" -> (cdcTimeTravel _),
     "cdc_incremental_read" -> (cdcIncrementalRead _),
+    "cdc_feed_replica" -> (cdcFeedReplica _),
     "cdc_point_lookup" -> (cdcPointLookup _),
     "cdc_lineage" -> (cdcLineage _),
     "q1_agg" -> (q1Agg _),
@@ -835,6 +864,10 @@ object SparkEntry {
     "cdc_replay_state" -> s"""$evCte, $lwwRanked
       SELECT repo, path, "commit", lang, sha256(content) AS content_sha
       FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY repo, path, "commit"""",
+    "cdc_feed_replica" -> s"""$evCte, $lwwRanked
+      SELECT repo, path, "commit", lang, sha256(content) AS content_sha
+      FROM ranked WHERE rn = 1 AND op <> 'D' AND substr("commit", 1, 1) < '8'
       ORDER BY repo, path, "commit"""",
     "cdc_dedup_lww" -> s"""$evCte, $lwwRanked
       SELECT repo, path, "commit", lsn, op, sha256(content) AS content_sha

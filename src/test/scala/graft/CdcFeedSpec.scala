@@ -1,0 +1,223 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{CdcFeed, CdcPipeline}
+import graft.lake.LakeTable
+import graft.model.DerivedEvents
+
+/** Downstream change-feed consumer: a piped replica/projection must converge
+  * to the source's live state under every delivery shape — drain, staged
+  * catch-up with resume, lost offsets (replay), copy-on-write superset
+  * re-delivery, and a feed that fell behind the source's retention horizon.
+  */
+class CdcFeedSpec extends SparkSuite {
+
+  lazy val events = DerivedEvents.fromDocuments(
+    spark.read.parquet(s"$sfDir/documents.parquet")).cache()
+
+  private def shaState(df: DataFrame): DataFrame =
+    df.select(col("repo"), col("path"), col("commit"), col("lang"),
+      sha2(col("content"), 256).as("content_sha"))
+
+  private def assertSameState(got: DataFrame, want: DataFrame): Unit = {
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
+  /** A merge-on-read source replayed in `n` batches. */
+  private def morSource(root: String, n: Int, upToLsnFrac: Double = 1.0): CdcPipeline = {
+    val p = new CdcPipeline(LakeTable(root)(spark), "feed-src",
+      lineage = false, mergeOnRead = true)
+    p.bootstrap(numBuckets = 8)
+    val b = events.agg(min("lsn"), max("lsn")).collect()(0)
+    val cut = b.getLong(0) + ((b.getLong(1) - b.getLong(0)) * upToLsnFrac).toLong
+    p.replay(events.filter(col("lsn") <= cut), numBatches = n)
+    p
+  }
+
+  test("drained feed is an exact replica; an idle re-run applies nothing") {
+    val srcRoot = SparkTestBase.tmpDir("feed-src")
+    val tgtRoot = SparkTestBase.tmpDir("feed-tgt")
+    val off = SparkTestBase.tmpDir("feed-off")
+    val src = morSource(srcRoot, n = 4)
+    val stats = CdcFeed.pipe(src.table, LakeTable(tgtRoot)(spark), "feed", off)
+    assert(stats.batches === 1 && stats.events > 0,
+      "a drain coalesces every pending version into one merge")
+    assert(stats.toVersion === src.table.latestVersion)
+    assertSameState(shaState(CdcPipeline.liveState(LakeTable(tgtRoot)(spark))),
+      shaState(src.state()))
+    // replica layout: key and bucket count copied from the source
+    val (s, t) = (src.table.currentSnapshot.get,
+      LakeTable(tgtRoot)(spark).currentSnapshot.get)
+    assert(t.keyCols === s.keyCols && t.numBuckets === s.numBuckets)
+    val again = CdcFeed.pipe(src.table, LakeTable(tgtRoot)(spark), "feed", off)
+    assert(again.batches === 0 && again.toVersion === -1L, "nothing new → no merge")
+  }
+
+  test("staged catch-up resumes from the durable offset, not from scratch") {
+    val srcRoot = SparkTestBase.tmpDir("feed-src2")
+    val tgtRoot = SparkTestBase.tmpDir("feed-tgt2")
+    val off = SparkTestBase.tmpDir("feed-off2")
+    val src = morSource(srcRoot, n = 2, upToLsnFrac = 0.5)
+    val tgt = LakeTable(tgtRoot)(spark)
+    val first = CdcFeed.pipe(src.table, tgt, "feed", off)
+    assert(first.batches === 1)
+    val offsetAfterFirst = CdcFeed.readOffset(tgt.fs, off)
+    assert(offsetAfterFirst === src.table.latestVersion)
+    // more source batches land, then the feed catches up incrementally
+    val b = events.agg(min("lsn"), max("lsn")).collect()(0)
+    val cut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    src.replay(events.filter(col("lsn") > cut), numBatches = 2, startBatchId = 2)
+    val second = CdcFeed.pipe(src.table, tgt, "feed", off)
+    assert(second.batches === 1)
+    assert(second.fromVersion === offsetAfterFirst,
+      "the second run must resume from the recorded offset")
+    assertSameState(shaState(CdcPipeline.liveState(tgt)), shaState(src.state()))
+  }
+
+  test("lost offsets replay the whole feed as a no-op (fencing + LWW)") {
+    val srcRoot = SparkTestBase.tmpDir("feed-src3")
+    val tgtRoot = SparkTestBase.tmpDir("feed-tgt3")
+    val off = SparkTestBase.tmpDir("feed-off3")
+    val src = morSource(srcRoot, n = 4)
+    val tgt = LakeTable(tgtRoot)(spark)
+    CdcFeed.pipe(src.table, tgt, "feed", off)
+    val vBefore = tgt.latestVersion
+    // simulate a consumer that lost its offset directory entirely
+    val off2 = SparkTestBase.tmpDir("feed-off3b")
+    CdcFeed.pipe(src.table, tgt, "feed", off2)
+    assert(tgt.latestVersion === vBefore,
+      "replaying the full feed against a caught-up target must be fenced to a no-op")
+    assertSameState(shaState(CdcPipeline.liveState(tgt)), shaState(src.state()))
+  }
+
+  test("copy-on-write source: rewrite re-delivery converges under LWW") {
+    val srcRoot = SparkTestBase.tmpDir("feed-src4")
+    val tgtRoot = SparkTestBase.tmpDir("feed-tgt4")
+    val off = SparkTestBase.tmpDir("feed-off4")
+    val src = new CdcPipeline(LakeTable(srcRoot)(spark), "feed-src", lineage = false)
+    src.bootstrap(numBuckets = 8)
+    val b = events.agg(min("lsn"), max("lsn")).collect()(0)
+    val cut = (b.getLong(0) + b.getLong(1)) / 2
+    val tgt = LakeTable(tgtRoot)(spark)
+    // feed version-by-version: batch 2's copy-on-write rewrite re-delivers
+    // rows the target already applied from batch 1 (the superset case)
+    src.replay(events.filter(col("lsn") <= cut), numBatches = 1)
+    val s1 = CdcFeed.pipe(src.table, tgt, "feed", off)
+    val v1 = src.table.latestVersion
+    src.replay(events.filter(col("lsn") > cut), numBatches = 1, startBatchId = 1)
+    val v2 = src.table.latestVersion
+    assert(CdcFeed.asEvents(src.table.readAppends(v1, v2))
+      .filter(col("lsn") <= cut).count() > 0,
+      "precondition: the CoW rewrite must re-deliver batch-1 rows in this layout")
+    val s2 = CdcFeed.pipe(src.table, tgt, "feed", off)
+    assert(s1.batches === 1 && s2.batches === 1)
+    assertSameState(shaState(CdcPipeline.liveState(tgt)), shaState(src.state()))
+  }
+
+  test("key-derived filtered projection maintains exactly the sub-replica") {
+    val srcRoot = SparkTestBase.tmpDir("feed-src5")
+    val tgtRoot = SparkTestBase.tmpDir("feed-tgt5")
+    val off = SparkTestBase.tmpDir("feed-off5")
+    val src = morSource(srcRoot, n = 4)
+    val tgt = LakeTable(tgtRoot)(spark)
+    CdcFeed.pipe(src.table, tgt, "feed", off,
+      transform = _.filter(substring(col("commit"), 1, 1) < "8").drop("eventTime"))
+    assertSameState(
+      shaState(CdcPipeline.liveState(tgt)),
+      shaState(src.state().filter(substring(col("commit"), 1, 1) < "8")))
+  }
+
+  test("deletes at the source propagate as tombstones") {
+    import spark.implicits._
+    val srcRoot = SparkTestBase.tmpDir("feed-src6")
+    val tgtRoot = SparkTestBase.tmpDir("feed-tgt6")
+    val off = SparkTestBase.tmpDir("feed-off6")
+    val src = morSource(srcRoot, n = 2)
+    val tgt = LakeTable(tgtRoot)(spark)
+    CdcFeed.pipe(src.table, tgt, "feed", off)
+    // pick a live key, delete it at the source, feed again
+    val victim = src.state().select("repo", "path", "commit").orderBy("repo", "path", "commit").head()
+    val maxLsn = events.agg(max("lsn")).collect()(0).getLong(0)
+    val del = Seq((maxLsn + 1, "D", victim.getString(0), victim.getString(1),
+      victim.getString(2), null: String, "", new java.sql.Timestamp(0L)))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content", "eventTime")
+    src.applyBatch(del, batchId = 2L)
+    CdcFeed.pipe(src.table, tgt, "feed", off)
+    assert(CdcPipeline.liveState(tgt)
+      .filter(col("repo") === victim.getString(0) && col("path") === victim.getString(1) &&
+        col("commit") === victim.getString(2)).count() === 0,
+      "the deleted key must disappear from the fed replica")
+    assertSameState(shaState(CdcPipeline.liveState(tgt)), shaState(src.state()))
+  }
+
+  test("a transform that drops a required column fails loudly") {
+    val srcRoot = SparkTestBase.tmpDir("feed-src7")
+    val off = SparkTestBase.tmpDir("feed-off7")
+    val src = morSource(srcRoot, n = 1)
+    val e = intercept[IllegalArgumentException] {
+      CdcFeed.pipe(src.table, LakeTable(SparkTestBase.tmpDir("feed-tgt7"))(spark),
+        "feed", off, transform = _.drop("commit"))
+    }
+    assert(e.getMessage.contains("commit"))
+  }
+
+  test("reconcile repairs deletes a lagging consumer missed past tombstone GC") {
+    import spark.implicits._
+    val srcRoot = SparkTestBase.tmpDir("feed-src9")
+    val tgtRoot = SparkTestBase.tmpDir("feed-tgt9")
+    val off = SparkTestBase.tmpDir("feed-off9")
+    val src = morSource(srcRoot, n = 1, upToLsnFrac = 0.5)
+    val tgt = LakeTable(tgtRoot)(spark)
+    CdcFeed.pipe(src.table, tgt, "feed", off)
+    // the source deletes 3 keys, then tombstone GC collects the deletes
+    // BEFORE the consumer's next poll (the Kafka-compaction lag hazard)
+    val victims = src.state().select("repo", "path", "commit")
+      .orderBy("repo", "path", "commit").limit(3).collect()
+    val maxLsn = events.agg(max("lsn")).collect()(0).getLong(0)
+    val dels = victims.zipWithIndex.map { case (v, i) =>
+      (maxLsn + 1 + i, "D", v.getString(0), v.getString(1), v.getString(2),
+        null: String, "", new java.sql.Timestamp(0L))
+    }.toSeq.toDF("lsn", "op", "repo", "path", "commit", "lang", "content", "eventTime")
+    src.applyBatch(dels, batchId = 1L)
+    graft.cdc.Compaction(src.table, horizonLsn = maxLsn + 4,
+      maxFilesPerBucket = 1, maxBucketsPerRun = Int.MaxValue)
+    val stats = CdcFeed.pipe(src.table, tgt, "feed", off)
+    assert(stats.batches === 1)
+    val srcCount = src.state().count()
+    assert(CdcPipeline.liveState(tgt).count() === srcCount + 3,
+      "precondition: the GC'd deletes must be invisible to the feed")
+    val repaired = CdcFeed.reconcile(src.table, tgt, "feed")
+    assert(repaired === 3L)
+    assertSameState(shaState(CdcPipeline.liveState(tgt)), shaState(src.state()))
+    // idempotent: a second reconcile finds nothing stale
+    assert(CdcFeed.reconcile(src.table, tgt, "feed") === 0L)
+  }
+
+  test("feed behind the retention horizon resyncs from full state, correctly") {
+    val srcRoot = SparkTestBase.tmpDir("feed-src8")
+    val tgtRoot = SparkTestBase.tmpDir("feed-tgt8")
+    val off = SparkTestBase.tmpDir("feed-off8")
+    val src = morSource(srcRoot, n = 1, upToLsnFrac = 0.3)
+    val tgt = LakeTable(tgtRoot)(spark)
+    CdcFeed.pipe(src.table, tgt, "feed", off) // offset = v1
+    // source advances by several versions, then vacuums the feed's offset away
+    val b = events.agg(min("lsn"), max("lsn")).collect()(0)
+    val cut = b.getLong(0) + ((b.getLong(1) - b.getLong(0)) * 0.3).toLong
+    src.replay(events.filter(col("lsn") > cut), numBatches = 4, startBatchId = 1)
+    val fs = src.table.fs
+    val old = System.currentTimeMillis() - 3600000L
+    for (dir <- Seq("meta", "data"))
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$srcRoot/$dir")).filter(_.isFile)
+        .foreach(st => fs.setTimes(st.getPath, old, -1))
+    src.table.vacuum(graceMs = 60000L, retainSnapshots = 1)
+    assert(CdcFeed.readOffset(fs, off) < src.table.versions.min,
+      "precondition: the stored offset must predate the oldest retained version")
+    val stats = CdcFeed.pipe(src.table, tgt, "feed", off)
+    assert(stats.batches === 1)
+    assertSameState(shaState(CdcPipeline.liveState(tgt)), shaState(src.state()))
+  }
+}
