@@ -43,6 +43,7 @@ object Main {
     "show <tableRoot> [version] | history <tableRoot> | incremental <tableRoot> <fromV> [toV] | " +
     "lookup <tableRoot> <keyValue...> | " +
     "follow <sourceRoot> <targetRoot> <offsetDir> [appId] [mor] [reconcile] [where=<sqlExpr>] [batches=N] [poll=ms] [idle=N] | " +
+    "tail <sourceRoot> <outDir> <ckpt> | " +
     "extract-load <spec.json> <table> [--preview] [--full] | schedule <spec.json> | " +
     "list-tables <dir> | " +
     "describe-table <root> | table-metadata <root> | drop-table <root> | rebucket <root> <numBuckets> | " +
@@ -187,6 +188,22 @@ object Main {
         println(s"[incremental] ($from, $to]: ${incr.count()} rows")
         maskContent(incr).show(10, truncate = false)
       }
+
+    // the table as a native Structured Streaming source: drain the change
+    // feed (event shape: lsn, op, payload; deletes arrive as op='D') into a
+    // parquet directory through a checkpointed readStream — each rerun
+    // appends exactly the commits made since the last one (AvailableNow)
+    case "tail" :: sourceRoot :: outDir :: ckpt :: Nil =>
+      if (!LakeTable(sourceRoot)(spark).exists) sys.error(s"no table at $sourceRoot")
+      val before = LakeTable(sourceRoot)(spark).latestVersion
+      val q = spark.readStream.format("graft-table").option("path", sourceRoot).load()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      println(s"[tail] drained feed of $sourceRoot through version $before → $outDir " +
+        s"(${spark.read.parquet(outDir).count()} rows total; rerun appends the next delta)")
 
     // downstream change-feed consumer: follow a table's commit history and
     // maintain a replica (or a key-filtered projection, where=<sqlExpr>) in a

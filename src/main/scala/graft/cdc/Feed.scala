@@ -163,9 +163,10 @@ object CdcFeed {
     * keys live at the TARGET but no longer live at the SOURCE are deleted
     * from the target (one change batch of `D` events at the source's
     * watermark LSN — which bounds every stale row's `_lsn`, and still loses
-    * to any legitimately newer re-insert). Scale shape: one left-anti join
-    * keyed on the table key (both sides bucket-pruned scans, the join keys
-    * are the partition keys) — no full-payload shuffle, keys only. Runs
+    * to any legitimately newer re-insert). Scale shape: two live-state
+    * reads projected to the key columns feeding one left-anti join — the
+    * join shuffles keys only, never payload (a repair pass you run on
+    * demand, not per poll). Runs
     * under `<appId>-reconcile` so its fencing epoch never collides with the
     * feed's version-numbered batches. Returns the number of keys repaired.
     *

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftSparkInternals
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.cdc.CdcFeed
+import graft.lake.LakeTable
+
+/** Table version as a Structured Streaming offset (checkpoint-serialized). */
+case class LakeSourceOffset(version: Long) extends OffsetV1 {
+  override def json: String = s"""{"version":$version}"""
+}
+
+object LakeSourceOffset {
+  private val VersionRe = """\{\s*"version"\s*:\s*(-?\d+)\s*\}""".r
+  def fromJson(s: String): LakeSourceOffset = s.trim match {
+    case VersionRe(v) => LakeSourceOffset(v.toLong)
+    case other => throw new IllegalArgumentException(s"not a LakeSourceOffset: $other")
+  }
+  def of(o: org.apache.spark.sql.connector.read.streaming.Offset): LakeSourceOffset = o match {
+    case l: LakeSourceOffset => l
+    case other => fromJson(other.json)
+  }
+}
+
+/** A LakeTable as a native Structured Streaming SOURCE — the table's commit
+  * history becomes a stream any Spark streaming query can consume:
+  *
+  * {{{
+  * spark.readStream
+  *   .format("graft.streaming.LakeSourceProvider")   // or short name "graft-table"
+  *   .option("path", tableRoot)
+  *   .load()                                          // lsn, op, <payload…>
+  *   .groupBy(window(...), ...).agg(...)              // watermarks, state, any sink
+  * }}}
+  *
+  * Offsets ARE table versions: `getOffset` = the version hint's one GET,
+  * `getBatch(v1, v2)` = [[LakeTable.readAppends]] in event shape
+  * ([[CdcFeed.asEvents]] — tombstones arrive as `op = 'D'` rows), so a
+  * micro-batch costs O(files added in the range) — never a table scan. The
+  * engine's checkpoint makes delivery exactly-once to transactional sinks
+  * (the same contract as Spark's file source; this is the v1 `Source` API —
+  * the same surface Delta Lake's streaming source ships on — because v1
+  * lets `getBatch` hand Spark a whole DataFrame plan; DSv2's
+  * `MicroBatchStream` would force a hand-rolled parquet PartitionReader).
+  *
+  * Semantics riders (both documented Delta behaviors too):
+  *  - merge-on-read sources stream EXACT per-commit change sets; a
+  *    copy-on-write rewrite re-delivers the rewritten buckets' untouched
+  *    rows (downstream must be LWW/idempotent, e.g. a [[CdcFeed]]-shaped
+  *    merge or an aggregation in update mode);
+  *  - the schema is pinned when the stream starts (evolution requires a
+  *    restart);
+  *  - a checkpointed offset that has been vacuumed away FAILS the stream
+  *    (restart with a fresh checkpoint to resync) — silently resyncing
+  *    would duplicate the whole table into append-mode sinks.
+  */
+final class LakeSource(spark: SparkSession, root: String) extends Source {
+
+  private val table = LakeTable(root)(spark)
+
+  // pinned at stream start; evolution requires a restart (Delta semantics)
+  override val schema: StructType = LakeSource.eventSchema(spark, table)
+
+  override def getOffset: Option[OffsetV1] = {
+    val v = table.latestVersion
+    if (v < 0) None else Some(LakeSourceOffset(v))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val from = start.map(LakeSourceOffset.of(_).version).getOrElse(-1L)
+    val to = LakeSourceOffset.of(end).version
+    val events =
+      if (from >= to)
+        CdcFeed.asEvents(table.read().filter(lit(false))) // recovery no-op
+      else {
+        if (from >= 0)
+          try table.snapshot(from)
+          catch {
+            case e: Exception => throw new IllegalStateException(
+              s"stream offset $from of $root has been vacuumed away (${e.getMessage}) — " +
+              "the delta is unrecoverable; restart with a fresh checkpoint to resync " +
+              "and size the table's retainSnapshots above the consumer's lag", e)
+          }
+        CdcFeed.asEvents(table.readAppends(from, to))
+      }
+    // align to the pinned schema: same column order; a MISSING column means
+    // the table evolved under the running stream — fail like Delta does
+    val missing = schema.fieldNames.filterNot(events.columns.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"$root dropped column(s) ${missing.mkString(", ")} under a running stream — " +
+      "restart the stream to adopt the new schema")
+    GraftSparkInternals.asStreamingFrame(spark,
+      events.select(schema.fieldNames.map(col).toIndexedSeq: _*), schema)
+  }
+
+  override def commit(end: OffsetV1): Unit = () // retention is vacuum's job
+  override def stop(): Unit = ()
+  override def toString: String = s"LakeSource[$root]"
+}
+
+object LakeSource {
+  /** The stream's row shape: `lsn`, `op`, then the stored payload columns in
+    * table order — exactly [[CdcFeed.asEvents]]'s projection, derived from a
+    * zero-row read so source and batches can never disagree. */
+  private[streaming] def eventSchema(spark: SparkSession, table: LakeTable): StructType =
+    CdcFeed.asEvents(table.read().filter(lit(false))).schema
+}
+
+/** `spark.readStream.format("graft.streaming.LakeSourceProvider")` (or the
+  * short name `graft-table` when registered) — see [[LakeSource]]. */
+final class LakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-table source needs .option(\"path\", <tableRoot>)"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val root = rootOf(parameters)
+    val table = LakeTable(root)(sqlContext.sparkSession)
+    require(table.exists, s"no graft table at $root — create/replay it first")
+    require(schema.isEmpty, "graft-table source derives its schema from the table; " +
+      "don't pass .schema(...)")
+    (shortName(), LakeSource.eventSchema(sqlContext.sparkSession, table))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new LakeSource(sqlContext.sparkSession, rootOf(parameters))
+}

@@ -668,7 +668,7 @@ class ConfigSpec extends SparkSuite {
     assert(printed.contains(s"spark ${org.apache.spark.SPARK_VERSION}"))
     // help lists every verb the dispatcher knows
     Seq("gen", "replay", "compact", "vacuum", "show", "history", "incremental",
-      "lookup", "follow", "extract-load", "schedule",
+      "lookup", "follow", "tail", "extract-load", "schedule",
       "list-tables", "describe-table", "table-metadata", "drop-table", "rebucket",
       "import-csv", "create-destination-table", "create-destination-table-from-config-file",
       "new", "db-terminal", "plugin", "about-db", "transform", "extract",

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{CdcFeed, CdcPipeline}
+import graft.lake.LakeTable
+import graft.model.DerivedEvents
+import graft.streaming.{LakeSource, LakeSourceOffset, LakeSourceProvider}
+
+/** The LakeTable-as-a-stream source: a running Structured Streaming query
+  * over a table must receive exactly the table's change feed — initial state,
+  * then per-commit deltas, across checkpointed restarts, composing with
+  * stateful downstream operators — and fail loudly when its offset has been
+  * vacuumed away.
+  */
+class LakeSourceSpec extends SparkSuite {
+
+  lazy val events = DerivedEvents.fromDocuments(
+    spark.read.parquet(s"$sfDir/documents.parquet")).cache()
+
+  private def shaEvents(df: DataFrame): DataFrame =
+    df.select(col("lsn"), col("op"), col("repo"), col("path"), col("commit"),
+      col("lang"), sha2(col("content"), 256).as("content_sha"))
+
+  private def assertSameRows(got: DataFrame, want: DataFrame): Unit = {
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
+  private def splitLsn: Long = {
+    val b = events.agg(min("lsn"), max("lsn")).collect()(0)
+    (b.getLong(0) + b.getLong(1)) / 2
+  }
+
+  test("readStream over a table delivers the feed: initial state, then deltas only") {
+    val root = SparkTestBase.tmpDir("lsrc")
+    val src = new CdcPipeline(LakeTable(root)(spark), "lsrc-app",
+      lineage = false, mergeOnRead = true)
+    src.bootstrap(numBuckets = 8)
+    src.applyBatch(events.filter(col("lsn") < splitLsn), 0L, orderedDelivery = true)
+    val v1 = src.table.latestVersion
+
+    val q = spark.readStream.format(classOf[LakeSourceProvider].getName)
+      .option("path", root).load()
+      .writeStream.format("memory").queryName("lsrc_feed")
+      .option("checkpointLocation", SparkTestBase.tmpDir("lsrc-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assertSameRows(shaEvents(spark.table("lsrc_feed")),
+        shaEvents(CdcFeed.asEvents(src.table.readAppends(-1, v1))))
+      // a new source commit becomes the NEXT micro-batch — delta only
+      src.applyBatch(events.filter(col("lsn") >= splitLsn), 1L, orderedDelivery = true)
+      val v2 = src.table.latestVersion
+      q.processAllAvailable()
+      assertSameRows(shaEvents(spark.table("lsrc_feed")),
+        shaEvents(CdcFeed.asEvents(src.table.readAppends(-1, v1))
+          .unionByName(CdcFeed.asEvents(src.table.readAppends(v1, v2)))))
+    } finally q.stop()
+  }
+
+  test("short name 'graft-table' resolves through DataSourceRegister") {
+    val root = SparkTestBase.tmpDir("lsrc-short")
+    val src = new CdcPipeline(LakeTable(root)(spark), "lsrc-app", lineage = false)
+    src.bootstrap(numBuckets = 4)
+    src.applyBatch(events.filter(col("lsn") < splitLsn), 0L, orderedDelivery = true)
+    val q = spark.readStream.format("graft-table").option("path", root).load()
+      .writeStream.format("memory").queryName("lsrc_short")
+      .option("checkpointLocation", SparkTestBase.tmpDir("lsrc-short-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("lsrc_short").count() ===
+        CdcFeed.asEvents(src.table.read()).count())
+    } finally q.stop()
+  }
+
+  test("stateful downstream aggregation over the stream (complete mode)") {
+    val root = SparkTestBase.tmpDir("lsrc-agg")
+    val src = new CdcPipeline(LakeTable(root)(spark), "lsrc-app",
+      lineage = false, mergeOnRead = true)
+    src.bootstrap(numBuckets = 8)
+    src.replay(events, numBatches = 3)
+    val q = spark.readStream.format(classOf[LakeSourceProvider].getName)
+      .option("path", root).load()
+      .groupBy("op").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("lsrc_agg").outputMode("complete")
+      .option("checkpointLocation", SparkTestBase.tmpDir("lsrc-agg-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val want = CdcFeed.asEvents(src.table.read())
+        .groupBy("op").agg(count(lit(1)).as("n"))
+      assertSameRows(spark.table("lsrc_agg"), want)
+    } finally q.stop()
+  }
+
+  test("checkpointed restart resumes at the committed version: exactly-once to a file sink") {
+    val root = SparkTestBase.tmpDir("lsrc-restart")
+    val out = SparkTestBase.tmpDir("lsrc-out")
+    val ckpt = SparkTestBase.tmpDir("lsrc-rckpt")
+    val src = new CdcPipeline(LakeTable(root)(spark), "lsrc-app",
+      lineage = false, mergeOnRead = true)
+    src.bootstrap(numBuckets = 8)
+    src.applyBatch(events.filter(col("lsn") < splitLsn), 0L, orderedDelivery = true)
+    def start() = spark.readStream.format(classOf[LakeSourceProvider].getName)
+      .option("path", root).load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    // commits land while the stream is DOWN; the restart must deliver exactly them
+    src.applyBatch(events.filter(col("lsn") >= splitLsn), 1L, orderedDelivery = true)
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out)
+    val want = CdcFeed.asEvents(src.table.read()) // MOR: union of both commits' files
+    assertSameRows(shaEvents(got), shaEvents(want))
+  }
+
+  test("a vacuumed-away offset fails the stream loudly instead of resyncing") {
+    val root = SparkTestBase.tmpDir("lsrc-vac")
+    val src = new CdcPipeline(LakeTable(root)(spark), "lsrc-app",
+      lineage = false, mergeOnRead = true)
+    src.bootstrap(numBuckets = 8)
+    src.replay(events, numBatches = 4)
+    val latest = src.table.latestVersion
+    // age + vacuum so version 1 is gone
+    val fs = src.table.fs
+    val old = System.currentTimeMillis() - 3600000L
+    for (dir <- Seq("meta", "data"))
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$dir")).filter(_.isFile)
+        .foreach(st => fs.setTimes(st.getPath, old, -1))
+    src.table.vacuum(graceMs = 60000L, retainSnapshots = 1)
+    val source = new LakeSource(spark, root)
+    val e = intercept[IllegalStateException] {
+      source.getBatch(Some(LakeSourceOffset(1L)), LakeSourceOffset(latest))
+    }
+    assert(e.getMessage.contains("vacuumed away"))
+  }
+}
