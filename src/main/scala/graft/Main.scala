@@ -195,15 +195,23 @@ object Main {
     // appends exactly the commits made since the last one (AvailableNow)
     case "tail" :: sourceRoot :: outDir :: ckpt :: Nil =>
       if (!LakeTable(sourceRoot)(spark).exists) sys.error(s"no table at $sourceRoot")
-      val before = LakeTable(sourceRoot)(spark).latestVersion
       val q = spark.readStream.format("graft-table").option("path", sourceRoot).load()
         .writeStream.format("parquet").option("path", outDir)
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      println(s"[tail] drained feed of $sourceRoot through version $before → $outDir " +
-        s"(${spark.read.parquet(outDir).count()} rows total; rerun appends the next delta)")
+      // report from the query's own progress — what was ACTUALLY drained and
+      // the offset it was drained through (a re-read of outDir would throw on
+      // an all-empty drain, and a pre-start latestVersion read can understate
+      // what AvailableNow pinned)
+      val progress = q.recentProgress
+      val drained = progress.map(_.numInputRows).sum
+      val endOffset = progress.reverseIterator
+        .flatMap(p => p.sources.headOption.flatMap(s => Option(s.endOffset)))
+        .nextOption().getOrElse("(none)")
+      println(s"[tail] appended $drained feed rows → $outDir " +
+        s"(source offset $endOffset; rerun appends the next delta)")
 
     // downstream change-feed consumer: follow a table's commit history and
     // maintain a replica (or a key-filtered projection, where=<sqlExpr>) in a

@@ -74,25 +74,39 @@ final class LakeSource(spark: SparkSession, root: String) extends Source {
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(LakeSourceOffset.of(_).version).getOrElse(-1L)
     val to = LakeSourceOffset.of(end).version
+    if (from >= to) {
+      // recovery no-op (restart replays, multi-source alignment): zero rows
+      // of the pinned schema, zero IO — a read() here would inflate the whole
+      // current snapshot just to filter it away
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      return GraftSparkInternals.asStreamingFrame(spark, empty, schema)
+    }
+    // the ONE unrecoverable failure is a version expired by vacuum — catch
+    // exactly what deletion produces (FileNotFound), so a transient IO error
+    // (throttle, timeout) keeps its own exception and Spark's retry applies
+    // instead of an operator being told to resync into duplicates
     val events =
-      if (from >= to)
-        CdcFeed.asEvents(table.read().filter(lit(false))) // recovery no-op
-      else {
-        if (from >= 0)
-          try table.snapshot(from)
-          catch {
-            case e: Exception => throw new IllegalStateException(
-              s"stream offset $from of $root has been vacuumed away (${e.getMessage}) — " +
-              "the delta is unrecoverable; restart with a fresh checkpoint to resync " +
-              "and size the table's retainSnapshots above the consumer's lag", e)
-          }
-        CdcFeed.asEvents(table.readAppends(from, to))
+      try CdcFeed.asEvents(table.readAppends(from, to))
+      catch {
+        case e: java.io.FileNotFoundException => throw new IllegalStateException(
+          s"stream range ($from, $to] of $root has been vacuumed away (${e.getMessage}) — " +
+          "the delta is unrecoverable; restart with a fresh checkpoint to resync " +
+          "and size the table's retainSnapshots above the consumer's lag", e)
       }
-    // align to the pinned schema: same column order; a MISSING column means
-    // the table evolved under the running stream — fail like Delta does
-    val missing = schema.fieldNames.filterNot(events.columns.contains)
-    if (missing.nonEmpty) throw new IllegalStateException(
-      s"$root dropped column(s) ${missing.mkString(", ")} under a running stream — " +
+    // align to the pinned schema — name AND type, so a column dropped or
+    // retyped under the running stream fails loudly (Delta semantics) instead
+    // of stamping a stale layout onto rows shaped by the new schema
+    val drift = schema.fields.flatMap { f =>
+      events.schema.fields.find(_.name == f.name) match {
+        case None => Some(s"${f.name} dropped")
+        case Some(g) if g.dataType != f.dataType =>
+          Some(s"${f.name}: ${f.dataType.simpleString} → ${g.dataType.simpleString}")
+        case _ => None
+      }
+    }
+    if (drift.nonEmpty) throw new IllegalStateException(
+      s"$root changed schema under a running stream (${drift.mkString("; ")}) — " +
       "restart the stream to adopt the new schema")
     GraftSparkInternals.asStreamingFrame(spark,
       events.select(schema.fieldNames.map(col).toIndexedSeq: _*), schema)

@@ -121,6 +121,31 @@ class LakeSourceSpec extends SparkSuite {
     assertSameRows(shaEvents(got), shaEvents(want))
   }
 
+  test("recovery no-op getBatch(start == end) is empty with the pinned schema, no IO") {
+    val root = SparkTestBase.tmpDir("lsrc-noop")
+    val src = new CdcPipeline(LakeTable(root)(spark), "lsrc-app", lineage = false)
+    src.bootstrap(numBuckets = 4)
+    src.applyBatch(events.filter(col("lsn") < splitLsn), 0L, orderedDelivery = true)
+    val source = new LakeSource(spark, root)
+    val v = src.table.latestVersion
+    val noop = source.getBatch(Some(LakeSourceOffset(v)), LakeSourceOffset(v))
+    assert(noop.isStreaming, "a v1 Source batch must be flagged streaming")
+    assert(noop.schema === source.schema)
+  }
+
+  test("CLI tail on a table with no data commits drains zero rows without crashing") {
+    val root = SparkTestBase.tmpDir("lsrc-cli")
+    val p = new CdcPipeline(LakeTable(root)(spark), "lsrc-app", lineage = false)
+    p.bootstrap(numBuckets = 4) // exists, but nothing ever committed
+    val outBuf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outBuf, true, "UTF-8")) {
+      Main.run(spark, List("tail", root, SparkTestBase.tmpDir("lsrc-cli-out"),
+        SparkTestBase.tmpDir("lsrc-cli-ckpt")))
+    }
+    assert(outBuf.toString("UTF-8").contains("appended 0 feed rows"),
+      s"got: ${outBuf.toString("UTF-8")}")
+  }
+
   test("a vacuumed-away offset fails the stream loudly instead of resyncing") {
     val root = SparkTestBase.tmpDir("lsrc-vac")
     val src = new CdcPipeline(LakeTable(root)(spark), "lsrc-app",
