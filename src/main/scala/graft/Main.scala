@@ -217,9 +217,11 @@ object Main {
     // maintain a replica (or a key-filtered projection, where=<sqlExpr>) in a
     // second table — durable offsets in <offsetDir>, exactly-once state via
     // the same fencing + LWW the ingest side uses. Drains and exits by
-    // default (cron-friendly); idle=N tails through N empty polls.
+    // default (cron-friendly); idle=N tails, tolerating N sleep-and-re-poll
+    // rounds after an empty poll before exiting.
     case "follow" :: sourceRoot :: targetRoot :: offsetDir :: rest =>
       val source = LakeTable(sourceRoot)(spark)
+      val target = LakeTable(targetRoot)(spark)
       if (!source.exists) sys.error(s"no table at $sourceRoot")
       val appId = rest.filterNot(a => a.contains("=") || a == "mor" || a == "reconcile")
         .headOption.getOrElse("graft-feed")
@@ -230,7 +232,7 @@ object Main {
           case Some(pred) => _.filter(expr(pred))
           case None => identity
         }
-      val stats = graft.cdc.CdcFeed.pipe(source, LakeTable(targetRoot)(spark),
+      val stats = graft.cdc.CdcFeed.pipe(source, target,
         appId, offsetDir, transform = transform,
         mergeOnRead = rest.contains("mor"),
         idlePollsBeforeStop = opt("idle").map(_.toInt).getOrElse(0),
@@ -241,11 +243,11 @@ object Main {
       else
         println(s"[follow] applied ${stats.events} rows in ${stats.batches} batch(es): " +
           s"source (${stats.fromVersion}, ${stats.toVersion}] → $targetRoot " +
-          s"at version ${LakeTable(targetRoot)(spark).latestVersion}")
+          s"at version ${target.latestVersion}")
       // repair deletes a lagging consumer missed past the tombstone-GC horizon
       if (rest.contains("reconcile")) {
         val repaired = graft.cdc.CdcFeed.reconcile(source,
-          LakeTable(targetRoot)(spark), appId, transform)
+          target, appId, transform)
         println(s"[follow] reconcile: $repaired stale key(s) deleted from $targetRoot")
       }
 

@@ -90,7 +90,11 @@ object CdcFeed {
         else
           try { source.snapshot(fromVersion); fromVersion }
           catch {
-            case e: Exception =>
+            // ONLY the not-found a vacuum's deletion actually produces maps
+            // to the resync path — a transient IO fault (throttle, timeout)
+            // must keep its own exception and be retried, not silently
+            // escalate an O(changed files) poll into a full-table feed
+            case e: java.io.FileNotFoundException =>
               System.err.println(s"[feed] source version $fromVersion expired " +
                 s"(${e.getMessage}) — resyncing ${source.root} from full state; " +
                 "raise the source's retainSnapshots above the consumer's lag")
@@ -113,8 +117,9 @@ object CdcFeed {
     *        when a key's row flips out of the filter: nothing re-delivers a
     *        delete for it).
     * @param idlePollsBeforeStop 0 = drain-and-exit on the first empty poll
-    *        (Trigger.AvailableNow analogue); k > 0 tails, sleeping `pollMs`
-    *        between polls, until k consecutive polls find nothing.
+    *        (Trigger.AvailableNow analogue); k > 0 tails: after an empty
+    *        poll it sleeps `pollMs` and re-polls, tolerating k such sleeps
+    *        (k+1 consecutive empty polls total) before stopping.
     * @param maxBatches stop after applying this many change batches (bounded
     *        runs: tests, incremental cron pulls).
     */
@@ -164,9 +169,10 @@ object CdcFeed {
     * from the target (one change batch of `D` events at the source's
     * watermark LSN — which bounds every stale row's `_lsn`, and still loses
     * to any legitimately newer re-insert). Scale shape: two live-state
-    * reads projected to the key columns feeding one left-anti join — the
-    * join shuffles keys only, never payload (a repair pass you run on
-    * demand, not per poll). Runs
+    * reads feeding one left-anti join; the JOIN shuffles keys only, though
+    * each live-state read itself pays the normal LWW resolution (payload
+    * crosses the window on multi-generation buckets) — a repair pass you
+    * run on demand, not per poll. Runs
     * under `<appId>-reconcile` so its fencing epoch never collides with the
     * feed's version-numbered batches. Returns the number of keys repaired.
     *
@@ -184,26 +190,32 @@ object CdcFeed {
       asEvents(CdcPipeline.liveState(source)
         .withColumn(CdcModel.RowLsnCol, lit(0L)))) // liveState drops _lsn; only keys matter here
       .select(keys.map(col): _*)
+    // cache the stale set: the plan under it (two LWW live-state resolutions
+    // + the anti-join) is the expensive part, and it is consumed twice — the
+    // emptiness probe and the merge (whose CoW pre-pass replays its input)
     val stale = CdcPipeline.liveState(target)
       .select(keys.map(col): _*)
       .join(srcLiveKeys, keys, "left_anti")
-    if (stale.isEmpty) return 0L
-    // full target payload as typed nulls (a tombstone's payload is never
-    // read), so this batch needs no schema reconciliation
-    val payload = target.currentSnapshot.get.schema.fields.filterNot(f =>
-      f.name == CdcModel.RowLsnCol || f.name == CdcModel.DeletedCol ||
-        keys.contains(f.name))
-    val deletes = payload.foldLeft(
-      stale
-        .withColumn(CdcModel.LsnCol, lit(math.max(srcSnap.watermarkLsn, 0L)))
-        .withColumn(CdcModel.OpCol, lit("D"))) {
-      (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType))
-    }
-    val pipeline = new CdcPipeline(target, s"$appId-reconcile")
-    val nextBatch = target.currentSnapshot.map(_.batchId + 1).getOrElse(0L).max(0L)
-    val stats = pipeline.applyBatch(deletes, batchId = nextBatch,
-      orderedDelivery = false)
-    stats.eventsIn
+      .persist()
+    try {
+      if (stale.isEmpty) return 0L
+      // full target payload as typed nulls (a tombstone's payload is never
+      // read), so this batch needs no schema reconciliation
+      val payload = target.currentSnapshot.get.schema.fields.filterNot(f =>
+        f.name == CdcModel.RowLsnCol || f.name == CdcModel.DeletedCol ||
+          keys.contains(f.name))
+      val deletes = payload.foldLeft(
+        stale
+          .withColumn(CdcModel.LsnCol, lit(math.max(srcSnap.watermarkLsn, 0L)))
+          .withColumn(CdcModel.OpCol, lit("D"))) {
+        (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      val pipeline = new CdcPipeline(target, s"$appId-reconcile")
+      val nextBatch = target.currentSnapshot.map(_.batchId + 1).getOrElse(0L).max(0L)
+      val stats = pipeline.applyBatch(deletes, batchId = nextBatch,
+        orderedDelivery = false)
+      stats.eventsIn
+    } finally stale.unpersist()
   }
 
   /** The target's pipeline, creating the table on first contact: stored

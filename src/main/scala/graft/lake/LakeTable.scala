@@ -156,7 +156,13 @@ final class LakeTable(val root: String, spark: SparkSession) {
         else {
           var v = h
           while (fs.exists(snapshotPath(v + 1))) v += 1
-          v
+          // re-check the landing slot: a vacuum racing this probe deletes
+          // expired records in ASCENDING version order (see [[vacuum]]), so
+          // if the probe stopped because vacuum removed v+1, v itself is
+          // already gone too — the recheck detects exactly that race and
+          // falls back to the listing (whose max is race-free: vacuum never
+          // deletes the newest retained record). One extra GET, only here.
+          if (fs.exists(snapshotPath(v))) v else -1L
         }
       } catch { case _: Exception => -1L }
     if (hinted >= 0) hinted else allVersions.foldLeft(-1L)(math.max)
@@ -684,7 +690,10 @@ final class LakeTable(val root: String, spark: SparkSession) {
 
     // 1. expire old snapshot records (grace-guarded like everything else;
     // an overlapping maintenance run may have deleted an entry between our
-    // listing and the stat — skip, don't abort the rest of the cleanup)
+    // listing and the stat — skip, don't abort the rest of the cleanup).
+    // INVARIANT: deletion proceeds in ASCENDING version order (`versions` is
+    // sorted) — [[latestVersion]]'s hint-probe race detection relies on "if
+    // v+1 was vacuumed, v already was too"; don't parallelize or reorder.
     versions.dropRight(keep).foreach { v =>
       val p = new HPath(metaDir, s"snapshot-$v.json")
       try {
