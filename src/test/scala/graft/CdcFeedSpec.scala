@@ -165,6 +165,20 @@ class CdcFeedSpec extends SparkSuite {
     assert(e.getMessage.contains("commit"))
   }
 
+  test("feeds chain: a replica of a replica converges to the origin") {
+    val srcRoot = SparkTestBase.tmpDir("feed-chain-src")
+    val midRoot = SparkTestBase.tmpDir("feed-chain-mid")
+    val leafRoot = SparkTestBase.tmpDir("feed-chain-leaf")
+    val src = morSource(srcRoot, n = 3)
+    val mid = LakeTable(midRoot)(spark)
+    val leaf = LakeTable(leafRoot)(spark)
+    // mid is itself merge-on-read so ITS commits are exact change sets too
+    CdcFeed.pipe(src.table, mid, "hop1", SparkTestBase.tmpDir("feed-chain-off1"),
+      mergeOnRead = true)
+    CdcFeed.pipe(mid, leaf, "hop2", SparkTestBase.tmpDir("feed-chain-off2"))
+    assertSameState(shaState(CdcPipeline.liveState(leaf)), shaState(src.state()))
+  }
+
   test("reconcile repairs deletes a lagging consumer missed past tombstone GC") {
     import spark.implicits._
     val srcRoot = SparkTestBase.tmpDir("feed-src9")
