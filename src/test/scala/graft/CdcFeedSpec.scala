@@ -211,6 +211,40 @@ class CdcFeedSpec extends SparkSuite {
     assert(CdcFeed.reconcile(src.table, tgt, "feed") === 0L)
   }
 
+  test("property: random interleavings of source commits and feed polls converge") {
+    val rnd = new scala.util.Random(42)
+    val b = events.agg(min("lsn"), max("lsn")).collect()(0)
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    for (round <- 1 to 3) {
+      val srcRoot = SparkTestBase.tmpDir(s"feed-prop-src$round")
+      val tgtRoot = SparkTestBase.tmpDir(s"feed-prop-tgt$round")
+      val off = SparkTestBase.tmpDir(s"feed-prop-off$round")
+      val mor = rnd.nextBoolean()
+      val src = new CdcPipeline(LakeTable(srcRoot)(spark), "prop-src",
+        lineage = false, mergeOnRead = mor)
+      src.bootstrap(numBuckets = 8)
+      val tgt = LakeTable(tgtRoot)(spark)
+      // random LSN cut points → 2-4 source stages; after each stage, a coin
+      // decides whether the consumer polls now or falls further behind
+      val nCuts = 1 + rnd.nextInt(3)
+      val cuts = (Seq.fill(nCuts)(lo + (rnd.nextDouble() * (hi - lo)).toLong)
+        .distinct.sorted :+ Long.MaxValue)
+      var prev = Long.MinValue
+      var batchId = 0L
+      for (cut <- cuts) {
+        val stage = events.filter(col("lsn") > prev && col("lsn") <= cut)
+        if (stage.take(1).nonEmpty) {
+          src.applyBatch(stage, batchId, orderedDelivery = false)
+          batchId += 1
+          if (rnd.nextBoolean()) CdcFeed.pipe(src.table, tgt, "prop-feed", off)
+        }
+        prev = cut
+      }
+      CdcFeed.pipe(src.table, tgt, "prop-feed", off) // final catch-up
+      assertSameState(shaState(CdcPipeline.liveState(tgt)), shaState(src.state()))
+    }
+  }
+
   test("feed behind the retention horizon resyncs from full state, correctly") {
     val srcRoot = SparkTestBase.tmpDir("feed-src8")
     val tgtRoot = SparkTestBase.tmpDir("feed-tgt8")
