@@ -211,6 +211,31 @@ class CdcFeedSpec extends SparkSuite {
     assert(CdcFeed.reconcile(src.table, tgt, "feed") === 0L)
   }
 
+  test("schema evolution flows through the feed: a column added mid-feed reaches the replica") {
+    val srcRoot = SparkTestBase.tmpDir("feed-evo-src")
+    val tgtRoot = SparkTestBase.tmpDir("feed-evo-tgt")
+    val off = SparkTestBase.tmpDir("feed-evo-off")
+    val src = morSource(srcRoot, n = 1, upToLsnFrac = 0.5)
+    val tgt = LakeTable(tgtRoot)(spark)
+    CdcFeed.pipe(src.table, tgt, "feed", off) // target created pre-evolution
+    assert(!tgt.currentSnapshot.get.schema.fieldNames.contains("quality"))
+    // the source evolves: second batch carries a new column
+    val b = events.agg(min("lsn"), max("lsn")).collect()(0)
+    val cut = (b.getLong(0) + b.getLong(1)) / 2
+    src.applyBatch(
+      events.filter(col("lsn") > cut)
+        .withColumn("quality", when(col("op") =!= "D", (col("lsn") % 100) / lit(100.0))),
+      1L, orderedDelivery = true)
+    CdcFeed.pipe(src.table, tgt, "feed", off)
+    assert(tgt.currentSnapshot.get.schema.fieldNames.contains("quality"),
+      "the merge's schema evolution must widen the replica too")
+    assertSameState(
+      CdcPipeline.liveState(tgt).select(col("repo"), col("path"), col("commit"),
+        sha2(col("content"), 256).as("content_sha"), col("quality")),
+      src.state().select(col("repo"), col("path"), col("commit"),
+        sha2(col("content"), 256).as("content_sha"), col("quality")))
+  }
+
   test("property: random interleavings of source commits and feed polls converge") {
     val rnd = new scala.util.Random(42)
     val b = events.agg(min("lsn"), max("lsn")).collect()(0)
