@@ -146,6 +146,38 @@ class LakeSourceSpec extends SparkSuite {
       s"got: ${outBuf.toString("UTF-8")}")
   }
 
+  test("a column added mid-stream stays invisible until restart (pinned schema)") {
+    val root = SparkTestBase.tmpDir("lsrc-evo")
+    val src = new CdcPipeline(LakeTable(root)(spark), "lsrc-app",
+      lineage = false, mergeOnRead = true)
+    src.bootstrap(numBuckets = 4)
+    src.applyBatch(events.filter(col("lsn") < splitLsn), 0L, orderedDelivery = true)
+    val q = spark.readStream.format(classOf[LakeSourceProvider].getName)
+      .option("path", root).load()
+      .writeStream.format("memory").queryName("lsrc_evo")
+      .option("checkpointLocation", SparkTestBase.tmpDir("lsrc-evo-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(!spark.table("lsrc_evo").columns.contains("quality"))
+      // source evolves under the RUNNING stream: additions are tolerated and
+      // dropped (the pinned schema wins — Delta semantics), never an error
+      src.applyBatch(
+        events.filter(col("lsn") >= splitLsn)
+          .withColumn("quality", when(col("op") =!= "D", (col("lsn") % 100) / lit(100.0))),
+        1L, orderedDelivery = true)
+      q.processAllAvailable()
+      assert(!spark.table("lsrc_evo").columns.contains("quality"),
+        "an added column must stay invisible to the running stream")
+      assert(spark.table("lsrc_evo").count() ===
+        CdcFeed.asEvents(src.table.read()).count(),
+        "rows keep flowing through the evolution")
+    } finally q.stop()
+    // a RESTARTED stream (fresh source instance) pins the evolved schema
+    val restarted = new LakeSource(spark, root)
+    assert(restarted.schema.fieldNames.contains("quality"))
+  }
+
   test("a vacuumed-away offset fails the stream loudly instead of resyncing") {
     val root = SparkTestBase.tmpDir("lsrc-vac")
     val src = new CdcPipeline(LakeTable(root)(spark), "lsrc-app",
