@@ -47,10 +47,13 @@ import graft.model.CdcModel
   *    compaction's `horizonLsn` off the minimum feed offset so the case
   *    never arises.
   *
-  * Scale shape: one poll does O(changed files) IO on the source (no scan of
-  * unchanged buckets), one bucket-pruned MERGE on the target, and O(1)
-  * metadata IO (version-hint GET + one marker write). A month-long tail is
-  * the same cost as a month of ingest batches.
+  * Scale shape: one poll does O(changed files) data IO on the source (no
+  * scan of unchanged buckets), one bucket-pruned MERGE on the target, and
+  * O(changed groups) metadata IO — the version-hint GET, two raw snapshot
+  * records, only the CHANGED bucket groups' manifests (unchanged groups are
+  * recognized by manifest-reference identity and never opened —
+  * [[LakeTable.readAppends]]), and one offset-marker write. A month-long
+  * tail is the same cost as a month of ingest batches.
   */
 object CdcFeed {
 
@@ -88,7 +91,10 @@ object CdcFeed {
       val from =
         if (fromVersion < 0) -1L
         else
-          try { source.snapshot(fromVersion); fromVersion }
+          // raw-record probe (describe): existence is all that matters here,
+          // and snapshot() would inflate EVERY manifest of the from-version —
+          // O(table groups) GETs per poll on a fresh consumer process
+          try { source.describe(fromVersion); fromVersion }
           catch {
             // ONLY the not-found a vacuum's deletion actually produces maps
             // to the resync path — a transient IO fault (throttle, timeout)

@@ -339,6 +339,57 @@ class LakeTableSpec extends SparkSuite {
     assert(t.readAppends(2, 3).count() === 0)
   }
 
+  test("readAppends opens only CHANGED groups' manifests (O(changed groups) metadata)") {
+    spark.conf.set("graft.manifest.bucketsPerGroup", "4")
+    try {
+      val root = SparkTestBase.tmpDir("lake-incr-io")
+      val t = LakeTable(root)(spark)
+      t.create(schema, numBuckets = 32, appId = "t") // granule 4 → 8 possible groups
+      // v1 populates only buckets < 16 (groups 0-3): groups 4-7 have no manifest
+      val df = spark.range(2000).select(concat(lit("k"), col("id")).as("k"), col("id").as("v"))
+      val base = LakeTable.withBucket(df, Seq("k"), 32)
+        .filter(col(LakeTable.BucketCol) < 16).drop(LakeTable.BucketCol)
+      val v1 = t.overwrite(base, Seq("k"), "t")
+      assert(v1.manifests.size === 4)
+
+      def appendBucket(parent: Snapshot, lo: Long, hi: Long, bucket: Int): Seq[(String, Long)] = {
+        val rows = LakeTable.withBucket(
+          spark.range(lo, hi).select(concat(lit("k"), col("id")).as("k"), col("id").as("v")),
+          Seq("k"), 32).filter(col(LakeTable.BucketCol) === bucket)
+        val expect = rows.orderBy("k").select("k", "v").as[(String, Long)].collect().toSeq
+        assert(expect.nonEmpty)
+        t.replaceFiles(parent, Set.empty, t.writeDataFiles(rows, 32), None, "t", -1, -1, Map.empty)
+        expect
+      }
+      // v2: first file of bucket 20 → group 5, which has NO parent manifest
+      val expect2 = appendBucket(v1, 2000, 4000, bucket = 20)
+      // v3: append into bucket 3 → group 0, which EXISTS on both sides
+      val expect3 = appendBucket(t.snapshot(2), 4000, 6000, bucket = 3)
+
+      // a FRESH reader per range (empty manifest cache — a new feed/stream
+      // consumer process) must resolve each delta by loading only the changed
+      // groups' manifests, never re-inflating all groups on both sides
+      val r12 = LakeTable(root)(spark)
+      assert(r12.readAppends(1, 2).orderBy("k").as[(String, Long)].collect().toSeq === expect2)
+      assert(r12.manifestReads.get() <= 1, // new group: no from-side manifest at all
+        s"v1→v2 touched ${r12.manifestReads.get()} manifests; want ≤1")
+      val r23 = LakeTable(root)(spark)
+      assert(r23.readAppends(2, 3).orderBy("k").as[(String, Long)].collect().toSeq === expect3)
+      assert(r23.manifestReads.get() <= 2, // changed existing group: one per side
+        s"v2→v3 touched ${r23.manifestReads.get()} manifests; want ≤2")
+      // multi-group delta (groups 0 and 5 changed since v1) matches the
+      // brute-force full path-set diff exactly
+      val r13 = LakeTable(root)(spark)
+      val brute = {
+        val before = t.snapshot(1).files.map(_.path).toSet
+        t.snapshot(3).files.filterNot(f => before.contains(f.path)).map(_.path).toSet
+      }
+      assert(r13.readAppends(1, 3).orderBy("k").as[(String, Long)].collect().toSeq ===
+        (expect2 ++ expect3).sortBy(_._1))
+      assert(r13.manifestReads.get() <= 3 && brute.size >= 2)
+    } finally spark.conf.unset("graft.manifest.bucketsPerGroup")
+  }
+
   test("vacuum sweeps staging directories a crashed writer left behind") {
     val t = LakeTable(SparkTestBase.tmpDir("lake-stagegc"))(spark)
     t.create(schema, 4, "t")
