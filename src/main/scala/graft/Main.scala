@@ -42,8 +42,8 @@ object Main {
     "compact <tableRoot> [horizonLsn] | vacuum <tableRoot> [graceMs] [retainSnapshots] | " +
     "show <tableRoot> [version] | history <tableRoot> | incremental <tableRoot> <fromV> [toV] | " +
     "lookup <tableRoot> <keyValue...> | " +
-    "follow <sourceRoot> <targetRoot> <offsetDir> [appId] [mor] [reconcile] [where=<sqlExpr>] [batches=N] [poll=ms] [idle=N] | " +
-    "tail <sourceRoot> <outDir> <ckpt> | " +
+    "follow <sourceRoot> <targetRoot> <offsetDir> [appId] [mor] [reconcile] [where=<sqlExpr>] [batches=N] [poll=ms] [idle=N] [max=N] | " +
+    "tail <sourceRoot> <outDir> <ckpt> [max=N] | " +
     "extract-load <spec.json> <table> [--preview] [--full] | schedule <spec.json> | " +
     "list-tables <dir> | " +
     "describe-table <root> | table-metadata <root> | drop-table <root> | rebucket <root> <numBuckets> | " +
@@ -193,9 +193,15 @@ object Main {
     // feed (event shape: lsn, op, payload; deletes arrive as op='D') into a
     // parquet directory through a checkpointed readStream — each rerun
     // appends exactly the commits made since the last one (AvailableNow)
-    case "tail" :: sourceRoot :: outDir :: ckpt :: Nil =>
+    case "tail" :: sourceRoot :: outDir :: ckpt :: rest if rest.forall(_.startsWith("max=")) =>
       if (!LakeTable(sourceRoot)(spark).exists) sys.error(s"no table at $sourceRoot")
-      val q = spark.readStream.format("graft-table").option("path", sourceRoot).load()
+      // max=N: admission control — bound how many table versions this run
+      // drains (AvailableNow pins the end offset once, so the cap bounds the
+      // RUN; rerun drains the next <=N) — bounded cron pulls on a hot source
+      val reader = spark.readStream.format("graft-table").option("path", sourceRoot)
+      rest.collectFirst { case s if s.startsWith("max=") => s.stripPrefix("max=") }
+        .foreach(n => reader.option("maxVersionsPerBatch", n))
+      val q = reader.load()
         .writeStream.format("parquet").option("path", outDir)
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -237,7 +243,8 @@ object Main {
         mergeOnRead = rest.contains("mor"),
         idlePollsBeforeStop = opt("idle").map(_.toInt).getOrElse(0),
         pollMs = opt("poll").map(_.toLong).getOrElse(500L),
-        maxBatches = opt("batches").map(_.toInt).getOrElse(Int.MaxValue))
+        maxBatches = opt("batches").map(_.toInt).getOrElse(Int.MaxValue),
+        maxVersionsPerPoll = opt("max").map(_.toInt).getOrElse(Int.MaxValue))
       if (stats.batches == 0)
         println(s"[follow] caught up at source version ${stats.fromVersion}: nothing to apply")
       else

@@ -80,11 +80,19 @@ object CdcFeed {
         payload.map(col).toSeq): _*)
   }
 
-  /** The change batch in `(fromVersion, latest]` as events, or None when the
-    * source has no new versions. Falls back to a FULL resync (fromVersion
-    * effectively -1) when `fromVersion` has been vacuumed away — see the
-    * class doc; the fallback is loud. */
-  def poll(source: LakeTable, fromVersion: Long): Option[(Long, DataFrame)] = {
+  /** The change batch in `(fromVersion, min(latest, fromVersion +
+    * maxVersions)]` as events, or None when the source has no new versions.
+    * `maxVersions` is admission control for catch-up polls: a consumer that
+    * resumes behind a long-lived source otherwise coalesces EVERY pending
+    * commit into one unbounded batch. Initial sync and the vacuum-expired
+    * resync (`from` effectively -1) are exempt from the cap — only the
+    * contiguous retained tail `[oldest, latest]` is readable, so a clamped
+    * `to` could land on an expired version; a full-state rebuild is one
+    * batch by design. Falls back to that FULL resync when `fromVersion` has
+    * been vacuumed away — see the class doc; the fallback is loud. */
+  def poll(source: LakeTable, fromVersion: Long,
+      maxVersions: Int = Int.MaxValue): Option[(Long, DataFrame)] = {
+    require(maxVersions >= 1, s"maxVersions must be >= 1 (got $maxVersions)")
     val latest = source.latestVersion
     if (latest <= fromVersion) None
     else {
@@ -106,7 +114,10 @@ object CdcFeed {
                 "raise the source's retainSnapshots above the consumer's lag")
               -1L
           }
-      Some((latest, asEvents(source.readAppends(from, latest))))
+      val to =
+        if (from < 0 || maxVersions == Int.MaxValue) latest
+        else math.min(latest, from + maxVersions.toLong)
+      Some((to, asEvents(source.readAppends(from, to))))
     }
   }
 
@@ -128,13 +139,21 @@ object CdcFeed {
     *        (k+1 consecutive empty polls total) before stopping.
     * @param maxBatches stop after applying this many change batches (bounded
     *        runs: tests, incremental cron pulls).
+    * @param maxVersionsPerPoll admission control: cap how many source
+    *        versions one poll's batch may span (see [[poll]] — initial sync
+    *        and resync are exempt). A consumer resuming behind a long-lived
+    *        source then catches up in bounded, offset-committed steps (each
+    *        chunk durable before the next starts) instead of one unbounded
+    *        merge; clamped polls re-poll immediately, no idle sleep between
+    *        chunks.
     */
   def pipe(source: LakeTable, target: LakeTable, appId: String, offsetDir: String,
       transform: DataFrame => DataFrame = identity,
       mergeOnRead: Boolean = false,
       idlePollsBeforeStop: Int = 0,
       pollMs: Long = 500L,
-      maxBatches: Int = Int.MaxValue): FeedStats = {
+      maxBatches: Int = Int.MaxValue,
+      maxVersionsPerPoll: Int = Int.MaxValue): FeedStats = {
     val fs = offsetFs(source, offsetDir)
     val startV = readOffset(fs, offsetDir)
     var cur = startV
@@ -144,7 +163,7 @@ object CdcFeed {
     var keys: Seq[String] = null // resolved once, on first contact
     var pipeline: CdcPipeline = null
     while (batches < maxBatches && idle <= idlePollsBeforeStop) {
-      poll(source, cur) match {
+      poll(source, cur, maxVersionsPerPoll) match {
         case None =>
           idle += 1
           if (idle <= idlePollsBeforeStop) Thread.sleep(pollMs)

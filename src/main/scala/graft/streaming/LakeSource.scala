@@ -34,6 +34,7 @@ object LakeSourceOffset {
   * spark.readStream
   *   .format("graft.streaming.LakeSourceProvider")   // or short name "graft-table"
   *   .option("path", tableRoot)
+  *   .option("maxVersionsPerBatch", 8)               // optional admission control
   *   .load()                                          // lsn, op, <payload…>
   *   .groupBy(window(...), ...).agg(...)              // watermarks, state, any sink
   * }}}
@@ -58,22 +59,65 @@ object LakeSourceOffset {
   *  - a checkpointed offset that has been vacuumed away FAILS the stream
   *    (restart with a fresh checkpoint to resync) — silently resyncing
   *    would duplicate the whole table into append-mode sinks.
+  *
+  * Admission control: `.option("maxVersionsPerBatch", N)` caps how many table
+  * versions one micro-batch may span (the Delta `maxFilesPerTrigger` /
+  * `maxFilesPerTrigger`-file-source analogue, in this source's natural unit —
+  * offsets ARE versions). Without it a consumer that starts on (or falls
+  * behind) a long-lived table gets EVERY pending commit coalesced into ONE
+  * micro-batch — at sustained ingest that is an unbounded catch-up batch that
+  * can exceed executor memory and stalls the trigger cadence; with it,
+  * catch-up proceeds in bounded, checkpointed steps. A v1 source's offered
+  * offset must never move BACKWARD across a restart (the engine logs it and
+  * diffs it against the committed offset by equality, so a regressed offer
+  * would run a spurious batch), so the capped offer is persisted as a tiny
+  * monotone high-water marker under the source's own checkpoint directory —
+  * the same self-logging contract `FileStreamSource` uses; unlimited mode
+  * (the default) keeps the marker-free zero-IO path. Under
+  * `Trigger.AvailableNow` Spark pins the end offset once at start, so there
+  * the cap bounds the RUN, not each batch — a rerun drains the next ≤N
+  * versions (bounded cron pulls).
   */
-final class LakeSource(spark: SparkSession, root: String) extends Source {
+final class LakeSource(spark: SparkSession, root: String,
+    maxVersionsPerBatch: Int = Int.MaxValue, metadataPath: String = "") extends Source {
+
+  require(maxVersionsPerBatch >= 1, s"maxVersionsPerBatch must be >= 1 (got $maxVersionsPerBatch)")
 
   private val table = LakeTable(root)(spark)
 
   // pinned at stream start; evolution requires a restart (Delta semantics)
   override val schema: StructType = LakeSource.eventSchema(spark, table)
 
+  private val rateLimited = maxVersionsPerBatch != Int.MaxValue
+  private val markerDir: Option[org.apache.hadoop.fs.Path] =
+    Option.when(rateLimited && metadataPath.nonEmpty)(
+      new org.apache.hadoop.fs.Path(metadataPath, "graft-offered"))
+  private def markerFs = markerDir.map(_.getFileSystem(table.hconf))
+
+  // highest version this source has OFFERED to the engine — the rate-limit
+  // base. Re-seeded from the markers on restart so a capped offer can never
+  // regress below one the engine already logged; getBatch also advances it
+  // (covers recovery replays and pre-marker checkpoints).
+  @volatile private var offered: Long = readHighWater()
+
   override def getOffset: Option[OffsetV1] = {
     val v = table.latestVersion
-    if (v < 0) None else Some(LakeSourceOffset(v))
+    if (v < 0) None
+    else if (!rateLimited) Some(LakeSourceOffset(v))
+    else {
+      val end = math.min(v, offered + maxVersionsPerBatch.toLong)
+      if (end > offered) { persistHighWater(end); offered = end }
+      Some(LakeSourceOffset(offered))
+    }
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(LakeSourceOffset.of(_).version).getOrElse(-1L)
     val to = LakeSourceOffset.of(end).version
+    // a recovery replay hands us offsets the engine logged before this
+    // process existed — never offer below them (also seeds checkpoints
+    // created before the marker scheme)
+    if (to > offered) offered = to
     if (from >= to) {
       // recovery no-op (restart replays, multi-source alignment): zero rows
       // of the pinned schema, zero IO — a read() here would inflate the whole
@@ -115,9 +159,47 @@ final class LakeSource(spark: SparkSession, root: String) extends Source {
   override def commit(end: OffsetV1): Unit = () // retention is vacuum's job
   override def stop(): Unit = ()
   override def toString: String = s"LakeSource[$root]"
+
+  // --- capped-offer high-water markers: create-exclusive `v<version>` files
+  // (atomic on every FileSystem; a crash can only lose the newest, and a lost
+  // marker merely re-offers a version the engine de-dups by equality). One
+  // tiny PUT per advancing trigger — the same order of metadata IO as the
+  // engine's own offset log entry for that batch.
+
+  import LakeSource.MarkerName
+
+  private def readHighWater(): Long = (for {
+    dir <- markerDir
+    fs <- markerFs
+    if fs.isDirectory(dir)
+  } yield fs.listStatus(dir).iterator
+    .map(_.getPath.getName)
+    .collect { case MarkerName(v) => v.toLong }
+    .foldLeft(-1L)(math.max)).getOrElse(-1L)
+
+  private def persistHighWater(v: Long): Unit = for {
+    dir <- markerDir
+    fs <- markerFs
+  } {
+    if (!fs.isDirectory(dir)) fs.mkdirs(dir)
+    // an IO failure propagates and fails the trigger (Spark retries): an
+    // unpersisted capped offer could regress after a restart
+    LakeTable.writeStringExclusive(fs, new org.apache.hadoop.fs.Path(dir, s"v$v"), "")
+    // prune superseded markers, best-effort (next advance retries)
+    try fs.listStatus(dir).foreach { st =>
+      st.getPath.getName match {
+        case MarkerName(o) if o.toLong < v => fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    } catch { case _: java.io.IOException => () }
+  }
 }
 
 object LakeSource {
+  // in the companion (not the class) so it exists before the constructor's
+  // readHighWater() seed runs — a class-level val would still be null there
+  private val MarkerName = "v([0-9]+)".r
+
   /** The stream's row shape: `lsn`, `op`, then the stored payload columns in
     * table order — exactly [[CdcFeed.asEvents]]'s projection, derived from a
     * zero-row read so source and batches can never disagree. */
@@ -135,6 +217,14 @@ final class LakeSourceProvider extends StreamSourceProvider with DataSourceRegis
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-table source needs .option(\"path\", <tableRoot>)"))
 
+  private def maxVersionsOf(parameters: Map[String, String]): Int =
+    parameters.get("maxVersionsPerBatch").map { s =>
+      val n = s.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"maxVersionsPerBatch must be a positive integer (got '$s')"))
+      require(n >= 1, s"maxVersionsPerBatch must be >= 1 (got $n)")
+      n
+    }.getOrElse(Int.MaxValue)
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     val root = rootOf(parameters)
@@ -142,11 +232,13 @@ final class LakeSourceProvider extends StreamSourceProvider with DataSourceRegis
     require(table.exists, s"no graft table at $root — create/replay it first")
     require(schema.isEmpty, "graft-table source derives its schema from the table; " +
       "don't pass .schema(...)")
+    maxVersionsOf(parameters) // validate at load() time, not first trigger
     (shortName(), LakeSource.eventSchema(sqlContext.sparkSession, table))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new LakeSource(sqlContext.sparkSession, rootOf(parameters))
+    new LakeSource(sqlContext.sparkSession, rootOf(parameters),
+      maxVersionsOf(parameters), metadataPath)
 }

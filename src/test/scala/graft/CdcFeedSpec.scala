@@ -78,6 +78,28 @@ class CdcFeedSpec extends SparkSuite {
     assertSameState(shaState(CdcPipeline.liveState(tgt)), shaState(src.state()))
   }
 
+  test("maxVersionsPerPoll chunks a catch-up into bounded, offset-committed polls") {
+    val srcRoot = SparkTestBase.tmpDir("feed-srcM")
+    val tgtRoot = SparkTestBase.tmpDir("feed-tgtM")
+    val off = SparkTestBase.tmpDir("feed-offM")
+    val src = morSource(srcRoot, n = 2, upToLsnFrac = 0.4)
+    val tgt = LakeTable(tgtRoot)(spark)
+    // initial sync is exempt from the cap (one full batch by design)
+    val first = CdcFeed.pipe(src.table, tgt, "feed", off, maxVersionsPerPoll = 1)
+    assert(first.batches === 1)
+    // the consumer falls 3 commits behind; a capped catch-up applies them as
+    // 3 single-version merges, each offset-durable before the next starts
+    val b = events.agg(min("lsn"), max("lsn")).collect()(0)
+    val cut = b.getLong(0) + ((b.getLong(1) - b.getLong(0)) * 0.4).toLong
+    src.replay(events.filter(col("lsn") > cut), numBatches = 3, startBatchId = 2L)
+    val vBefore = CdcFeed.readOffset(tgt.fs, off)
+    val catchUp = CdcFeed.pipe(src.table, tgt, "feed", off, maxVersionsPerPoll = 1)
+    assert(catchUp.batches === (src.table.latestVersion - vBefore).toInt,
+      "a capped poll spans exactly one source version")
+    assert(CdcFeed.readOffset(tgt.fs, off) === src.table.latestVersion)
+    assertSameState(shaState(CdcPipeline.liveState(tgt)), shaState(src.state()))
+  }
+
   test("lost offsets replay the whole feed as a no-op (fencing + LWW)") {
     val srcRoot = SparkTestBase.tmpDir("feed-src3")
     val tgtRoot = SparkTestBase.tmpDir("feed-tgt3")

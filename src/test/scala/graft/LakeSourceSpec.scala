@@ -97,6 +97,64 @@ class LakeSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("maxVersionsPerBatch bounds every micro-batch of a catch-up, delivering exactly once") {
+    val root = SparkTestBase.tmpDir("lsrc-rate")
+    val src = new CdcPipeline(LakeTable(root)(spark), "lsrc-app",
+      lineage = false, mergeOnRead = true)
+    src.bootstrap(numBuckets = 8)
+    src.replay(events, numBatches = 5) // versions 0 (bootstrap) .. 5
+    val latest = src.table.latestVersion
+    val q = spark.readStream.format("graft-table").option("path", root)
+      .option("maxVersionsPerBatch", "2").load()
+      .writeStream.format("memory").queryName("lsrc_rate")
+      .option("checkpointLocation", SparkTestBase.tmpDir("lsrc-rate-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assertSameRows(shaEvents(spark.table("lsrc_rate")),
+        shaEvents(CdcFeed.asEvents(src.table.readAppends(-1, latest))))
+      // every data batch spanned <= 2 versions, and together they covered
+      // (-1, latest] exactly — read back from the query's own progress log
+      val spans = q.recentProgress.toList.flatMap(_.sources.headOption).flatMap { s =>
+        Option(s.endOffset).map { e =>
+          val endV = LakeSourceOffset.fromJson(e).version
+          val startV = Option(s.startOffset)
+            .map(LakeSourceOffset.fromJson(_).version).getOrElse(-1L)
+          endV - startV
+        }.filter(_ > 0)
+      }
+      assert(spans.nonEmpty && spans.forall(_ <= 2), s"batch version spans: $spans")
+      assert(spans.sum === latest + 1, s"batch version spans: $spans")
+    } finally q.stop()
+  }
+
+  test("a restarted rate-limited source never offers below a persisted offer") {
+    val root = SparkTestBase.tmpDir("lsrc-hwm")
+    val metaPath = SparkTestBase.tmpDir("lsrc-hwm-meta")
+    val src = new CdcPipeline(LakeTable(root)(spark), "lsrc-app",
+      lineage = false, mergeOnRead = true)
+    src.bootstrap(numBuckets = 4)
+    src.replay(events, numBatches = 5) // latest = 5
+    def offerOf(s: LakeSource): Long =
+      s.getOffset.get.asInstanceOf[LakeSourceOffset].version
+    val s1 = new LakeSource(spark, root, maxVersionsPerBatch = 2, metadataPath = metaPath)
+    assert(offerOf(s1) === 1L) // first capped offer: (-1, 1]
+    // "crash" before the batch commits; the engine may already have LOGGED
+    // offset 1, so a fresh source instance must re-seed from the marker —
+    // re-offering a LOWER version would run a spurious duplicate batch
+    val s2 = new LakeSource(spark, root, maxVersionsPerBatch = 2, metadataPath = metaPath)
+    assert(offerOf(s2) === 3L, "restart resumes from the persisted offer, never below it")
+    // a recovery replay seeds the base too (checkpoints from before the
+    // marker scheme): getBatch's end offset becomes the floor
+    val s3 = new LakeSource(spark, root, maxVersionsPerBatch = 2,
+      metadataPath = SparkTestBase.tmpDir("lsrc-hwm-meta2"))
+    s3.getBatch(Some(LakeSourceOffset(2L)), LakeSourceOffset(4L))
+    assert(offerOf(s3) === 5L) // min(latest = 5, 4 + 2)
+    // an uncapped source stays marker-free: same table, zero new metadata
+    val s4 = new LakeSource(spark, root)
+    assert(offerOf(s4) === 5L)
+  }
+
   test("checkpointed restart resumes at the committed version: exactly-once to a file sink") {
     val root = SparkTestBase.tmpDir("lsrc-restart")
     val out = SparkTestBase.tmpDir("lsrc-out")
@@ -144,6 +202,25 @@ class LakeSourceSpec extends SparkSuite {
     }
     assert(outBuf.toString("UTF-8").contains("appended 0 feed rows"),
       s"got: ${outBuf.toString("UTF-8")}")
+  }
+
+  test("CLI tail with max=N drains at most N versions per run (bounded cron pulls)") {
+    val root = SparkTestBase.tmpDir("lsrc-climax")
+    val out = SparkTestBase.tmpDir("lsrc-climax-out")
+    val ckpt = SparkTestBase.tmpDir("lsrc-climax-ckpt")
+    val src = new CdcPipeline(LakeTable(root)(spark), "lsrc-app",
+      lineage = false, mergeOnRead = true)
+    src.bootstrap(numBuckets = 4)
+    src.replay(events, numBatches = 2) // versions 0 (bootstrap) .. 2
+    def run(): Unit = Main.run(spark, List("tail", root, out, ckpt, "max=1"))
+    run() // (-1, 0]: the empty bootstrap version only
+    run() // (0, 1]
+    assert(spark.read.parquet(out).count() ===
+      CdcFeed.asEvents(src.table.readAppends(0, 1)).count(),
+      "after two capped runs exactly the first commit is drained")
+    run() // (1, 2] — caught up
+    assert(spark.read.parquet(out).count() ===
+      CdcFeed.asEvents(src.table.readAppends(-1, 2)).count())
   }
 
   test("a column added mid-stream stays invisible until restart (pinned schema)") {
