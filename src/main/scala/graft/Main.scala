@@ -39,7 +39,7 @@ object Main {
 
   private[graft] val usage: String =
     "usage: gen <dir> <n> [files] | replay <eventsDir> <tableRoot> <ckpt> [appId] [maxFiles] [mor] [retain=N] | " +
-    "compact <tableRoot> [horizonLsn] | vacuum <tableRoot> [graceMs] [retainSnapshots] | " +
+    "compact <tableRoot> [horizonLsn | consumers=<offsetDir,...>] | vacuum <tableRoot> [graceMs] [retainSnapshots] | " +
     "show <tableRoot> [version] | history <tableRoot> | incremental <tableRoot> <fromV> [toV] | " +
     "lookup <tableRoot> <keyValue...> | " +
     "follow <sourceRoot> <targetRoot> <offsetDir> [appId] [mor] [reconcile] [where=<sqlExpr>] [batches=N] [poll=ms] [idle=N] [max=N] | " +
@@ -283,8 +283,22 @@ object Main {
         shown.columns.zip(r.toSeq).map { case (c, v) => s"$c=$v" }.mkString("  ")))
 
     case "compact" :: tableRoot :: rest =>
-      val horizon = rest.headOption.map(_.toLong).getOrElse(-1L)
-      val n = graft.cdc.Compaction(LakeTable(tableRoot)(spark), horizon)
+      val table = LakeTable(tableRoot)(spark)
+      // consumers=<offsetDir,...>: derive the horizon from the feed
+      // consumers' own durable offsets instead of trusting the operator to
+      // compute one — GC exactly up to what every replica has applied
+      val consumers = rest.collectFirst { case s if s.startsWith("consumers=") =>
+        s.stripPrefix("consumers=").split(',').toSeq.filter(_.nonEmpty) }
+      val horizon = consumers match {
+        case Some(dirs) =>
+          require(dirs.nonEmpty, "consumers= needs at least one offset dir")
+          require(rest.size == 1, "pass EITHER a horizonLsn or consumers=, not both")
+          val h = graft.cdc.Compaction.safeHorizon(table, dirs)
+          println(s"[compact] consumer-safe horizon $h (min across ${dirs.size} offset dir(s))")
+          h
+        case None => rest.headOption.map(_.toLong).getOrElse(-1L)
+      }
+      val n = graft.cdc.Compaction(table, horizon)
       println(s"[compact] rewrote $n buckets (tombstone horizon=$horizon)")
 
     case "vacuum" :: tableRoot :: rest =>

@@ -16,6 +16,45 @@ import graft.model.CdcModel
   */
 object Compaction {
 
+  /** Consumer-safe tombstone horizon for [[apply]]: the highest `horizonLsn`
+    * that cannot GC a tombstone any listed feed consumer has yet to apply.
+    * A consumer's durable offset ([[CdcFeed.readOffset]]) is the last source
+    * VERSION it applied; the watermark LSN recorded by that snapshot bounds
+    * every tombstone already delivered to it, so the minimum across
+    * consumers is safe for all of them — compaction keyed off this value
+    * makes the GC-lag divergence [[CdcFeed.reconcile]] repairs structurally
+    * impossible (the class-doc contract "horizonLsn must trail every
+    * consumer's applied LSN", automated).
+    *
+    * Degenerate consumers pin the horizon to -1 ("GC nothing"), loudly:
+    * one that never ran has applied no tombstone at all, and one whose
+    * offset version was vacuumed away will full-resync on its next poll —
+    * a resync delivers live rows only, so any tombstone GC'd before it
+    * lands would strand deleted keys in that replica (resync or
+    * `follow … reconcile` it, then re-compact). */
+  def safeHorizon(source: LakeTable, offsetDirs: Seq[String]): Long = {
+    require(offsetDirs.nonEmpty, "safeHorizon needs at least one consumer offset dir")
+    offsetDirs.map { dir =>
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(source.hconf)
+      val v = CdcFeed.readOffset(fs, dir)
+      if (v < 0) {
+        System.err.println(s"[compact] consumer $dir has never applied a batch — " +
+          "horizon -1 (GC nothing) until it syncs")
+        -1L
+      } else
+        try source.describe(v).watermarkLsn
+        catch {
+          // exactly what vacuum's deletion produces; transient IO keeps its
+          // own exception (a guessed-low horizon would silently strand GC)
+          case e: java.io.FileNotFoundException =>
+            System.err.println(s"[compact] consumer $dir offset version $v " +
+              s"expired (${e.getMessage}) — it must resync or reconcile; " +
+              "horizon -1 (GC nothing)")
+            -1L
+        }
+    }.min
+  }
+
   /** Drop tombstones with `_lsn <= horizonLsn`; rewrite only buckets that
     * contain at least one such tombstone or more than `maxFilesPerBucket`
     * files. Returns the number of buckets rewritten.

@@ -233,6 +233,59 @@ class CdcFeedSpec extends SparkSuite {
     assert(CdcFeed.reconcile(src.table, tgt, "feed") === 0L)
   }
 
+  test("consumer-safe compaction horizon never GCs a tombstone a lagging consumer still needs") {
+    import spark.implicits._
+    import graft.cdc.Compaction
+    val srcRoot = SparkTestBase.tmpDir("feed-srcSH")
+    val tgtRoot = SparkTestBase.tmpDir("feed-offSH-tgt")
+    val off = SparkTestBase.tmpDir("feed-offSH")
+    val src = morSource(srcRoot, n = 1, upToLsnFrac = 0.5)
+    val tgt = LakeTable(tgtRoot)(spark)
+
+    // a consumer that never ran pins the horizon at -1 (GC nothing)
+    assert(Compaction.safeHorizon(src.table, Seq(off)) === -1L)
+
+    CdcFeed.pipe(src.table, tgt, "feed", off)
+    // caught-up consumer: horizon == the source's own watermark (full GC ok)
+    val wmBefore = src.table.currentSnapshot.get.watermarkLsn
+    assert(Compaction.safeHorizon(src.table, Seq(off)) === wmBefore)
+
+    // the source deletes 3 keys AFTER the consumer's last poll — the exact
+    // setup that diverges the replica when the horizon is guessed too high
+    // (the reconcile test above); keyed off the consumers' offsets instead,
+    // the tombstones survive compaction and the next poll delivers them
+    val victims = src.state().select("repo", "path", "commit")
+      .orderBy("repo", "path", "commit").limit(3).collect()
+    val maxLsn = events.agg(max("lsn")).collect()(0).getLong(0)
+    val dels = victims.zipWithIndex.map { case (v, i) =>
+      (maxLsn + 1 + i, "D", v.getString(0), v.getString(1), v.getString(2),
+        null: String, "", new java.sql.Timestamp(0L))
+    }.toSeq.toDF("lsn", "op", "repo", "path", "commit", "lang", "content", "eventTime")
+    src.applyBatch(dels, batchId = 1L)
+    val safe = Compaction.safeHorizon(src.table, Seq(off))
+    assert(safe === wmBefore && safe < maxLsn + 1,
+      "the lagging consumer's applied watermark bounds the horizon below the new deletes")
+    Compaction(src.table, horizonLsn = safe,
+      maxFilesPerBucket = 1, maxBucketsPerRun = Int.MaxValue)
+    val stats = CdcFeed.pipe(src.table, tgt, "feed", off)
+    assert(stats.batches === 1)
+    assertSameState(shaState(CdcPipeline.liveState(tgt)), shaState(src.state()))
+    assert(CdcFeed.reconcile(src.table, tgt, "feed") === 0L,
+      "no divergence to repair — the hazard never arises under the safe horizon")
+
+    // once the consumer HAS applied the deletes, the safe horizon advances
+    // past them and compaction may GC the tombstones
+    assert(Compaction.safeHorizon(src.table, Seq(off)) >= maxLsn + 3)
+
+    // a consumer whose offset version was vacuumed away pins -1 again
+    val staleOff = SparkTestBase.tmpDir("feed-offSH-stale")
+    val fs = tgt.fs
+    LakeTable.writeStringExclusive(fs,
+      new org.apache.hadoop.fs.Path(staleOff, "offset-0.json"), """{"version":0}""")
+    src.table.vacuum(graceMs = 0L, retainSnapshots = 1)
+    assert(Compaction.safeHorizon(src.table, Seq(off, staleOff)) === -1L)
+  }
+
   test("schema evolution flows through the feed: a column added mid-feed reaches the replica") {
     val srcRoot = SparkTestBase.tmpDir("feed-evo-src")
     val tgtRoot = SparkTestBase.tmpDir("feed-evo-tgt")
@@ -283,11 +336,15 @@ class CdcFeedSpec extends SparkSuite {
         if (stage.take(1).nonEmpty) {
           src.applyBatch(stage, batchId, orderedDelivery = false)
           batchId += 1
-          if (rnd.nextBoolean()) CdcFeed.pipe(src.table, tgt, "prop-feed", off)
+          // a poll may also be version-capped: catch-up chunking must
+          // converge under every interleaving, not just the drain shape
+          if (rnd.nextBoolean()) CdcFeed.pipe(src.table, tgt, "prop-feed", off,
+            maxVersionsPerPoll = 1 + rnd.nextInt(3))
         }
         prev = cut
       }
-      CdcFeed.pipe(src.table, tgt, "prop-feed", off) // final catch-up
+      CdcFeed.pipe(src.table, tgt, "prop-feed", off, // final catch-up
+        maxVersionsPerPoll = 1 + rnd.nextInt(3))
       assertSameState(shaState(CdcPipeline.liveState(tgt)), shaState(src.state()))
     }
   }
