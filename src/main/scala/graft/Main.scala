@@ -40,6 +40,7 @@ object Main {
   private[graft] val usage: String =
     "usage: gen <dir> <n> [files] | replay <eventsDir> <tableRoot> <ckpt> [appId] [maxFiles] [mor] [retain=N] | " +
     "compact <tableRoot> [horizonLsn | consumers=<offsetDir,...>] | vacuum <tableRoot> [graceMs] [retainSnapshots] | " +
+    "fsck <tableRoot> [deep] | " +
     "show <tableRoot> [version] | history <tableRoot> | incremental <tableRoot> <fromV> [toV] | " +
     "lookup <tableRoot> <keyValue...> | " +
     "follow <sourceRoot> <targetRoot> <offsetDir> [appId] [mor] [reconcile] [where=<sqlExpr>] [batches=N] [poll=ms] [idle=N] [max=N] | " +
@@ -300,6 +301,20 @@ object Main {
       }
       val n = graft.cdc.Compaction(table, horizon)
       println(s"[compact] rewrote $n buckets (tombstone horizon=$horizon)")
+
+    // table integrity check: metadata-only by default (snapshot chain,
+    // manifest totals, file existence/size, orphan count); `deep` adds one
+    // distributed pass asserting every row lives in the bucket its key
+    // hashes to, per-file row counts, and _lsn <= watermark
+    case "fsck" :: tableRoot :: rest if rest.forall(_ == "deep") =>
+      val t = LakeTable(tableRoot)(spark)
+      val snap = t.currentSnapshot.getOrElse(sys.error(s"no table at $tableRoot"))
+      val r = graft.lake.Fsck(t,
+        keyCols = graft.cdc.CdcPipeline.effectiveKeys(snap),
+        deep = rest.contains("deep"))
+      r.problems.foreach(p => System.err.println(s"[fsck] PROBLEM: $p"))
+      println(s"[fsck] ${r.summary}")
+      if (!r.ok) sys.error(s"fsck found ${r.problems.size} problem(s) in $tableRoot")
 
     case "vacuum" :: tableRoot :: rest =>
       // no explicit grace → library default (10 min): a zero-grace vacuum
