@@ -44,7 +44,7 @@ object Main {
     "show <tableRoot> [version] | history <tableRoot> | incremental <tableRoot> <fromV> [toV] | " +
     "lookup <tableRoot> <keyValue...> | " +
     "follow <sourceRoot> <targetRoot> <offsetDir> [appId] [mor] [reconcile] [where=<sqlExpr>] [batches=N] [poll=ms] [idle=N] [max=N] | " +
-    "tail <sourceRoot> <outDir> <ckpt> [max=N] | " +
+    "tail <sourceRoot> <outDir> <ckpt> [max=N] [from=N|latest] | " +
     "extract-load <spec.json> <table> [--preview] [--full] | schedule <spec.json> | " +
     "list-tables <dir> | " +
     "describe-table <root> | table-metadata <root> | drop-table <root> | rebucket <root> <numBuckets> | " +
@@ -194,14 +194,19 @@ object Main {
     // feed (event shape: lsn, op, payload; deletes arrive as op='D') into a
     // parquet directory through a checkpointed readStream — each rerun
     // appends exactly the commits made since the last one (AvailableNow)
-    case "tail" :: sourceRoot :: outDir :: ckpt :: rest if rest.forall(_.startsWith("max=")) =>
+    case "tail" :: sourceRoot :: outDir :: ckpt :: rest
+        if rest.forall(s => s.startsWith("max=") || s.startsWith("from=")) =>
       if (!LakeTable(sourceRoot)(spark).exists) sys.error(s"no table at $sourceRoot")
       // max=N: admission control — bound how many table versions this run
       // drains (AvailableNow pins the end offset once, so the cap bounds the
-      // RUN; rerun drains the next <=N) — bounded cron pulls on a hot source
+      // RUN; rerun drains the next <=N) — bounded cron pulls on a hot source.
+      // from=N|latest: start a FRESH checkpoint at that version instead of
+      // draining the whole history (from=latest = "follow from now")
       val reader = spark.readStream.format("graft-table").option("path", sourceRoot)
       rest.collectFirst { case s if s.startsWith("max=") => s.stripPrefix("max=") }
         .foreach(n => reader.option("maxVersionsPerBatch", n))
+      rest.collectFirst { case s if s.startsWith("from=") => s.stripPrefix("from=") }
+        .foreach(v => reader.option("startingVersion", v))
       val q = reader.load()
         .writeStream.format("parquet").option("path", outDir)
         .option("checkpointLocation", ckpt)

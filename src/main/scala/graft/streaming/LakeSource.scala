@@ -77,11 +77,24 @@ object LakeSourceOffset {
   * `Trigger.AvailableNow` Spark pins the end offset once at start, so there
   * the cap bounds the RUN, not each batch — a rerun drains the next ≤N
   * versions (bounded cron pulls).
+  *
+  * Starting point: `.option("startingVersion", N)` (or `"latest"`) starts a
+  * FRESH stream from table version N exclusive — deliveries begin at commit
+  * N+1 — instead of the default full initial sync from version -1 (the Delta
+  * streaming-source option of the same name). `"latest"` resolves to the
+  * table's current version at stream start: "follow from now", the natural
+  * shape for a monitoring/alerting consumer that doesn't want 100 TB of
+  * history replayed into its first batch. Only consulted when the checkpoint
+  * holds no offset yet — a restarted stream always resumes from its
+  * checkpoint. The versions above N must still be retained: a vacuumed range
+  * fails loudly exactly like a lagging checkpoint (never a silent resync).
   */
 final class LakeSource(spark: SparkSession, root: String,
-    maxVersionsPerBatch: Int = Int.MaxValue, metadataPath: String = "") extends Source {
+    maxVersionsPerBatch: Int = Int.MaxValue, metadataPath: String = "",
+    startingVersion: Long = -1L) extends Source {
 
   require(maxVersionsPerBatch >= 1, s"maxVersionsPerBatch must be >= 1 (got $maxVersionsPerBatch)")
+  require(startingVersion >= -1L, s"startingVersion must be >= 0 (got $startingVersion)")
 
   private val table = LakeTable(root)(spark)
 
@@ -97,8 +110,9 @@ final class LakeSource(spark: SparkSession, root: String,
   // highest version this source has OFFERED to the engine — the rate-limit
   // base. Re-seeded from the markers on restart so a capped offer can never
   // regress below one the engine already logged; getBatch also advances it
-  // (covers recovery replays and pre-marker checkpoints).
-  @volatile private var offered: Long = readHighWater()
+  // (covers recovery replays and pre-marker checkpoints). A startingVersion
+  // floors it so capped catch-up begins where delivery begins.
+  @volatile private var offered: Long = math.max(readHighWater(), startingVersion)
 
   override def getOffset: Option[OffsetV1] = {
     val v = table.latestVersion
@@ -112,7 +126,9 @@ final class LakeSource(spark: SparkSession, root: String,
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val from = start.map(LakeSourceOffset.of(_).version).getOrElse(-1L)
+    // no engine offset yet (first batch of a fresh checkpoint) → begin at
+    // startingVersion (default -1 = full initial sync)
+    val from = start.map(LakeSourceOffset.of(_).version).getOrElse(startingVersion)
     val to = LakeSourceOffset.of(end).version
     // a recovery replay hands us offsets the engine logged before this
     // process existed — never offer below them (also seeds checkpoints
@@ -225,6 +241,18 @@ final class LakeSourceProvider extends StreamSourceProvider with DataSourceRegis
       n
     }.getOrElse(Int.MaxValue)
 
+  /** `startingVersion`: a version number, or `latest` (resolved against the
+    * table AT STREAM START — "follow from now"). Only consulted when the
+    * checkpoint holds no offset yet. */
+  private def startingVersionOf(parameters: Map[String, String],
+      table: => LakeTable): Long =
+    parameters.get("startingVersion").map {
+      case "latest" => table.latestVersion
+      case s => s.toLongOption.filter(_ >= 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"startingVersion must be a non-negative version or 'latest' (got '$s')"))
+    }.getOrElse(-1L)
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     val root = rootOf(parameters)
@@ -233,12 +261,16 @@ final class LakeSourceProvider extends StreamSourceProvider with DataSourceRegis
     require(schema.isEmpty, "graft-table source derives its schema from the table; " +
       "don't pass .schema(...)")
     maxVersionsOf(parameters) // validate at load() time, not first trigger
+    startingVersionOf(parameters, table)
     (shortName(), LakeSource.eventSchema(sqlContext.sparkSession, table))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
-    new LakeSource(sqlContext.sparkSession, rootOf(parameters),
-      maxVersionsOf(parameters), metadataPath)
+      parameters: Map[String, String]): Source = {
+    val root = rootOf(parameters)
+    new LakeSource(sqlContext.sparkSession, root,
+      maxVersionsOf(parameters), metadataPath,
+      startingVersionOf(parameters, LakeTable(root)(sqlContext.sparkSession)))
+  }
 }

@@ -128,6 +128,57 @@ class LakeSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("startingVersion skips history: a fresh stream delivers only (N, latest]") {
+    val root = SparkTestBase.tmpDir("lsrc-sv")
+    val src = new CdcPipeline(LakeTable(root)(spark), "lsrc-app",
+      lineage = false, mergeOnRead = true)
+    src.bootstrap(numBuckets = 8)
+    src.replay(events, numBatches = 5) // versions 0 (bootstrap) .. 5
+    val latest = src.table.latestVersion
+    val q = spark.readStream.format("graft-table").option("path", root)
+      .option("startingVersion", "3").load()
+      .writeStream.format("memory").queryName("lsrc_sv")
+      .option("checkpointLocation", SparkTestBase.tmpDir("lsrc-sv-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assertSameRows(shaEvents(spark.table("lsrc_sv")),
+        shaEvents(CdcFeed.asEvents(src.table.readAppends(3, latest))))
+    } finally q.stop()
+    // capped + startingVersion: the first offer starts where delivery starts
+    val s = new LakeSource(spark, root, maxVersionsPerBatch = 1,
+      metadataPath = SparkTestBase.tmpDir("lsrc-sv-meta"), startingVersion = 3L)
+    assert(s.getOffset.get.asInstanceOf[LakeSourceOffset].version === 4L)
+    // a bad option fails at load(), not at the first trigger
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-table").option("path", root)
+        .option("startingVersion", "-2").load()
+    }
+  }
+
+  test("startingVersion=latest follows from now: only commits after stream start arrive") {
+    val root = SparkTestBase.tmpDir("lsrc-svl")
+    val src = new CdcPipeline(LakeTable(root)(spark), "lsrc-app",
+      lineage = false, mergeOnRead = true)
+    src.bootstrap(numBuckets = 8)
+    src.applyBatch(events.filter(col("lsn") < splitLsn), 0L, orderedDelivery = true)
+    val v1 = src.table.latestVersion
+    val q = spark.readStream.format("graft-table").option("path", root)
+      .option("startingVersion", "latest").load()
+      .writeStream.format("memory").queryName("lsrc_svl")
+      .option("checkpointLocation", SparkTestBase.tmpDir("lsrc-svl-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("lsrc_svl").count() === 0L, "history must not replay")
+      src.applyBatch(events.filter(col("lsn") >= splitLsn), 1L, orderedDelivery = true)
+      val v2 = src.table.latestVersion
+      q.processAllAvailable()
+      assertSameRows(shaEvents(spark.table("lsrc_svl")),
+        shaEvents(CdcFeed.asEvents(src.table.readAppends(v1, v2))))
+    } finally q.stop()
+  }
+
   test("a restarted rate-limited source never offers below a persisted offer") {
     val root = SparkTestBase.tmpDir("lsrc-hwm")
     val metaPath = SparkTestBase.tmpDir("lsrc-hwm-meta")
