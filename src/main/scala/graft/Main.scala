@@ -43,7 +43,7 @@ object Main {
     "fsck <tableRoot> [deep] | " +
     "show <tableRoot> [version] | history <tableRoot> | incremental <tableRoot> <fromV> [toV] | " +
     "lookup <tableRoot> <keyValue...> | " +
-    "follow <sourceRoot> <targetRoot> <offsetDir> [appId] [mor] [reconcile] [where=<sqlExpr>] [batches=N] [poll=ms] [idle=N] [max=N] | " +
+    "follow <sourceRoot> <targetRoot> <offsetDir> [appId] [mor] [reconcile] [where=<sqlExpr>] [batches=N] [poll=ms] [idle=N] [max=N] [from=N|latest] | " +
     "tail <sourceRoot> <outDir> <ckpt> [max=N] [from=N|latest] | " +
     "extract-load <spec.json> <table> [--preview] [--full] | schedule <spec.json> | " +
     "list-tables <dir> | " +
@@ -250,7 +250,14 @@ object Main {
         idlePollsBeforeStop = opt("idle").map(_.toInt).getOrElse(0),
         pollMs = opt("poll").map(_.toLong).getOrElse(500L),
         maxBatches = opt("batches").map(_.toInt).getOrElse(Int.MaxValue),
-        maxVersionsPerPoll = opt("max").map(_.toInt).getOrElse(Int.MaxValue))
+        maxVersionsPerPoll = opt("max").map(_.toInt).getOrElse(Int.MaxValue),
+        // from=N|latest: start a brand-new feed past the history (a durable
+        // offset always wins — an existing replica's pending range is never
+        // skipped); "follow from now" for filtered projections
+        startAtVersion = opt("from").map {
+          case "latest" => source.latestVersion
+          case v => v.toLong
+        }.getOrElse(-1L))
       if (stats.batches == 0)
         println(s"[follow] caught up at source version ${stats.fromVersion}: nothing to apply")
       else

@@ -146,6 +146,13 @@ object CdcFeed {
     *        chunk durable before the next starts) instead of one unbounded
     *        merge; clamped polls re-poll immediately, no idle sleep between
     *        chunks.
+    * @param startAtVersion begin a BRAND-NEW feed (no offset marker yet) at
+    *        this source version exclusive instead of the full initial sync —
+    *        the [[graft.streaming.LakeSource]] `startingVersion` analogue,
+    *        for key-filtered projections that should follow from a known
+    *        point rather than replay history. A durable offset always wins
+    *        over it; the replica holds only keys touched after this version
+    *        (by construction — document the projection accordingly).
     */
   def pipe(source: LakeTable, target: LakeTable, appId: String, offsetDir: String,
       transform: DataFrame => DataFrame = identity,
@@ -153,9 +160,24 @@ object CdcFeed {
       idlePollsBeforeStop: Int = 0,
       pollMs: Long = 500L,
       maxBatches: Int = Int.MaxValue,
-      maxVersionsPerPoll: Int = Int.MaxValue): FeedStats = {
+      maxVersionsPerPoll: Int = Int.MaxValue,
+      startAtVersion: Long = -1L): FeedStats = {
+    require(startAtVersion >= -1L, s"startAtVersion must be >= 0 (got $startAtVersion)")
     val fs = offsetFs(source, offsetDir)
-    val startV = readOffset(fs, offsetDir)
+    // the durable offset WINS even when it is behind startAtVersion: an
+    // existing replica's pending range must never be skipped over
+    val recorded = readOffset(fs, offsetDir)
+    val startV =
+      if (recorded >= 0) recorded
+      else {
+        // pin the anchor DURABLY before the first poll: a follow-from-now
+        // feed that starts idle (`from=latest`, nothing new yet) would
+        // otherwise record no offset at all, and a rerun resolving `latest`
+        // afresh would re-anchor PAST every commit made in between —
+        // silently skipping them. The first invocation defines "now".
+        if (startAtVersion >= 0) commitOffset(fs, offsetDir, startAtVersion)
+        startAtVersion
+      }
     var cur = startV
     var batches = 0
     var events = 0L

@@ -100,6 +100,53 @@ class CdcFeedSpec extends SparkSuite {
     assertSameState(shaState(CdcPipeline.liveState(tgt)), shaState(src.state()))
   }
 
+  test("startAtVersion begins a fresh feed past the history; a durable offset wins over it") {
+    val srcRoot = SparkTestBase.tmpDir("feed-srcSV")
+    val tgtRoot = SparkTestBase.tmpDir("feed-tgtSV")
+    val off = SparkTestBase.tmpDir("feed-offSV")
+    val src = morSource(srcRoot, n = 4) // versions 0 (bootstrap) .. 4
+    val tgt = LakeTable(tgtRoot)(spark)
+    val mid = 2L
+    val first = CdcFeed.pipe(src.table, tgt, "feed", off, startAtVersion = mid)
+    assert(first.fromVersion === mid && first.toVersion === src.table.latestVersion)
+    // the replica holds exactly the fold of commits AFTER version `mid`:
+    // replay the same event range through an independent pipeline as oracle
+    val oracle = new CdcPipeline(
+      LakeTable(SparkTestBase.tmpDir("feed-svOracle"))(spark), "sv-oracle",
+      lineage = false)
+    oracle.bootstrap(numBuckets = 8)
+    oracle.applyBatch(
+      CdcFeed.asEvents(src.table.readAppends(mid, src.table.latestVersion)),
+      0L, orderedDelivery = false)
+    assertSameState(shaState(CdcPipeline.liveState(tgt)),
+      shaState(CdcPipeline.liveState(oracle.table)))
+    // with a durable offset recorded, a LOWER startAtVersion cannot rewind
+    // and a HIGHER one cannot skip the pending range
+    val b = events.agg(min("lsn"), max("lsn")).collect()(0)
+    src.replay(events.filter(col("lsn") > (b.getLong(0) + b.getLong(1)) / 2),
+      numBatches = 2, startBatchId = 4L)
+    val again = CdcFeed.pipe(src.table, tgt, "feed", off,
+      startAtVersion = src.table.latestVersion)
+    assert(again.batches === 1 && again.toVersion === src.table.latestVersion,
+      "the recorded offset wins: the pending range is applied, not skipped")
+
+    // an IDLE follow-from-now start must still pin its anchor durably: a
+    // rerun that re-resolves `latest` afresh would otherwise re-anchor past
+    // every commit made in between (found live by the CLI drive)
+    val off2 = SparkTestBase.tmpDir("feed-offSV2")
+    val tgt2 = LakeTable(SparkTestBase.tmpDir("feed-tgtSV2"))(spark)
+    val anchor = src.table.latestVersion
+    val idle = CdcFeed.pipe(src.table, tgt2, "feed2", off2, startAtVersion = anchor)
+    assert(idle.batches === 0)
+    assert(CdcFeed.readOffset(tgt2.fs, off2) === anchor,
+      "the first invocation defines 'now' even when it applies nothing")
+    src.replay(events.limit(100), numBatches = 1, startBatchId = 6L)
+    val after = CdcFeed.pipe(src.table, tgt2, "feed2", off2,
+      startAtVersion = src.table.latestVersion) // a rerun's fresh `latest`
+    assert(after.batches === 1 && after.toVersion === src.table.latestVersion,
+      "the in-between commit is applied, not skipped by the re-resolved anchor")
+  }
+
   test("lost offsets replay the whole feed as a no-op (fencing + LWW)") {
     val srcRoot = SparkTestBase.tmpDir("feed-src3")
     val tgtRoot = SparkTestBase.tmpDir("feed-tgt3")
