@@ -320,9 +320,11 @@ object Main {
     // hashes to, per-file row counts, and _lsn <= watermark
     case "fsck" :: tableRoot :: rest if rest.forall(_ == "deep") =>
       val t = LakeTable(tableRoot)(spark)
-      val snap = t.currentSnapshot.getOrElse(sys.error(s"no table at $tableRoot"))
+      if (!t.exists) sys.error(s"no table at $tableRoot")
+      // describe (raw record) carries keyCols without inflating manifests —
+      // a metadata-only fsck of a huge table must not pay a full inflate here
       val r = graft.lake.Fsck(t,
-        keyCols = graft.cdc.CdcPipeline.effectiveKeys(snap),
+        keyCols = graft.cdc.CdcPipeline.effectiveKeys(t.describe(t.latestVersion)),
         deep = rest.contains("deep"))
       r.problems.foreach(p => System.err.println(s"[fsck] PROBLEM: $p"))
       println(s"[fsck] ${r.summary}")

@@ -162,7 +162,8 @@ object CdcFeed {
       maxBatches: Int = Int.MaxValue,
       maxVersionsPerPoll: Int = Int.MaxValue,
       startAtVersion: Long = -1L): FeedStats = {
-    require(startAtVersion >= -1L, s"startAtVersion must be >= 0 (got $startAtVersion)")
+    require(startAtVersion >= -1L,
+      s"startAtVersion must be a version >= 0, or -1 for the full-sync default (got $startAtVersion)")
     val fs = offsetFs(source, offsetDir)
     // the durable offset WINS even when it is behind startAtVersion: an
     // existing replica's pending range must never be skipped over
@@ -291,39 +292,19 @@ object CdcFeed {
     CdcPipeline.effectiveKeys(source.currentSnapshot.getOrElse(
       throw new IllegalStateException(s"feed source ${source.root} has no snapshot")))
 
-  // --- durable offsets: create-exclusive monotone markers. A marker write is
-  // atomic (create-exclusive), so a crash can only LOSE the newest marker —
-  // never corrupt one — and losing it merely replays an idempotent range.
-  // Read = max marker; each commit prunes the markers it supersedes, so the
-  // directory holds O(1) files on a healthy tail.
+  // --- durable offsets: `offset-<v>.json` files via the shared
+  // [[graft.lake.MonotoneMarkers]] scheme — a crash can only LOSE the newest
+  // marker, and losing it merely replays an idempotent range.
 
-  private val MarkerName = "offset-([0-9]+)\\.json".r
+  private val markers = new graft.lake.MonotoneMarkers("offset-", ".json")
 
   private def offsetFs(source: LakeTable, offsetDir: String): FileSystem =
     new HPath(offsetDir).getFileSystem(source.hconf)
 
   /** Last applied source version, -1 when the feed has never run. */
-  def readOffset(fs: FileSystem, offsetDir: String): Long = {
-    val dir = new HPath(offsetDir)
-    if (!fs.isDirectory(dir)) return -1L
-    fs.listStatus(dir).iterator
-      .map(_.getPath.getName)
-      .collect { case MarkerName(v) => v.toLong }
-      .foldLeft(-1L)(math.max)
-  }
+  def readOffset(fs: FileSystem, offsetDir: String): Long =
+    markers.readMax(fs, new HPath(offsetDir))
 
-  private def commitOffset(fs: FileSystem, offsetDir: String, v: Long): Unit = {
-    val dir = new HPath(offsetDir)
-    if (!fs.isDirectory(dir)) fs.mkdirs(dir)
-    LakeTable.writeStringExclusive(fs, new HPath(dir, s"offset-$v.json"),
-      s"""{"version":$v}""")
-    // prune superseded markers, best-effort: a crash here leaves extras that
-    // the next commit prunes; readOffset takes the max either way
-    try fs.listStatus(dir).foreach { st =>
-      st.getPath.getName match {
-        case MarkerName(o) if o.toLong < v => fs.delete(st.getPath, false)
-        case _ => ()
-      }
-    } catch { case _: java.io.IOException => () }
-  }
+  private def commitOffset(fs: FileSystem, offsetDir: String, v: Long): Unit =
+    markers.advance(fs, new HPath(offsetDir), v, s"""{"version":$v}""")
 }

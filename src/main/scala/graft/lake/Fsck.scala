@@ -141,7 +141,11 @@ object Fsck {
       require(keyCols.nonEmpty, "deep fsck needs the table's key columns")
       val byName = curFiles.map(f => f.path -> f).toMap
       val hasLsn = curRaw.schema.fieldNames.contains(graft.model.CdcModel.RowLsnCol)
-      val df = table.read().select(
+      // pin the scan to the SAME version the metadata pass validated — a
+      // concurrent commit between the two passes would otherwise make a
+      // healthy live table read as corrupted (files not in byName, rows
+      // above the pinned watermark, rewritten-bucket count mismatches)
+      val df = table.readAt(curV).select(
         input_file_name().as("_f"),
         LakeTable.bucketExpr(keyCols, curRaw.numBuckets).as("_b"),
         (if (hasLsn) col(graft.model.CdcModel.RowLsnCol) else lit(-1L)).as("_l"))

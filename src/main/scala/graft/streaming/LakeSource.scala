@@ -94,9 +94,31 @@ final class LakeSource(spark: SparkSession, root: String,
     startingVersion: Long = -1L) extends Source {
 
   require(maxVersionsPerBatch >= 1, s"maxVersionsPerBatch must be >= 1 (got $maxVersionsPerBatch)")
-  require(startingVersion >= -1L, s"startingVersion must be >= 0 (got $startingVersion)")
+  require(startingVersion >= -1L,
+    s"startingVersion must be a version >= 0, or -1 for the full-sync default (got $startingVersion)")
 
   private val table = LakeTable(root)(spark)
+
+  // The starting point, pinned ONCE per stream: `startingVersion` arrives
+  // re-resolved on every restart (`"latest"` maps to the table's CURRENT
+  // version), so the first resolution is persisted create-exclusive under
+  // the source's checkpoint dir and every later construction reads it back.
+  // Without this, a restart of a `latest` stream would move the anchor to
+  // wherever the table is NOW — flooring the rate-limit base past the
+  // committed offset (one unbounded catch-up batch, exactly what
+  // maxVersionsPerBatch exists to prevent) and, on the delivery side,
+  // skipping or re-including versions the stream contract has already fixed.
+  private val anchor: Long =
+    if (startingVersion < 0 || metadataPath.isEmpty) startingVersion
+    else {
+      val dir = new org.apache.hadoop.fs.Path(metadataPath, "graft-start")
+      val fs = dir.getFileSystem(table.hconf)
+      if (!fs.isDirectory(dir)) fs.mkdirs(dir)
+      val f = new org.apache.hadoop.fs.Path(dir, "anchor")
+      // losing the create race means an anchor already exists — it wins
+      LakeTable.writeStringExclusive(fs, f, startingVersion.toString)
+      LakeTable.readString(fs, f).trim.toLong
+    }
 
   // pinned at stream start; evolution requires a restart (Delta semantics)
   override val schema: StructType = LakeSource.eventSchema(spark, table)
@@ -110,9 +132,10 @@ final class LakeSource(spark: SparkSession, root: String,
   // highest version this source has OFFERED to the engine — the rate-limit
   // base. Re-seeded from the markers on restart so a capped offer can never
   // regress below one the engine already logged; getBatch also advances it
-  // (covers recovery replays and pre-marker checkpoints). A startingVersion
-  // floors it so capped catch-up begins where delivery begins.
-  @volatile private var offered: Long = math.max(readHighWater(), startingVersion)
+  // (covers recovery replays and pre-marker checkpoints). The PINNED anchor
+  // floors it so capped catch-up begins where delivery begins — a persisted
+  // marker always wins over it, so a restart can never leap the base forward.
+  @volatile private var offered: Long = math.max(readHighWater(), anchor)
 
   override def getOffset: Option[OffsetV1] = {
     val v = table.latestVersion
@@ -127,8 +150,14 @@ final class LakeSource(spark: SparkSession, root: String,
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     // no engine offset yet (first batch of a fresh checkpoint) → begin at
-    // startingVersion (default -1 = full initial sync)
-    val from = start.map(LakeSourceOffset.of(_).version).getOrElse(startingVersion)
+    // the pinned anchor (default -1 = full initial sync). The anchor also
+    // FLOORS a logged offset: an uncapped stream started at anchor N above
+    // the table's then-latest L checkpoints L from its first (empty) batch,
+    // and an unclamped later batch (L, latest] would deliver versions in
+    // (L, N] the contract excludes. Safe only because the anchor is pinned —
+    // flooring by a restart-re-resolved "latest" would SKIP committed ranges.
+    val from = math.max(
+      start.map(LakeSourceOffset.of(_).version).getOrElse(-1L), anchor)
     val to = LakeSourceOffset.of(end).version
     // a recovery replay hands us offsets the engine logged before this
     // process existed — never offer below them (also seeds checkpoints
@@ -176,45 +205,29 @@ final class LakeSource(spark: SparkSession, root: String,
   override def stop(): Unit = ()
   override def toString: String = s"LakeSource[$root]"
 
-  // --- capped-offer high-water markers: create-exclusive `v<version>` files
-  // (atomic on every FileSystem; a crash can only lose the newest, and a lost
-  // marker merely re-offers a version the engine de-dups by equality). One
-  // tiny PUT per advancing trigger — the same order of metadata IO as the
-  // engine's own offset log entry for that batch.
-
-  import LakeSource.MarkerName
+  // --- capped-offer high-water markers: `v<version>` files via the shared
+  // [[MonotoneMarkers]] scheme (a lost newest marker merely re-offers a
+  // version the engine de-dups by equality). One tiny PUT per advancing
+  // trigger — the same order of metadata IO as the engine's own offset log
+  // entry for that batch. An advance IO failure propagates and fails the
+  // trigger (Spark retries): an unpersisted capped offer could regress
+  // after a restart.
 
   private def readHighWater(): Long = (for {
     dir <- markerDir
     fs <- markerFs
-    if fs.isDirectory(dir)
-  } yield fs.listStatus(dir).iterator
-    .map(_.getPath.getName)
-    .collect { case MarkerName(v) => v.toLong }
-    .foldLeft(-1L)(math.max)).getOrElse(-1L)
+  } yield LakeSource.markers.readMax(fs, dir)).getOrElse(-1L)
 
   private def persistHighWater(v: Long): Unit = for {
     dir <- markerDir
     fs <- markerFs
-  } {
-    if (!fs.isDirectory(dir)) fs.mkdirs(dir)
-    // an IO failure propagates and fails the trigger (Spark retries): an
-    // unpersisted capped offer could regress after a restart
-    LakeTable.writeStringExclusive(fs, new org.apache.hadoop.fs.Path(dir, s"v$v"), "")
-    // prune superseded markers, best-effort (next advance retries)
-    try fs.listStatus(dir).foreach { st =>
-      st.getPath.getName match {
-        case MarkerName(o) if o.toLong < v => fs.delete(st.getPath, false)
-        case _ => ()
-      }
-    } catch { case _: java.io.IOException => () }
-  }
+  } LakeSource.markers.advance(fs, dir, v)
 }
 
 object LakeSource {
   // in the companion (not the class) so it exists before the constructor's
   // readHighWater() seed runs — a class-level val would still be null there
-  private val MarkerName = "v([0-9]+)".r
+  private val markers = new graft.lake.MonotoneMarkers("v")
 
   /** The stream's row shape: `lsn`, `op`, then the stored payload columns in
     * table order — exactly [[CdcFeed.asEvents]]'s projection, derived from a

@@ -156,6 +156,52 @@ class LakeSourceSpec extends SparkSuite {
     }
   }
 
+  test("the anchor is pinned once: a restart's re-resolved startingVersion cannot move it") {
+    val root = SparkTestBase.tmpDir("lsrc-anchor")
+    val meta = SparkTestBase.tmpDir("lsrc-anchor-meta")
+    val src = new CdcPipeline(LakeTable(root)(spark), "lsrc-app",
+      lineage = false, mergeOnRead = true)
+    src.bootstrap(numBuckets = 4)
+    src.replay(events, numBatches = 5) // latest = 5
+    def offerOf(s: LakeSource): Long =
+      s.getOffset.get.asInstanceOf[LakeSourceOffset].version
+    val s1 = new LakeSource(spark, root, maxVersionsPerBatch = 2,
+      metadataPath = meta, startingVersion = 3L)
+    assert(offerOf(s1) === 5L) // min(latest = 5, anchor 3 + 2)
+    // the table moves on; a restart re-resolves "latest" to the NEW version —
+    // the pinned anchor + persisted offer must win, or the restart coalesces
+    // the whole lag into one batch (the unbounded catch-up the cap prevents)
+    src.replay(events.limit(200), numBatches = 3, startBatchId = 5L) // latest = 8
+    val s2 = new LakeSource(spark, root, maxVersionsPerBatch = 2,
+      metadataPath = meta, startingVersion = 8L)
+    assert(offerOf(s2) === 7L, "markers (5) + cap (2) bound the offer; the " +
+      "re-resolved anchor (8) must not leap the base forward")
+  }
+
+  test("startingVersion above the current latest never leaks versions <= N") {
+    val root = SparkTestBase.tmpDir("lsrc-future")
+    val src = new CdcPipeline(LakeTable(root)(spark), "lsrc-app",
+      lineage = false, mergeOnRead = true)
+    src.bootstrap(numBuckets = 4)
+    src.replay(events, numBatches = 2) // latest = 2
+    val q = spark.readStream.format("graft-table").option("path", root)
+      .option("startingVersion", "4").load() // a FUTURE version
+      .writeStream.format("memory").queryName("lsrc_future")
+      .option("checkpointLocation", SparkTestBase.tmpDir("lsrc-future-ckpt"))
+      .start()
+    try {
+      // the engine checkpoints the table's CURRENT latest (2) from the
+      // first, empty batch — BELOW the anchor. The pinned anchor must keep
+      // flooring delivery: versions 3-4 never arrive, version 5 does.
+      q.processAllAvailable()
+      assert(spark.table("lsrc_future").count() === 0L)
+      src.replay(events.limit(500), numBatches = 3, startBatchId = 2L) // → v5
+      q.processAllAvailable()
+      assertSameRows(shaEvents(spark.table("lsrc_future")),
+        shaEvents(CdcFeed.asEvents(src.table.readAppends(4, 5))))
+    } finally q.stop()
+  }
+
   test("startingVersion=latest follows from now: only commits after stream start arrive") {
     val root = SparkTestBase.tmpDir("lsrc-svl")
     val src = new CdcPipeline(LakeTable(root)(spark), "lsrc-app",
