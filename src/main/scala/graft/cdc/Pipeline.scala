@@ -32,9 +32,13 @@ object Lineage {
     StructField("sourceOffsets", MapType(StringType, LongType))))
 
   def append(table: LakeTable, s: MergeStats): Unit = {
+    // offset keys are free-form caller strings (a path, a URL): render them
+    // through the JSON library so EVERY escape (control chars included) is
+    // correct — a hand-rolled escaper that misses \n would split the
+    // JSON-lines record and silently null the row on read
     val offsets = s.sourceOffsets.toSeq.sortBy(_._1)
       .map { case (k, v) =>
-        "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + "\":" + v
+        org.json4s.jackson.JsonMethods.compact(org.json4s.JsonAST.JString(k)) + ":" + v
       }.mkString("{", ",", "}")
     val json = s"""{"batchId":${s.batchId},"version":${s.committedVersion},""" +
       s""""eventsIn":${s.eventsIn},"distinctKeys":${s.distinctKeys},""" +
@@ -45,9 +49,18 @@ object Lineage {
       s""""schemaEvolved":${s.schemaEvolved},"skippedFenced":${s.skippedFenced},""" +
       s""""durationMs":${s.durationMs},"sourceOffsets":$offsets}""" + "\n"
     val dir = new org.apache.hadoop.fs.Path(table.root, "lineage")
-    table.fs.mkdirs(dir)
-    LakeTable.writeStringExclusive(table.fs,
-      new org.apache.hadoop.fs.Path(dir, s"v${s.committedVersion}.json"), json)
+    val dest = new org.apache.hadoop.fs.Path(dir, s"v${s.committedVersion}.json")
+    // temp + rename: a concurrent Lineage.read must never observe a
+    // half-written record (a plain create+write is visible mid-write on
+    // HDFS). The `.tmp-` name is invisible to the reader's `.json` filter;
+    // fs.create makes the parent dir, so no per-batch mkdirs RPC. Fenced
+    // replays re-report the same version with identical bytes, so a rename
+    // onto an existing record (POSIX overwrite) is harmless and an HDFS
+    // rename refusal just drops the duplicate tmp.
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s"v${s.committedVersion}.tmp-${java.util.UUID.randomUUID()}")
+    LakeTable.writeString(table.fs, tmp, json)
+    if (!table.fs.rename(tmp, dest)) table.fs.delete(tmp, false)
   }
 
   def read(spark: SparkSession, tableRoot: String): DataFrame =
@@ -123,6 +136,12 @@ object Lineage {
             System.currentTimeMillis() - 600000L) fs.delete(p, true)
       } catch { case _: java.io.FileNotFoundException => }
     }
+    // ... and orphan `.tmp-` record files a crashed [[append]] left behind
+    // (invisible to readers; same grace rule)
+    st.filter(s => s.getPath.getName.contains(".tmp-") &&
+        s.getModificationTime < System.currentTimeMillis() - 600000L)
+      .foreach(s => try fs.delete(s.getPath, false)
+        catch { case _: java.io.FileNotFoundException => })
     val fold = jsons.dropRight(math.max(0, keepRecent))
     if (fold.isEmpty || (fold.length + segments.length) <= 1) return 0
     try { foldAndPublish(spark, fs, dir, fold, segments) } catch {
@@ -231,6 +250,10 @@ final class CdcPipeline(val table: LakeTable, val appId: String,
   @volatile private var inflight: java.util.concurrent.Future[_] = null
   private[graft] val compactionsRun = new java.util.concurrent.atomic.AtomicInteger()
   @volatile private var maintenanceError: Throwable = null
+  // last batchId whose submission carried each periodic job — the sticky
+  // cadence base (see applyBatch); driver-thread only, like `inflight`
+  private var lastRollupBatch = 0L
+  private var lastVacuumBatch = 0L
   // test seam: lets a spec wedge the (single) maintenance thread to PROVE
   // batches never wait on it — if applyBatch ran compaction inline, the
   // spec would deadlock instead of committing
@@ -308,10 +331,17 @@ final class CdcPipeline(val table: LakeTable, val appId: String,
     val needCompact = mergeOnRead && compactEveryFiles > 0 &&
       table.lastCommitted.orElse(table.currentSnapshot)
         .exists(_.files.groupBy(_.bucket).exists(_._2.size > compactEveryFiles))
-    val needRollup = lineage && batchId > 0 && batchId % 64 == 0
+    // STICKY cadence, not exact-modulo: a roll-up/vacuum whose trigger batch
+    // coincides with an in-flight compaction occupying the single slot would
+    // otherwise be silently dropped for a whole further interval (unbounded
+    // lineage/meta growth under sustained ingest with long compactions) —
+    // the due flag persists until a submission actually carries it
+    val needRollup = lineage && batchId > 0 && batchId - lastRollupBatch >= 64
     val needVacuum = retainSnapshots > 0 && batchId > 0 &&
-      batchId % vacuumEveryBatches == 0
-    if ((needCompact || needRollup || needVacuum) && (inflight == null || inflight.isDone))
+      batchId - lastVacuumBatch >= vacuumEveryBatches
+    if ((needCompact || needRollup || needVacuum) && (inflight == null || inflight.isDone)) {
+      if (needRollup) lastRollupBatch = batchId
+      if (needVacuum) lastVacuumBatch = batchId
       inflight = maintenancePool.submit(new Runnable {
         def run(): Unit = {
           if (needCompact)
@@ -344,6 +374,7 @@ final class CdcPipeline(val table: LakeTable, val appId: String,
             }
         }
       })
+    }
     stats
   }
 
@@ -402,11 +433,16 @@ object CdcPipeline {
     * (pass `table.snapshot(v)` for a retained older version). */
   def resolved(table: LakeTable, snap: Snapshot): DataFrame = {
     val allBuckets = snap.files.map(_.bucket).toSet
-    val all = table.readBuckets(snap, allBuckets)
-    if (!all.columns.contains(CdcModel.RowLsnCol)) return all
+    // column probe via the SNAPSHOT schema (readBuckets reads with exactly
+    // it) — constructing the all-buckets frame first would resolve a
+    // FileIndex over every data file and then be DISCARDED on the windowed
+    // branch: a full O(#files) driver metadata pass per read, for nothing
+    if (!snap.schema.fieldNames.contains(CdcModel.RowLsnCol))
+      return table.readBuckets(snap, allBuckets)
     val byBucket = snap.files.groupBy(_.bucket)
     val multi = byBucket.collect { case (b, fl) if fl.size > 1 => b }.toSet
-    if (multi.isEmpty) return all // single-generation everywhere: no window
+    if (multi.isEmpty) // single-generation everywhere: no window
+      return table.readBuckets(snap, allBuckets)
     val keys = effectiveKeys(snap)
     val windowed = lwwResolve(table.readBuckets(snap, multi), keys)
     if (multi.size == byBucket.size) windowed
@@ -416,22 +452,12 @@ object CdcPipeline {
   }
 
   /** The LWW resolution window over `df` (which must hold whole buckets):
-    * one surviving row per key by (_lsn desc, tombstone desc, content desc).
-    * THE one definition of the cross-generation total order — [[Compaction]]
-    * folds generations through this same function, so reads and maintenance
-    * can never diverge on a tie-break. */
-  private[cdc] def lwwResolve(df: DataFrame, keys: Seq[String]): DataFrame = {
-    val tie = CdcModel.lwwTieBreak(df.columns.toIndexedSeq)
-    val del =
-      if (df.columns.contains(CdcModel.DeletedCol))
-        coalesce(col(CdcModel.DeletedCol), lit(false))
-      else lit(false)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col(CdcModel.RowLsnCol).desc, del.cast("int").desc, tie.desc)
-    df.withColumn("_gen_rn", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("_gen_rn") === 1).drop("_gen_rn")
-  }
+    * one surviving row per key. Forwards to [[CdcModel.lwwResolve]] — THE
+    * one definition of the cross-generation total order, shared with
+    * [[Compaction]]'s fold and [[graft.lake.LakeTable.rebucket]]'s fold, so
+    * reads and maintenance can never diverge on a tie-break. */
+  private[cdc] def lwwResolve(df: DataFrame, keys: Seq[String]): DataFrame =
+    CdcModel.lwwResolve(df, keys)
 
   /** Live rows of a CDC target table: LWW-resolved across generations,
     * tombstones + internal columns removed. `_deleted` may be null in files

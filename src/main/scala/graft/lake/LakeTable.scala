@@ -369,6 +369,15 @@ final class LakeTable(val root: String, spark: SparkSession) {
         throw new IllegalArgumentException(
           s"key column $k is not in the snapshot schema (${schema.fieldNames.mkString(", ")})"))
     }.toMap
+    // resolve the INPUT value types first: this is also the guard that turns
+    // an unsupported value type into a diagnostic naming the key column —
+    // it must run before any other lit(keyValues(k)) call, which would
+    // throw Spark's raw 'Unsupported literal type' past the friendly path
+    val inType = keyCols.map { k =>
+      k -> (try org.apache.spark.sql.catalyst.expressions.Literal(keyValues(k)).dataType
+      catch { case e: RuntimeException => throw new IllegalArgumentException(
+        s"unsupported value type for key column $k: ${keyValues(k).getClass.getName}", e) })
+    }.toMap
     // try_cast: null on a bad value under EVERY ansi mode (a plain cast
     // throws a raw CAST_INVALID_INPUT under ansi=true and silently nulls
     // under ansi=false — and xxhash64 SKIPS null children, so an unchecked
@@ -378,11 +387,6 @@ final class LakeTable(val root: String, spark: SparkSession) {
     // long key truncates to 42) would silently return ANOTHER key's row:
     // require the typed value to round-trip back to the input, in the
     // input's own type domain
-    val inType = keyCols.map { k =>
-      k -> (try org.apache.spark.sql.catalyst.expressions.Literal(keyValues(k)).dataType
-      catch { case e: RuntimeException => throw new IllegalArgumentException(
-        s"unsupported value type for key column $k: ${keyValues(k).getClass.getName}", e) })
-    }.toMap
     val roundtrip = keyCols.map(k =>
       (col(k).cast(inType(k)) <=> lit(keyValues(k))).as(s"_rt_$k"))
     import spark.implicits._
@@ -680,18 +684,28 @@ final class LakeTable(val root: String, spark: SparkSession) {
   /** Full rewrite into a new bucket count — the escape hatch for a table
     * whose numBuckets was sized wrong (it is otherwise fixed at create; see
     * [[graft.cdc.Merge]]'s sizing rule — a bucket should hold ~0.5-2 GB live).
-    * Preserves every row generation (including `_lsn` / `_deleted`
-    * tombstones), so merge-on-read resolution and replay idempotence are
-    * untouched: only the physical bucketing changes. The commit CARRIES the
-    * parent's (appId, batchId) fencing identity, like [[graft.cdc.Compaction]],
-    * so a restarted stream replaying the last batch stays fenced. One
-    * snapshot commit; superseded files stay for time travel until vacuum().
+    * Merge-on-read generations are FOLDED through the canonical LWW order
+    * ([[graft.model.CdcModel.lwwResolve]] — the same fold compaction runs),
+    * tombstones retained: the rewrite produces one single-GENERATION file
+    * per bucket, which is the invariant the generation-aware read path
+    * ([[graft.cdc.CdcPipeline]]) presumes of single-file buckets. Writing
+    * the raw generations instead would co-locate a key's whole history in
+    * one file and silently resurrect superseded rows on the window-skipping
+    * fast read. Live state, LWW idempotence, and fencing are unchanged by
+    * the fold (winners win either way); the commit CARRIES the parent's
+    * (appId, batchId) fencing identity, like [[graft.cdc.Compaction]], so a
+    * restarted stream replaying the last batch stays fenced. One snapshot
+    * commit; superseded files stay for time travel until vacuum().
     */
   def rebucket(newNumBuckets: Int, keyCols: Seq[String]): Snapshot = {
     require(newNumBuckets > 0, "numBuckets must be positive")
     require(keyCols.nonEmpty, "rebucket needs the table's key columns")
     val parent = currentSnapshot.getOrElse(throw new IllegalStateException("create() first"))
-    val bucketed = withBucket(read(), keyCols, newNumBuckets)
+    val rows =
+      if (parent.schema.fieldNames.contains(graft.model.CdcModel.RowLsnCol))
+        graft.model.CdcModel.lwwResolve(read(), keyCols)
+      else read()
+    val bucketed = withBucket(rows, keyCols, newNumBuckets)
     val files = writeDataFiles(bucketed, newNumBuckets)
     val s = Snapshot(parent.version + 1, parent.version, parent.schemaJson,
       newNumBuckets, files, parent.appId, parent.batchId, parent.watermarkLsn,
@@ -718,7 +732,23 @@ final class LakeTable(val root: String, spark: SparkSession) {
     *        (min 1). The default keeps only the current version — the
     *        round-3 data-file semantics, now also applied to metadata.
     */
-  def vacuum(graceMs: Long = 600000L, retainSnapshots: Int = 1): Int = {
+  def vacuum(graceMs: Long = 600000L, retainSnapshots: Int = 1): Int =
+    try vacuumOnce(graceMs, retainSnapshots)
+    catch {
+      // a CONCURRENT vacuum with a smaller retention deleted a record or
+      // manifest we listed as retained, between our listing and the read —
+      // the other run is already doing (more of) this cleanup. Step 1's
+      // per-file deletes are guarded the same way; for the retained-side
+      // READS the safe move is to stand down, not to treat the vanished
+      // snapshot's files as unreferenced. Periodic callers simply succeed
+      // on their next cycle.
+      case e: java.io.FileNotFoundException =>
+        System.err.println(s"[vacuum] lost a race with a concurrent vacuum " +
+          s"(${e.getMessage}) — standing down, nothing deleted this run")
+        0
+    }
+
+  private def vacuumOnce(graceMs: Long, retainSnapshots: Int): Int = {
     val keep = math.max(1, retainSnapshots)
     val cutoff = System.currentTimeMillis() - graceMs
     val versions = allVersions

@@ -70,7 +70,7 @@ class LakeTableSpec extends SparkSuite {
     assert(r.filter(col("extra").isNull).count() === 1) // old file → null
   }
 
-  test("rebucket: state and generations preserved, bucket invariant holds at new count") {
+  test("rebucket: state preserved, bucket invariant holds at new count") {
     val t = LakeTable(SparkTestBase.tmpDir("lake-rbk"))(spark)
     t.create(schema, 2, "t", keyCols = Seq("k"))
     val df = spark.range(500).select(concat(lit("k"), col("id")).as("k"), col("id").as("v"))
@@ -87,6 +87,41 @@ class LakeTableSpec extends SparkSuite {
     }
     // fencing identity carried from the parent (like Compaction)
     assert(snap.appId === t.snapshot(snap.parentVersion).appId)
+  }
+
+  test("rebucket folds MOR generations: live state exact, files truly single-generation") {
+    import graft.cdc.CdcPipeline
+    import graft.model.CdcModel
+    val root = SparkTestBase.tmpDir("lake-rbk-mor")
+    val p = new CdcPipeline(LakeTable(root)(spark), "rbk",
+      lineage = false, mergeOnRead = true)
+    p.bootstrap(numBuckets = 4)
+    def toDF(rows: Seq[(Long, String, String, String, String, String, String, java.sql.Timestamp)]) =
+      rows.toDF("lsn", "op", "repo", "path", "commit", "lang", "content", "eventTime")
+    def ev(lsn: Long, op: String, id: Int, content: String) =
+      (lsn, op, "r", s"p$id", "c", "scala", content, new java.sql.Timestamp(0L))
+    // generation 1: 200 inserts; generation 2: 100 updates + 20 deletes —
+    // a MOR table where many keys hold multiple physical generations
+    p.applyBatch(toDF((1 to 200).map(i => ev(i, "U", i, s"v1-$i"))), 0L)
+    p.applyBatch(toDF((1 to 100).map(i => ev(200L + i, "U", i, s"v2-$i")) ++
+      (101 to 120).map(i => ev(400L + i, "D", i, ""))), 1L)
+    def stateOf() = CdcPipeline.liveState(p.table)
+      .select("repo", "path", "commit", "content")
+      .orderBy("path").collect().toSeq
+    val before = stateOf()
+    assert(before.size === 180) // 200 - 20 deleted; updates won
+    val snap = p.table.rebucket(16, CdcModel.KeyCols)
+    // every bucket is one file — which the generation-aware read path takes
+    // as "no window needed", so those files must be truly single-generation:
+    // raw rows == distinct keys (tombstones included, superseded rows gone)
+    assert(snap.files.groupBy(_.bucket).forall(_._2.size == 1))
+    val raw = p.table.read()
+    assert(raw.count() ===
+      raw.select("repo", "path", "commit").distinct().count(),
+      "a rebucketed file must hold at most ONE generation per key")
+    // the window-skipping fast read returns the exact pre-rebucket state:
+    // no duplicate keys, no resurrected deletes
+    assert(stateOf() === before)
   }
 
   test("bucketOf: agrees with the writer's buckets; bad cast and partial key fail loudly") {
