@@ -533,6 +533,23 @@ class LakeTableSpec extends SparkSuite {
       r.problems.mkString("; "))
   }
 
+  test("vacuum stands down (deletes nothing) when a retained manifest vanished under it") {
+    val t = fsckTable("lake-vac-race")
+    // simulate a concurrent maintenance run winning a race: a manifest a
+    // RETAINED snapshot references is gone by the time this vacuum reads it
+    // (vacuum on a FRESH instance — a warm manifest cache would mask the IO)
+    val manifest = t.currentSnapshot.get.manifests.head.path
+    assert(t.fs.delete(new org.apache.hadoop.fs.Path(
+      s"${t.root}/meta/$manifest"), false))
+    val cold = LakeTable(t.root)(spark)
+    val dataBefore = t.fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"${t.root}/data")).length
+    assert(cold.vacuum(graceMs = 0L, retainSnapshots = 2) === 0,
+      "losing the race must stand down, not crash or mis-delete")
+    assert(t.fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"${t.root}/data")).length === dataBefore)
+  }
+
   test("fsck CLI verb: OK on a healthy table, loud failure on a corrupted one") {
     val t = fsckTable("lake-fsck-cli")
     Main.run(spark, List("fsck", t.root, "deep")) // must not throw
