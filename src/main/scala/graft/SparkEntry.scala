@@ -75,6 +75,26 @@ object SparkEntry {
       .orderBy("repo", "path", "commit")
   }
 
+  /** Regression gate for the rebucket fold: replay into a FRAGMENTED
+    * merge-on-read table (multiple generations per key on disk), rebucket to
+    * a different count, read live state back through the generation-aware
+    * fast path (post-rebucket every bucket is one file, so the read skips
+    * the LWW window — the rewrite must have folded generations or this
+    * returns duplicate keys / resurrected deletes). The oracle is the same
+    * LWW fold as `cdc_replay_state`: rebucket must be state-invariant. */
+  private def cdcRebucket(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("gate-cdc-rebucket")
+    val p = new CdcPipeline(LakeTable(root)(spark), "gate",
+      lineage = false, mergeOnRead = true)
+    p.bootstrap(numBuckets = 16)
+    p.replay(derivedEvents(spark, dir), numBatches = 4)
+    p.table.rebucket(48, graft.model.CdcModel.KeyCols)
+    p.state()
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        sha2(col("content"), 256).as("content_sha"))
+      .orderBy("repo", "path", "commit")
+  }
+
   private def cdcSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     val ev = derivedEvents(spark, dir)
     val b = ev.agg(min("lsn"), max("lsn")).collect()(0)
@@ -778,6 +798,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_replay_state" -> (cdcReplayState _),
+    "cdc_rebucket" -> (cdcRebucket _),
     "cdc_dedup_lww" -> ((s, d) => {
       val deduped = graft.cdc.Dedup.lastWriterWins(derivedEvents(s, d))
       deduped.select(col("repo"), col("path"), col("commit"), col("lsn"),
@@ -862,6 +883,10 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "cdc_replay_state" -> s"""$evCte, $lwwRanked
+      SELECT repo, path, "commit", lang, sha256(content) AS content_sha
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY repo, path, "commit"""",
+    "cdc_rebucket" -> s"""$evCte, $lwwRanked
       SELECT repo, path, "commit", lang, sha256(content) AS content_sha
       FROM ranked WHERE rn = 1 AND op <> 'D'
       ORDER BY repo, path, "commit"""",
