@@ -387,6 +387,18 @@ object SparkEntry {
       .select(col("a"), col("b")) // jaccard value checked via threshold only
       .orderBy("a", "b")
 
+  /** Benchmark decontamination: docs 0-399 are the "training corpus", docs
+    * 400-499 the "benchmark"; any 3-gram overlap flags the training doc.
+    * The complementary clean corpus is `decontaminate` (anti-join of these
+    * ids) — spec-asserted; the gate checks the flagged set value-exact. */
+  private def decontaminateQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    DedupOps.contaminated(
+      docs.filter(col("doc_id") < 400),
+      docs.filter(col("doc_id") >= 400 && col("doc_id") < 500), n = 3)
+      .orderBy("doc_id")
+  }
+
   private def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     DedupOps.minhashLshPairs(
       t(spark, dir, "documents").filter(col("doc_id") < 500),
@@ -832,6 +844,7 @@ object SparkEntry {
     "text_langid" -> (textLangId _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_decontaminate" -> (decontaminateQ _),
     "dedup_simhash" -> (simhashPairs _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_canonical" -> (dedupCanonical _),
@@ -1056,6 +1069,28 @@ object SparkEntry {
       JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
       WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.2
       ORDER BY a, b""",
+    "dedup_decontaminate" -> """
+      WITH tkc AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE doc_id < 400 AND text IS NOT NULL),
+      shc AS (
+        SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) <= 2
+          THEN [array_to_string(t, ' ')]
+          ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+          END)) AS s
+        FROM tkc),
+      tkb AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE doc_id >= 400 AND doc_id < 500 AND text IS NOT NULL),
+      shb AS (
+        SELECT DISTINCT unnest(list_distinct(CASE WHEN len(t) <= 2
+          THEN [array_to_string(t, ' ')]
+          ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+          END)) AS s
+        FROM tkb)
+      SELECT c.doc_id, count(DISTINCT c.s) AS hits
+      FROM shc c JOIN shb b ON c.s = b.s
+      GROUP BY c.doc_id ORDER BY c.doc_id""",
     "dedup_minhash_lsh" -> s"""
       WITH $minhashBandedCtes
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b

@@ -286,6 +286,48 @@ object DedupOps {
     * member set is the whole operation: one broadcast-friendly join over
     * the (small) duplicate-member list, no shuffle of the corpus by content.
     */
+  /** Benchmark decontamination — the training-corpus hygiene pass run
+    * before every serious LLM training job: documents sharing ANY word
+    * n-gram with an evaluation set are flagged, so benchmark text cannot
+    * leak into training (the published GPT-3/PaLM 13-gram overlap rule,
+    * with `n` parameterized). Returns `(idCol, hits)` — one row per
+    * contaminated corpus document with its count of distinct overlapping
+    * shingles; [[decontaminate]] is the anti-joined clean corpus.
+    *
+    * Scale shape: the benchmark's DISTINCT shingle set is aggregated once
+    * (eval sets are typically thousands of documents — tiny next to a
+    * 100 TB corpus), the corpus's exploded shingles join it shingle-keyed
+    * (inverted index — never a cartesian), and the hit counts aggregate
+    * map-side. No broadcast hint: AQE broadcasts the benchmark side when
+    * it actually fits, and a pathological giant "benchmark" still plans.
+    */
+  def contaminated(corpus: DataFrame, benchmark: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      benchTextCol: String = "text"): DataFrame = {
+    val benchShingles = benchmark
+      .filter(col(benchTextCol).isNotNull)
+      .select(explode(shingles(col(benchTextCol), n)).as("sh"))
+      .distinct()
+    corpus
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
+      .join(benchShingles, "sh")
+      .groupBy(idCol)
+      .agg(countDistinct("sh").as("hits"))
+  }
+
+  /** The clean corpus: every document with zero benchmark n-gram overlap
+    * (all original columns; null-text documents pass through — they cannot
+    * contaminate). One anti-join on the id — the corpus is never shuffled
+    * by content. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      benchTextCol: String = "text"): DataFrame =
+    corpus.join(
+      contaminated(corpus, benchmark, n, idCol, textCol, benchTextCol)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   def canonical(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
     // cast the LONG cluster ids back to the caller's id type BEFORE the

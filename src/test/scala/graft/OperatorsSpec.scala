@@ -90,6 +90,27 @@ class OperatorsSpec extends SparkSuite {
     assert(kept.toSeq === Seq(1L, 5L, 7L))
   }
 
+  test("decontamination flags any benchmark n-gram overlap; clean corpus is the complement") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // leaks a benchmark 3-gram
+      (2L, "entirely original training text nothing shared here at all"),
+      (3L, "quick brown fox appears here too"),            // same leaked 3-gram
+      (4L, null.asInstanceOf[String]))                     // null text: passes through
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "benchmark question about the quick brown fox answer"),
+      (101L, "another eval item with its own unique phrasing"))
+      .toDF("doc_id", "text")
+    val hits = DedupOps.contaminated(corpus, bench, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet === Set(1L, 3L), s"got $hits")
+    assert(hits(1L) >= 1L && hits(3L) >= 1L)
+    val clean = DedupOps.decontaminate(corpus, bench, n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(clean.toSeq === Seq(2L, 4L),
+      "clean corpus = corpus minus contaminated; null-text doc passes through")
+  }
+
   test("minhash LSH recalls the exact-duplicate and near-dup pairs") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
