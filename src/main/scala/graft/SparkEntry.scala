@@ -806,6 +806,14 @@ object SparkEntry {
           TextFunctions.langMarkers("en")).as("quality"))
       .orderBy("doc_id")
 
+  /** Gopher-style duplicate-2-gram fraction per document. */
+  private def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextFunctions.repetitionRatio(col("text"), n = 2).as("rep2"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -858,6 +866,7 @@ object SparkEntry {
     "a2_transform_chain" -> (a2TransformChain _),
     "mm_frames" -> (mmFrames _),
     "text_quality" -> (textQuality _),
+    "text_repetition" -> (textRepetition _),
     "text_redact_pii" -> (textRedactPii _),
     "dedup_lines" -> (dedupLinesQ _),
     "cfg_extract_load" -> (cfgExtractLoad _),
@@ -1138,6 +1147,18 @@ object SparkEntry {
       ORDER BY media_id, frame_idx""",
     // stopword list interpolated from the SAME langMarkers("en") the Spark
     // query passes to qualityScore — widening the profile map cannot desync
+    "text_repetition" -> """
+      WITH g AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL),
+      grams AS (
+        SELECT doc_id, CASE WHEN len(t) <= 1
+          THEN [array_to_string(t, ' ')]
+          ELSE [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+          END AS gs
+        FROM g)
+      SELECT doc_id, 1.0 - len(list_distinct(gs)) * 1.0 / len(gs) AS rep2
+      FROM grams ORDER BY doc_id""",
     // this oracle (same generated-from-one-source rule as text_langid)
     "text_quality" -> s"""
       WITH q AS (

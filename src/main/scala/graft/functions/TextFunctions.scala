@@ -62,6 +62,21 @@ object TextFunctions {
       lenScore * 0.4 + sw * 0.3 + (lit(1.0) - punct) * 0.2 + (lit(1.0) - upper) * 0.1))
   }
 
+  /** Gopher-style repetition signal: the fraction of word n-grams that are
+    * repeats (`1 - distinct/total`), the published duplicate-n-gram filter
+    * for boilerplate/SEO-spam pages. 0 = no repetition; short texts (fewer
+    * than n tokens) count as one gram → 0. Pure Column expression —
+    * codegen'd, no UDF — and replayable in ANSI SQL for the oracle. */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    val k = size(toks) - (n - 1)
+    // raw (NOT distinct) gram stream — the ratio needs repeat counts
+    val grams = when(k <= 0, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), k - 1),
+        i => concat_ws(" ", (0 until n).map(j => toks.getItem(i + j)): _*)))
+    lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)
+  }
+
   /** Canonical document fingerprint: sha256 of case/whitespace-normalized
     * text — the exact-dedup key that survives trivial reformatting. */
   def fingerprint(text: Column): Column =

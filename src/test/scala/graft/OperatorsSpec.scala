@@ -284,6 +284,21 @@ class OperatorsSpec extends SparkSuite {
     assert(r(0).getString(3).length === 64)
   }
 
+  test("repetition ratio: repeated phrases score high, unique text scores 0") {
+    val d = Seq(
+      (1L, "buy now buy now buy now buy now"),       // spammy: "buy now"/"now buy" repeat
+      (2L, "each word appears exactly once here"),   // all 2-grams unique
+      (3L, "single"))                                 // < n tokens: one gram, 0
+      .toDF("doc_id", "text")
+    val r = d.select(col("doc_id"),
+      TextFunctions.repetitionRatio(col("text"), 2).as("rep"))
+      .orderBy("doc_id").collect()
+    // 7 bigrams, 2 distinct ("buy now" ×4, "now buy" ×3) → 1 - 2/7
+    assert(math.abs(r(0).getDouble(1) - (1.0 - 2.0 / 7.0)) < 1e-12)
+    assert(r(1).getDouble(1) === 0.0)
+    assert(r(2).getDouble(1) === 0.0)
+  }
+
   test("length() counts Unicode code points — pins Spark/DuckDB parity for text gates") {
     // the text_stats/text_quality oracles pair Spark length() with DuckDB
     // length(); both count CODE POINTS (Spark: UTF8String.numChars over the
