@@ -415,6 +415,11 @@ object Merge {
     val bucketsTouched = if (mergeOnRead) added.map(_.bucket).distinct.size else buckets.size
 
     val removed = targetFiles.map(_.path).toSet
+    // what the COMMITTED snapshot actually declared: the retry path below
+    // may find a concurrent writer already applied the same evolution, in
+    // which case its commit changes no schema and lineage must not record
+    // an evolution point for it
+    var committedEvolved = schemaEvolved
     val committed = phase("commit", batchId) {
       try {
         table.replaceFiles(snap, removed, added,
@@ -463,6 +468,7 @@ object Merge {
               s"version ${fresh.version}")
             val freshSchema = fresh.schema
             val mergedSchema = SchemaEvolution.merge(freshSchema, evolvedSchema)
+            committedEvolved = mergedSchema != freshSchema
             try {
               done = table.replaceFiles(fresh, Set.empty, added,
                 if (mergedSchema != freshSchema) Some(mergedSchema.json) else None,
@@ -477,7 +483,7 @@ object Merge {
 
     MergeStats(batchId, committed.version, eventsIn, distinctKeys,
       eventsIn - distinctKeys, bucketsTouched, targetFiles.size,
-      added.map(_.rows).sum, added.map(_.bytes).sum, minLsn, maxLsn, schemaEvolved,
+      added.map(_.rows).sum, added.map(_.bytes).sum, minLsn, maxLsn, committedEvolved,
       skippedFenced = false, (System.nanoTime() - t0) / 1000000,
       sourceOffsets = sourceOffsets)
   }

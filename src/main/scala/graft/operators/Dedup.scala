@@ -89,7 +89,15 @@ object DedupOps {
           .filter(col("_df") > dfCap).select("sh")
         sh.join(hot, Seq("sh"), "left_anti")
       }
-    // per-doc counts over the SAME (capped) universe as the intersections
+    // per-doc counts over the SAME (capped) universe as the intersections.
+    // DELIBERATE recompute: `paired` feeds three consumers (sizes, both
+    // self-join sides) and `hot` re-derives the shingle stream — a persist
+    // here would pin the exploded shingle set (≫ corpus size) in the cache
+    // for the caller's whole plan lifetime, and this function returns a
+    // lazy frame whose execution it cannot bracket with an unpersist.
+    // ReuseExchange dedups the two identical sh-keyed join shuffles; the
+    // scan+explode re-runs are cheap codegen'd passes. Callers batching
+    // many invocations can persist the INPUT `docs` instead.
     val sizes = paired.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val shared = paired.as("l").join(paired.as("r"),
         col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
@@ -117,6 +125,8 @@ object DedupOps {
     */
   def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1 && numHashes >= 1,
+      s"minhash needs n >= 1 and numHashes >= 1 (got n=$n, numHashes=$numHashes)")
     val sh = docs.select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("sh"))
     sh.groupBy("id").agg(
@@ -136,6 +146,11 @@ object DedupOps {
     */
   def minhashLshPairs(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // a degenerate band layout (a miscomputed config) would otherwise band
+    // into an empty array and return ZERO pairs — silent recall 0, the same
+    // misuse class lshBucket/sigBands already require() against
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"LSH needs bands >= 1 and rowsPerBand >= 1 (got $bands, $rowsPerBand)")
     val numHashes = bands * rowsPerBand
     val withSig = minhashSignatures(docs, n, numHashes, idCol, textCol)
     val banded = withSig.select(col("id"), posexplode(
@@ -201,7 +216,14 @@ object DedupOps {
   def simhashPairs(docs: DataFrame, maxDist: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     simhashPairsOf(
-      docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")), maxDist)
+      // drop null-text docs BEFORE signing: [[simhash]]'s per-bit
+      // when/otherwise turns a null text into the non-null signature 0, and
+      // unchecked that pairs every null-text doc with every other at
+      // distance 0 (fed to [[canonical]], that silently deletes all but one
+      // of them) — the family convention is null docs never pair, and the
+      // portable variant already drops them via its explode
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), simhash(col(textCol)).as("sig")), maxDist)
 
   private def simhashPairsOf(sigs: DataFrame, maxDist: Int): DataFrame = {
     val banded = sigs.select(col("id"), col("sig"),
@@ -422,8 +444,12 @@ object DedupOps {
       // and its neighbors
       val nbr = edges.join(labels.withColumnRenamed("x", "y"), "y")
         .groupBy("x").agg(min(col("lbl")).as("nlbl"))
-      val stepped = labels.join(nbr, Seq("x"), "left")
-        .select(col("x"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // materialized: the jump self-join below consumes `stepped` TWICE, and
+      // an unmaterialized plan would re-run the neighbor-min join+agg for
+      // each side (ReuseExchange dedups only the shuffle, not the
+      // post-shuffle work) — 2x the per-round cost on a 10^9-edge graph
+      val (stepped, steppedRdd) = materialize(labels.join(nbr, Seq("x"), "left")
+        .select(col("x"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
       // (2) pointer jumping: follow the label one hop (label of my label),
       // halving chain length every round
       val (jumped, jumpedRdd) = materialize(stepped.as("s")
@@ -432,6 +458,7 @@ object DedupOps {
         .select(col("s.x").as("x"), least(col("s.lbl"), coalesce(col("jlbl"), col("s.lbl"))).as("lbl")))
       val cur = checksum(jumped) // forces jumpedRdd — the old generation is read
       labelsRdd.unpersist(blocking = false) // exactly once above, then freed here
+      steppedRdd.unpersist(blocking = false) // both jump consumers have run
       labels = jumped
       labelsRdd = jumpedRdd
       converged = cur.compareTo(prev) == 0

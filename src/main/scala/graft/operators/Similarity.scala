@@ -157,6 +157,24 @@ object SimilarityOps {
   private[graft] def derivedTrainSampleMod(corpusSize: Long, nlist: Int): Int =
     math.min(math.max(1L, corpusSize / (256L * math.max(1, nlist))), Int.MaxValue.toLong).toInt
 
+  /** Rank the (broadcast) centroid set per row by quantized cosine — ties →
+    * min cid — and keep the `take` nearest. THE one argmax-centroid
+    * definition, shared by the k-means trainer's assignment step, the
+    * corpus→inverted-list assignment, and the query probes: a tie-break or
+    * formula change in one place can no longer silently diverge the
+    * quantizer from either assignment side. `df` must carry `idCol` and the
+    * quantized vector as `vq`; `cent` is `(cid, csum)`. Adds `cid`, drops
+    * the ranking internals. */
+  private def nearestCentroids(df: DataFrame, cent: DataFrame, idCol: String,
+      take: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("cos_c").desc, col("cid").asc)
+    df.join(cent)
+      .withColumn("cos_c", cosine(col("vq"), col("csum")))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= take)
+      .drop("cos_c", "_rn", "csum")
+  }
+
   /** @param trainSampleMod train the quantizer on the deterministic
     *        ~1/trainSampleMod id-hash sample ([[trainSamplePredicate]]);
     *        1 = full corpus. Centroid QUALITY needs only a representative
@@ -176,13 +194,16 @@ object SimilarityOps {
     // when the sample is the whole corpus and ids are dense)
     var cents: Seq[(Long, Seq[Long])] = vq
       .orderBy("vec_id").limit(nlist).as[(Long, Seq[Long])].collect().toSeq
+    // an over-aggressive trainSampleMod (larger than the id space) selects
+    // zero training vectors; unchecked, empty centroids flow through every
+    // iteration and ivfTopK returns ZERO rows for every query — silent total
+    // data loss instead of a config error
+    require(cents.nonEmpty,
+      s"IVF training set is empty — the corpus has no vectors, or " +
+      s"trainSampleMod=$trainSampleMod selects none of them; lower it or pass 1")
     for (_ <- 0 until iters) {
       val cdf = broadcast(cents.toDF("cid", "csum"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("cos_c").desc, col("cid").asc)
-      val assigned = vq.join(cdf)
-        .withColumn("cos_c", cosine(col("vq"), col("csum")))
-        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      val assigned = nearestCentroids(vq, cdf, "vec_id", take = 1)
       val sums = assigned
         .select(col("cid"), posexplode(col("vq")).as(Seq("d", "x")))
         .groupBy("cid", "d").agg(sum("x").as("s")) // exact BIGINT sums
@@ -222,23 +243,16 @@ object SimilarityOps {
     val cent = broadcast(
       kmeansSums(corpus, nlist, kmeansIters, mod).toDF("cid", "csum"))
     // corpus → inverted lists: argmax-cosine centroid per vector (ties → min cid)
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("neighbor_id").orderBy(col("cos_c").desc, col("cid").asc)
-    val lists = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-        quantized(col("embedding")).as("vq"))
-      .join(cent)
-      .withColumn("cos_c", cosine(col("vq"), col("csum")))
-      .withColumn("_rn", row_number().over(wAssign)).filter(col("_rn") === 1)
+    val lists = nearestCentroids(
+      corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        quantized(col("embedding")).as("vq")),
+      cent, "neighbor_id", take = 1)
       .select(col("neighbor_id"), col("cv"), col("cid").as("list_id"))
     // queries → nprobe nearest lists each
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos_c").desc, col("cid").asc)
-    val probes = broadcast(queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        quantized(col("embedding")).as("qq"))
-      .join(cent)
-      .withColumn("cos_c", cosine(col("qq"), col("csum")))
-      .withColumn("_rn", row_number().over(wProbe)).filter(col("_rn") <= nprobe)
+    val probes = broadcast(nearestCentroids(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        quantized(col("embedding")).as("vq")),
+      cent, "query_id", take = nprobe)
       .select(col("query_id"), col("qv"), col("cid").as("list_id")))
     val scored = lists.join(probes, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -123,6 +123,16 @@ class OperatorsSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("simhash fast path never pairs null-text docs (family convention)") {
+    // a null text would otherwise sign as the non-null 0L (per-bit
+    // when/otherwise) and pair every null doc with every other at dist 0 —
+    // fed to canonical(), that silently deletes all but one of them
+    val d = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "real words in a document right here ok then"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.simhashPairs(d, maxDist = 3).count() === 0L)
+  }
+
   test("simhash: identical text → distance 0; near text → small distance") {
     val d = Seq(
       (1L, "one two three four five six seven eight nine ten"),
