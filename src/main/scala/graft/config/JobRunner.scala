@@ -102,18 +102,6 @@ object JobRunner {
     }
   }
 
-  /** Endpoint-driven extract-load (≙ `teleport extract-load-api`,
-    * /root/reference/api.go:47-76): pull `{offset}`-paginated pages through
-    * the configured transport, parse json/csv bodies against the declared
-    * schema (≙ TableDefinition), apply the extract's projection/transforms,
-    * and apply each bounded micro-batch of pages through the engine MERGE.
-    *
-    * Two deliberate differences from the reference, both scale-structural:
-    * the full result set is NEVER accumulated (api.go:178-227 holds every
-    * row in one slice — here each `pagesPerBatch` batch is merged and
-    * released, so driver memory is O(batch) for an unbounded endpoint), and
-    * the load is the same bucket-pruned upsert the DB path uses.
-    */
   /** The extract's projection + transform chain — one definition shared by
     * every endpoint path (extract-load-api, extract-api, previews), so the
     * two verbs can never shape the same spec differently. */
@@ -123,6 +111,38 @@ object JobRunner {
       case cols => df.select(cols.map(col): _*)
     }
     ColumnTransforms(projected, extract.transforms, extract.computed)
+  }
+
+  /** Transforms run over RAW values — the reference's Starlark transforms
+    * see the untyped page, and the TableDefinition types apply at LOAD time
+    * (after them). So any declared column a transform TARGETS is read as
+    * STRING and loudly cast to its declared type AFTER the transforms run;
+    * typing it up front would raise on valid raw data the transform was
+    * about to convert (a fromtimestamp epoch string under a TIMESTAMP
+    * declared/destination-inferred type). Untargeted columns keep the
+    * up-front loud typing. Returns (page-read schema, shape function). */
+  private def transformAware(declared: org.apache.spark.sql.types.StructType,
+      extract: TableExtractSpec, cfg: EndpointConfig)
+      : (org.apache.spark.sql.types.StructType, DataFrame => DataFrame) = {
+    val targets = extract.transforms.map(_.column).toSet
+      .intersect(declared.fieldNames.toSet)
+    val emptyIsNull = cfg.responseType == "csv"
+    if (targets.isEmpty) return (declared, shapeFor(extract))
+    val pageSchema = org.apache.spark.sql.types.StructType(declared.map(f =>
+      if (targets.contains(f.name))
+        f.copy(dataType = org.apache.spark.sql.types.StringType)
+      else f))
+    val shape = (df: DataFrame) => {
+      val shaped = shapeFor(extract)(df)
+      shaped.select(shaped.columns.toIndexedSeq.map { c =>
+        declared.find(_.name == c) match {
+          case Some(f) if targets.contains(c) && shaped.schema(c).dataType != f.dataType =>
+            Endpoint.loudCast(c, f.dataType, emptyIsNull)
+          case _ => col(c)
+        }
+      }: _*)
+    }
+    (pageSchema, shape)
   }
 
   private def endpointCfg(s: SourceSpec): EndpointConfig =
@@ -143,11 +163,11 @@ object JobRunner {
     val extract = spec.extractFor(table)
     val s = spec.source
     val cfg = endpointCfg(s)
-    val pageSchema = s.schema.map(parseSchemaSpec).getOrElse(
+    val declared = s.schema.map(parseSchemaSpec).getOrElse(
       throw new IllegalArgumentException(
         "extract-api needs source.schema (TableDefinition) — no destination to infer from"))
     val src = Endpoint.source(cfg, transport, pagesPerBatch = s.pagesPerBatch)
-    def shape(df: DataFrame): DataFrame = shapeFor(extract)(df)
+    val (pageSchema, shape) = transformAware(declared, extract, cfg)
     var off = 0L
     var more = true
     var total = 0L
@@ -170,6 +190,18 @@ object JobRunner {
     total
   }
 
+  /** Endpoint-driven extract-load (≙ `teleport extract-load-api`,
+    * /root/reference/api.go:47-76): pull `{offset}`-paginated pages through
+    * the configured transport, parse json/csv bodies against the declared
+    * schema (≙ TableDefinition), apply the extract's projection/transforms,
+    * and apply each bounded micro-batch of pages through the engine MERGE.
+    *
+    * Two deliberate differences from the reference, both scale-structural:
+    * the full result set is NEVER accumulated (api.go:178-227 holds every
+    * row in one slice — here each `pagesPerBatch` batch is merged and
+    * released, so driver memory is O(batch) for an unbounded endpoint), and
+    * the load is the same bucket-pruned upsert the DB path uses.
+    */
   private def runApi(spark: SparkSession, spec: JobSpec, table: String,
       preview: Boolean, transport: HttpRequest => HttpResponse): Result = {
     val extract = spec.extractFor(table)
@@ -179,7 +211,7 @@ object JobRunner {
     // page schema: explicit TableDefinition, else the existing destination's
     // payload schema (≙ createEndpointdestinationTableIfNotExists + inspect,
     // api.go:101-137 — one of the two must exist)
-    val pageSchema = s.schema match {
+    val declared = s.schema match {
       case Some(ddl) => parseSchemaSpec(ddl)
       case None if dest.exists =>
         // drop the engine's OWN bookkeeping columns by exact name — a
@@ -194,7 +226,7 @@ object JobRunner {
         "api source needs source.schema (TableDefinition) or an existing destination")
     }
     val src = Endpoint.source(cfg, transport, pagesPerBatch = s.pagesPerBatch)
-    def shape(df: DataFrame): DataFrame = shapeFor(extract)(df)
+    val (pageSchema, shape) = transformAware(declared, extract, cfg)
     // Endpoint strategies (endpoint_configuration.go:205-217): Full =
     // truncate+insert; Incremental AND ModifiedOnly = the same delete-match
     // upsert at load time (load.go:148) — the go_back_hours lookback is a
@@ -276,12 +308,19 @@ object JobRunner {
       mergeStats = last)
   }
 
-  /** Parse a `"name:type,name:type"` TableDefinition string. Splits only on
-    * commas that start a new `name:` entry, so parameterized types keep
-    * their internal commas — `"price:decimal(18,4)"` is one field. */
+  /** Split a `"name:type,name:type"` schema string on entry boundaries ONLY
+    * (a comma followed by a `name:` lookahead), so parameterized types keep
+    * their internal commas — `"price:decimal(18,4)"` is one field. THE one
+    * splitter: [[PortSpec]]'s transform-column filter walks the same string
+    * shape and must never disagree with [[parseSchemaSpec]] on what an
+    * entry is. */
+  private[config] def splitSchemaEntries(ddl: String): Array[String] =
+    ddl.split(",(?=\\s*[A-Za-z_][A-Za-z0-9_]*\\s*:)")
+
+  /** Parse a `"name:type,name:type"` TableDefinition string. */
   def parseSchemaSpec(ddl: String): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(
-      ddl.split(",(?=\\s*[A-Za-z_][A-Za-z0-9_]*\\s*:)").map { c =>
+      splitSchemaEntries(ddl).map { c =>
         val Array(n, ty) = c.split(":", 2)
         org.apache.spark.sql.types.StructField(n.trim,
           SchemaTools.parseType(ty).getOrElse(

@@ -133,20 +133,28 @@ object PortSpec {
         val full = src.copy(
           itemsField = itemsField.getOrElse(src.itemsField),
           schema = schemaDef,
-          retryOn4xx = retry4xx)
+          retryOn4xx = retry4xx,
+          // reference parity: a file with NO offset-idiom Paginate — the
+          // `return None` form, or no Paginate at all — loads exactly ONE
+          // page (api.go paginates only when configured). An empty
+          // offsetField is the engine's no-pagination sentinel; leaving the
+          // default "offset" would follow any same-named field the body
+          // happens to carry, silently draining every page (or, without a
+          // {offset} url token, tripping the non-advancing-pagination trap
+          // on a perfectly valid config).
+          offsetField = if (offsetPaging) src.offsetField else "")
         // fields the Transform dict mentions but TableDefinition omits never
         // reach the destination in the reference (the typed load takes only
         // the schema's columns — api_basic_auth's created_at is computed and
         // then dropped), and here the page frame reads with that schema, so
         // a transform on an absent column would fail analysis: filter to the
         // declared columns — identical outcome to the reference
-        // split only on commas that start a new `name:` entry (same lookahead
-        // as JobRunner.parseSchemaSpec) so parameterized types keep their
-        // internal commas — `price:decimal(18,4)` must not yield a junk "4)"
-        // column that could shadow a real column's transform filtering
+        // the SHARED schema-entry splitter (JobRunner.splitSchemaEntries) so
+        // parameterized types keep their internal commas — `price:decimal(18,4)`
+        // must not yield a junk "4)" column that could shadow a real
+        // column's transform filtering
         val schemaCols = schemaDef.map(
-          _.split(",(?=\\s*[A-Za-z_][A-Za-z0-9_]*\\s*:)")
-            .map(_.split(":")(0).trim).toSet)
+          JobRunner.splitSchemaEntries(_).map(_.split(":")(0).trim).toSet)
         val kept = schemaCols.fold(apiTransforms)(cols =>
           apiTransforms.filter(t => cols.contains(t.column)))
         // an api file defines ONE unnamed table — expose it as the wildcard
@@ -409,7 +417,9 @@ object PortSpec {
         case Array(k, v) => k.trim match {
           case "primary_key" => spec = spec.copy(primaryKey = Seq(unquote(v)))
           case "modified_at_column" => spec = spec.copy(modifiedAtColumn = Some(unquote(v)))
-          case "go_back_hours" => spec = spec.copy(goBackHours = v.trim.toInt)
+          case "go_back_hours" => spec = spec.copy(goBackHours =
+            v.trim.toIntOption.getOrElse(throw new PortParseException(
+              s"go_back_hours must be a bare integer (got ${v.trim}): $kw")))
           case other => throw new PortParseException(s"unknown LoadStrategy kwarg: $other")
         }
         case _ => throw new PortParseException(s"malformed LoadStrategy argument: $kw")
@@ -494,13 +504,20 @@ object PortSpec {
     val itemRe = "^return\\s+\\w+\\[\\s*['\"](\\w+)['\"]\\s*\\]$".r
     val compRe = ("^return\\s*\\[\\s*\\{(.*)\\}\\s*for\\s+(\\w+)\\s+in\\s+" +
       "\\w+\\[\\s*['\"](\\w+)['\"]\\s*\\]\\s*\\]$").r
+    // the CSV HEADER-ZIP idiom, precisely: a dict comprehension whose KEY is
+    // header-derived (`headers[i]` after a pop(0), or `data[0][i]`) and
+    // whose value is the same-index row element — exactly the engine's
+    // built-in CSV parse, nothing to configure. A looser test (any body
+    // mentioning `[0]`/`pop(0)`) would silently swallow a transform that
+    // RENAMES columns via literal dict keys — at load time the renamed
+    // fields would type as all-NULL (silent data loss) where this module's
+    // contract is a loud PortParseException.
+    val csvHeaderZip = ("\\{\\s*[A-Za-z_]\\w*(\\[0\\])?\\[(\\w+)\\]\\s*:" +
+      "\\s*\\w+\\[\\2\\]").r
     one match {
       case itemRe(field) => (Some(field), Nil)
-      // the CSV header idiom in either spelling: data.pop(0) + zip, or the
-      // dict comprehension over data[0]/data[1:] — both are exactly the
-      // engine's built-in CSV parse
-      case _ if responseType == "csv" &&
-        (one.contains("pop(0)") || one.contains("[0]")) => (None, Nil)
+      case _ if responseType == "csv" && csvHeaderZip.findFirstIn(one).isDefined =>
+        (None, Nil)
       case compRe(dict, item, field) =>
         val specs = splitTop(dict).filter(_.trim.nonEmpty).flatMap { pair =>
           pair.split(":", 2) match {

@@ -66,7 +66,10 @@ object Endpoint {
   /** Parse a JSON page body: records = compact JSON strings of the elements
     * under `itemsField` (or of a bare top-level array); next offset = the
     * `offsetField` value when present and non-null (the
-    * api_offset_pagination.port protocol — null/absent offset stops). */
+    * api_offset_pagination.port protocol — null/absent offset stops; an
+    * EMPTY `offsetField` is the explicit no-pagination sentinel: no body
+    * field is ever named "", so the lookup stops after page one — the
+    * .port converter sets it for files without the offset Paginate idiom). */
   private def parseJsonPage(cfg: EndpointConfig, body: String): Either[FetchError, Page] = {
     try {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -83,7 +86,12 @@ object Endpoint {
       // drive — fail loudly instead of silently truncating after this page
       Option(root.get(cfg.offsetField)).filter(!_.isNull) match {
         case None => Right(Page(recs, None))
-        case Some(n) if n.canConvertToLong => Right(Page(recs, Some(n.asLong)))
+        // canConvertToLong alone is only a RANGE check (100.7 would floor to
+        // 100 — a silently wrong resume point); also require the value to be
+        // integral (100.0 stays accepted: servers emit whole doubles)
+        case Some(n) if n.canConvertToLong &&
+            (n.isIntegralNumber || n.doubleValue == n.asLong) =>
+          Right(Page(recs, Some(n.asLong)))
         case Some(n) if n.isTextual && n.asText.matches("-?\\d{1,18}") =>
           Right(Page(recs, Some(n.asText.toLong)))
         case Some(n) => Left(FetchError.InvalidBody(
@@ -151,7 +159,14 @@ object Endpoint {
       } else c match {
         case '"' => inQ = true; rowHadContent = true
         case ',' => row :+= field.result(); field.clear(); rowHadContent = true
-        case '\r' => // row break handled at \n
+        case '\r' =>
+          // \r\n is a line ending (handled at the \n); a BARE \r mid-field
+          // is DATA — Go's encoding/csv (api.go:461-477, the behavior this
+          // mirrors) keeps it, and dropping it would silently alter field
+          // bytes ("ab\rcd" → "abcd")
+          if (!(i + 1 < text.length && text.charAt(i + 1) == '\n')) {
+            field += c; rowHadContent = true
+          }
         case '\n' =>
           if (rowHadContent) { row :+= field.result(); rows += row }
           field.clear(); row = Vector.empty; rowHadContent = false
@@ -188,21 +203,29 @@ object Endpoint {
       schema: org.apache.spark.sql.types.StructType,
       recs: Seq[String], emptyIsNull: Boolean): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{coalesce, col, concat, lit, raise_error, when}
     val strSchema = org.apache.spark.sql.types.StructType(
       schema.fields.map(_.copy(dataType = org.apache.spark.sql.types.StringType)))
     spark.read.schema(strSchema).json(recs.toDS())
-      .select(schema.fields.toIndexedSeq.map { f =>
-        val casted = col(f.name).cast(f.dataType)
-        val isNull =
-          if (emptyIsNull) col(f.name).isNull || col(f.name) === ""
-          else col(f.name).isNull
-        when(isNull, lit(null).cast(f.dataType))
-          .otherwise(coalesce(casted, raise_error(concat(
-            lit(s"invalid value for ${f.name} ${f.dataType.simpleString}: '"),
-            col(f.name), lit("'"))).cast(f.dataType)))
-          .as(f.name)
-      }: _*)
+      .select(schema.fields.toIndexedSeq.map(f =>
+        loudCast(f.name, f.dataType, emptyIsNull)): _*)
+  }
+
+  /** The loud-cast column THE one definition ([[typedFrame]] per field, and
+    * JobRunner's post-transform conform step): NULL stays NULL (empty string
+    * too under `emptyIsNull` — the Redshift EMPTYASNULL rule), a convertible
+    * value casts, anything else raises naming the column and value instead
+    * of silently nulling. */
+  def loudCast(name: String,
+      dt: org.apache.spark.sql.types.DataType,
+      emptyIsNull: Boolean): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, col, concat, lit, raise_error, when}
+    val src = col(name)
+    val isNull = if (emptyIsNull) src.isNull || src === "" else src.isNull
+    when(isNull, lit(null).cast(dt))
+      .otherwise(coalesce(src.cast(dt), raise_error(concat(
+        lit(s"invalid value for $name ${dt.simpleString}: '"),
+        src.cast(org.apache.spark.sql.types.StringType), lit("'"))).cast(dt)))
+      .as(name)
   }
 
   /** Production transport over the JDK's `java.net.http.HttpClient` — the

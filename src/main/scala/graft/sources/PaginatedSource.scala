@@ -82,15 +82,20 @@ final class PaginatedSource(
     * earlier version of this method re-created it with a driver Vector).
     * ≙ extract-load-api end-to-end (api.go:47-76) with the CSV bounce
     * removed. Returns (batches delivered, records delivered). */
+  /** @param emptyIsNull pass true for CSV-bodied endpoints: their empty
+    *        fields mean NULL (the EMPTYASNULL rule JobRunner's page path
+    *        applies) — left false, any empty field in a non-string column
+    *        raises where the load path would store NULL. */
   def drain(spark: SparkSession, schema: StructType,
-      sink: DataFrame => Unit, offset: Long = 0L): (Int, Long) = {
+      sink: DataFrame => Unit, offset: Long = 0L,
+      emptyIsNull: Boolean = false): (Int, Long) = {
     @tailrec def loop(off: Long, batches: Int, records: Long): (Int, Long) = {
       val (recs, next) = pullBatch(off)
       if (recs.nonEmpty)
         // text-first read + loud cast (Endpoint.typedFrame), NOT a
         // schema-first JSON parse — the latter silently nulls
         // string-encoded scalars ({"id": "123"} against LongType)
-        sink(Endpoint.typedFrame(spark, schema, recs, emptyIsNull = false))
+        sink(Endpoint.typedFrame(spark, schema, recs, emptyIsNull))
       val (b, r) = (batches + (if (recs.nonEmpty) 1 else 0), records + recs.size)
       next match {
         case None => (b, r)

@@ -432,10 +432,18 @@ class ConfigSpec extends SparkSuite {
     // an explicit CSV-idiom Transform directive must not be overridden by a
     // leftover magic-name def (the fallback is guarded on directive presence)
     val csvKeep = PortSpec.toJobSpec(
-      "def parse_header(data):\n\treturn data.pop(0)\n" +
+      "def parse_header(data):\n\theaders = data.pop(0)\n" +
+      "\treturn [{headers[i]: row[i] for i in range(len(headers))} for row in data]\n" +
       "def Transform(data):\n\treturn data['widgets']\n" +
       "Get(\"http://x/y\")\nResponseType(\"csv\")\nTransform(parse_header)")
     assert(csvKeep.source.itemsField === "items") // default CSV parse, not the leftover 'widgets'
+    // ...and a csv body that merely MENTIONS pop(0) without the header-zip
+    // shape is NOT the built-in parse — it must fail loudly, not be swallowed
+    assert(intercept[PortParseException] {
+      PortSpec.toJobSpec(
+        "def parse_header(data):\n\treturn data.pop(0)\n" +
+        "Get(\"http://x/y\")\nResponseType(\"csv\")\nTransform(parse_header)")
+    }.getMessage.contains("unsupported Transform body"))
     // Paginate(by_offset) resolves the NAMED helper like Transform does
     PortSpec.toJobSpec(
       "def by_offset(prev):\n\treturn {'offset': 1}\n" +
@@ -478,12 +486,49 @@ class ConfigSpec extends SparkSuite {
     // statement order is irrelevant in Starlark: a ResponseType("csv") AFTER
     // the Transform directive must still steer the CSV-idiom translation
     val orderFree = PortSpec.toJobSpec(
-      "def parse_header(data):\n\treturn data.pop(0)\n" +
+      "def parse_header(data):\n\theaders = data.pop(0)\n" +
+      "\treturn [{headers[i]: row[i] for i in range(len(headers))} for row in data]\n" +
       "Get(\"http://x/y\")\nTransform(parse_header)\nResponseType(\"csv\")")
     assert(orderFree.source.responseType === "csv")
     // whitespace before the call paren is valid Starlark
     assert(PortSpec.toJobSpec("Table (\"w\").LoadStrategy(Full)")
       .tables("w").loadStrategy === "Full")
+  }
+
+  test(".port csv transform that RENAMES columns fails loudly, never the silent zip") {
+    import graft.config.{PortSpec, PortParseException}
+    // literal dict keys = a column-mapping transform, NOT the header-zip
+    // idiom — swallowing it as the built-in CSV parse would type the renamed
+    // column against the csv's actual header and load all-NULL keys
+    val bad = """Get("http://t/widgets.csv")
+ResponseType("csv")
+LoadStrategy(Full)
+TableDefinition({"widget_id": "INT"})
+Transform(lambda data: [{'widget_id': row[0]} for row in data[1:]])"""
+    val e = intercept[PortParseException] { PortSpec.toJobSpec(bad, _ => None) }
+    assert(e.getMessage.contains("unsupported Transform body"))
+    // ...while both genuine header-zip spellings still translate
+    def port(name: String) = Files.readString(
+      Paths.get(s"/root/reference/testdata/apis/$name"))
+    val env = Map("TEST_URL" -> "http://x/widgets.csv").get _
+    assert(PortSpec.toJobSpec(port("api_csv.port"), env).source.responseType === "csv")
+    assert(PortSpec.toJobSpec(port("api_lambda_transform.port"), env)
+      .source.responseType === "csv")
+  }
+
+  test(".port without the offset Paginate idiom converts to a SINGLE-page load") {
+    import graft.config.PortSpec
+    def port(name: String) = Files.readString(
+      Paths.get(s"/root/reference/testdata/apis/$name"))
+    val env = Map("TEST_URL" -> "http://x/items", "EXAMPLE_WIDGETS_API_TOKEN" -> "tok").get _
+    // offset idiom → the runtime follows the body's offset field
+    assert(PortSpec.toJobSpec(port("api_offset_pagination.port"), env)
+      .source.offsetField === "offset")
+    // the `return None` Paginate (reference loads exactly one page) → the
+    // empty sentinel: a body that HAPPENS to carry an 'offset' field must
+    // not be drained page after page
+    assert(PortSpec.toJobSpec(port("api_basic_auth.port"), env)
+      .source.offsetField === "")
   }
 
   test(".port subset reader: reference API fixtures translate to JobSpec") {

@@ -433,6 +433,60 @@ class SourcesSpec extends SparkSuite {
     assert(out(2).getAs[Boolean]("active"))
   }
 
+  test("transforms see RAW values: format-changing transform under typed and inferred schemas") {
+    import graft.config.{JobRunner, JobSpec}
+    import graft.sources.{HttpRequest, HttpResponse}
+    val dir = SparkTestBase.tmpDir("api-rawts")
+    val fake: HttpRequest => HttpResponse = _ => HttpResponse(200,
+      """{"items":[{"id":1,"ts":"1690000000"},{"id":2,"ts":"1690000100"}]}""")
+    def spec(withSchema: Boolean) = JobSpec.parse(s"""{
+      "source": {"format": "api", "url": "http://t/items"${
+        if (withSchema) """, "schema": "id:integer,ts:timestamp"""" else ""}},
+      "destination": {"root": "$dir/dest", "numBuckets": 4},
+      "tables": {"t": {"loadStrategy": "Full", "primaryKey": ["id"],
+        "transforms": [{"column": "ts",
+          "ops": ["sql:timestamp_seconds(cast(`ts` as bigint))"]}]}}}""")
+    // declared-schema run: typing the raw epoch string as TIMESTAMP before
+    // the transform converts it would raise on perfectly valid data
+    assert(JobRunner.run(spark, spec(true), "t", transport = fake).rowsLoaded === 2)
+    // destination-INFERRED run (no source.schema): same rule — the dest's
+    // timestamp type applies AFTER the transform, not to the raw page
+    assert(JobRunner.run(spark, spec(false), "t", transport = fake).rowsLoaded === 2)
+    val out = graft.cdc.CdcPipeline.liveState(LakeTable(s"$dir/dest")(spark))
+    assert(out.schema("ts").dataType === TimestampType)
+    assert(out.filter(col("ts").isNull).count() === 0)
+  }
+
+  test("a fractional page offset fails loudly instead of silently flooring") {
+    import graft.sources.{Endpoint, EndpointConfig, HttpResponse}
+    val cfg = EndpointConfig(url = "http://t/items?offset={offset}")
+    val e = intercept[RuntimeException] {
+      Endpoint.source(cfg, _ => HttpResponse(200,
+        """{"items":[{"id":1}],"offset":100.7}""")).pullBatch(0)
+    }
+    assert(e.getMessage.contains("non-numeric"),
+      s"100.7 must not floor to a resume point the server never issued: ${e.getMessage}")
+    // whole-number doubles stay accepted (servers emit 100.0)
+    @volatile var calls = 0
+    val (recs, next) = Endpoint.source(EndpointConfig(url = "http://t/i?offset={offset}"),
+      _ => { calls += 1
+        if (calls == 1) HttpResponse(200, """{"items":[{"id":1}],"offset":100.0}""")
+        else HttpResponse(200, """{"items":[{"id":2}]}""") }).pullBatch(0)
+    assert(recs.size === 2 && next.isEmpty)
+  }
+
+  test("a bare carriage return inside an unquoted CSV field is data, not a row break") {
+    import graft.sources.{Endpoint, EndpointConfig, HttpResponse}
+    val cfg = EndpointConfig(url = "http://t/w.csv", responseType = "csv")
+    val (recs, _) = Endpoint.source(cfg,
+      _ => HttpResponse(200, "id,name\n1,ab\rcd\n2,plain\r\n")).pullBatch(0)
+    assert(recs.size === 2)
+    assert(recs.head.contains("ab\\rcd"), // JSON-escaped \r preserved in the field
+      s"bare \\r must survive as field bytes (Go encoding/csv parity): ${recs.head}")
+    assert(recs(1).contains("plain") && !recs(1).contains("\\r"),
+      "\\r\\n stays a plain row break")
+  }
+
   test("http transport: real socket via JDK client against a localhost server") {
     import graft.sources.{Endpoint, EndpointConfig}
     val server = com.sun.net.httpserver.HttpServer.create(
