@@ -1163,6 +1163,7 @@ object SparkEntry {
     "text_quality" -> s"""
       WITH q AS (
         SELECT doc_id,
+          text IS NULL AS no_text,
           least(length(text) / 500.0, 1.0) AS len_score,
           CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) = 0 THEN 0.0
             ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
@@ -1175,8 +1176,8 @@ object SparkEntry {
             ELSE (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 1.0
               / length(text) END AS up
         FROM documents)
-      SELECT doc_id, greatest(0.0, least(1.0,
-        len_score * 0.4 + sw * 0.3 + (1.0 - punct) * 0.2 + (1.0 - up) * 0.1)) AS quality
+      SELECT doc_id, CASE WHEN no_text THEN NULL ELSE greatest(0.0, least(1.0,
+        len_score * 0.4 + sw * 0.3 + (1.0 - punct) * 0.2 + (1.0 - up) * 0.1)) END AS quality
       FROM q ORDER BY doc_id""",
     "text_redact_pii" -> """
       SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
@@ -1198,9 +1199,11 @@ object SparkEntry {
         SELECT doc_id, unnest(split(s, chr(10))) AS line,
           generate_subscripts(split(s, chr(10)), 1) AS i
         FROM base),
-      firsts AS (SELECT doc_id, line, min(i) AS fi FROM lines GROUP BY doc_id, line)
-      SELECT doc_id, string_agg(line, chr(10) ORDER BY fi) AS deduped
-      FROM firsts GROUP BY doc_id ORDER BY doc_id""",
+      ranked AS (SELECT doc_id, line, i,
+        min(i) OVER (PARTITION BY doc_id, line) AS fi FROM lines)
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS deduped
+      FROM ranked WHERE trim(line) = '' OR i = fi
+      GROUP BY doc_id ORDER BY doc_id""",
     "ann_topk_cosine" -> s"""
       WITH q AS (SELECT vec_id AS query_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

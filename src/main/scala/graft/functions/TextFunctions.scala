@@ -42,7 +42,9 @@ object TextFunctions {
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = split(lower(trim(text)), "\\s+")
     val stops = array(stopwords.map(lit): _*)
-    when(size(toks) === 0, 0.0)
+    // empty text guard on the TEXT, not size(toks) === 0 (dead: split of an
+    // empty string yields [""], size 1 — same guard shape as tokenCount)
+    when(length(trim(text)) === 0, 0.0)
       .otherwise(size(array_intersect_count(toks, stops)).cast("double") / size(toks))
   }
 
@@ -58,8 +60,13 @@ object TextFunctions {
     val sw = stopwordRatio(text, stopwords)
     val punct = punctRatio(text)
     val upper = upperRatio(text)
-    greatest(lit(0.0), least(lit(1.0),
-      lenScore * 0.4 + sw * 0.3 + (lit(1.0) - punct) * 0.2 + (lit(1.0) - upper) * 0.1))
+    // NULL text stays NULL (the file's convention — tokenCount/langId do the
+    // same): least/greatest SKIP nulls, so without the guard the null terms
+    // drop out and every missing document would score a perfect 1.0,
+    // sailing through any quality-threshold filter
+    when(text.isNull, lit(null).cast("double"))
+      .otherwise(greatest(lit(0.0), least(lit(1.0),
+        lenScore * 0.4 + sw * 0.3 + (lit(1.0) - punct) * 0.2 + (lit(1.0) - upper) * 0.1)))
   }
 
   /** Gopher-style repetition signal: the fraction of word n-grams that are
@@ -112,8 +119,15 @@ object TextFunctions {
     * license headers, nav menus — repeat inside a page): keep each line's
     * FIRST occurrence, preserve order. `array_distinct` is documented to
     * keep first-occurrence order in Spark. */
-  def dedupLines(text: Column): Column =
-    array_join(array_distinct(split(text, "\n")), "\n")
+  def dedupLines(text: Column): Column = {
+    val lines = split(text, "\n")
+    // BLANK lines pass through (they are paragraph structure, not
+    // boilerplate — array_distinct alone would delete every paragraph break
+    // after the first); non-blank lines keep their first occurrence
+    // (array_position = 1-based first index)
+    array_join(filter(lines, (x, i) =>
+      trim(x) === "" || array_position(lines, x) === (i + 1).cast("long")), "\n")
+  }
 
   /** Function-word markers per language for the stopword-profile langid
     * heuristic — the default scorer a real pipeline would swap for a
@@ -162,7 +176,9 @@ object TextFunctions {
     val scored = markers.toSeq.sortBy(_._1).map { case (code, ms) =>
       struct(langHits(text, ms).as("hits"), lit(code).as("code"))
     }
-    val best = greatest(scored: _*) // struct compare: hits first, then code
+    // struct compare: hits first, then code. greatest() needs >= 2 args —
+    // a single-language profile map (a monolingual filter) is valid input
+    val best = if (scored.sizeIs == 1) scored.head else greatest(scored: _*)
     // NULL text stays NULL (a missing document has no language — the same
     // convention as bpeTokenCount): without the guard every language's hits
     // field is NULL, the struct compare degenerates to the code tie-break,

@@ -22,9 +22,9 @@ import org.apache.spark.sql.types._
   *    it renders E-notation where we render Java's decimal/EN mix — both
   *    parse to the identical bits everywhere, and a fixed-precision `%E`
   *    would silently truncate doubles to 7 significant digits)
-  *  - maps/arrays serialize to "" i.e. NULL (util.go:86-88): reproduced by
-  *    dropping non-scalar columns with a warning, like the reference skips
-  *    unsupported source column types (schema/schema.go:96-99)
+  *  - maps/arrays serialize to "" i.e. NULL (util.go:86-88) with the column
+  *    POSITION kept, so downstream loaders with declared column lists stay
+  *    aligned; a warning names the column
   */
 object CsvSource {
 
@@ -36,13 +36,23 @@ object CsvSource {
   val ReadOptions: Map[String, String] = Map(
     "header" -> "true",
     "nullValue" -> "",
-    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ssX",
+    // escape = the quote char → RFC4180 `""` doubling, the form Go's
+    // encoding/csv and the COPY loaders write; Spark's default backslash
+    // escape would misread `"he said ""hi"""`
+    "escape" -> "\"",
+    // optional fractional seconds on READ: external producers emit micros
+    // or millis, and a seconds-only pattern silently NULLs those rows in
+    // PERMISSIVE mode (our own writer emits seconds — reference RFC3339)
+    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]X",
     "dateFormat" -> "yyyy-MM-dd")
 
   val WriteOptions: Map[String, String] = Map(
     "header" -> "true",
     "nullValue" -> "",
     "emptyValue" -> "",
+    // RFC4180 `""` doubling on write (see ReadOptions) — Go-side parsers
+    // reject Spark's default backslash escaping
+    "escape" -> "\"",
     "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ssX",
     "dateFormat" -> "yyyy-MM-dd")
 
@@ -83,7 +93,13 @@ object CsvSource {
         case TimestampNTZType => // session-local wall time ≙ UTC (we pin UTC)
           Some(date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss'Z'").as(f.name))
         case DateType => Some(date_format(col(f.name), "yyyy-MM-dd").as(f.name))
-        case _: StructType | _: ArrayType | _: MapType => None // ≙ "" for maps/arrays
+        case _: StructType | _: ArrayType | _: MapType =>
+          // ≙ "" (NULL) for maps/arrays, util.go:86-88 — the reference KEEPS
+          // the column position; dropping it would misalign any downstream
+          // loader with a declared column list, silently
+          System.err.println(s"[csv] column ${f.name}: non-scalar " +
+            s"${f.dataType.simpleString} serializes as NULL (reference util.go:86-88)")
+          Some(lit(null).cast(StringType).as(f.name))
         case _ => Some(col(f.name).cast(StringType).as(f.name))
       }
     }
