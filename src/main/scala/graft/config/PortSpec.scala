@@ -514,9 +514,18 @@ object PortSpec {
     // contract is a loud PortParseException.
     val csvHeaderZip = ("\\{\\s*[A-Za-z_]\\w*(\\[0\\])?\\[(\\w+)\\]\\s*:" +
       "\\s*\\w+\\[\\2\\]").r
+    // ... and the zip spelling of the same idiom: `headers = data.pop(0);
+    // return [dict(zip(headers, row)) for row in data]` — the dict's keys
+    // are the popped header row verbatim (no renaming possible), so it is
+    // the built-in CSV parse exactly like the comprehension form
+    val csvHeaderPop = "[A-Za-z_]\\w*\\s*=\\s*\\w+\\.pop\\(\\s*0\\s*\\)".r
+    val csvZip = "dict\\(\\s*zip\\(\\s*\\w+\\s*,\\s*\\w+\\s*\\)\\s*\\)".r
     one match {
       case itemRe(field) => (Some(field), Nil)
       case _ if responseType == "csv" && csvHeaderZip.findFirstIn(one).isDefined =>
+        (None, Nil)
+      case _ if responseType == "csv" && csvHeaderPop.findFirstIn(one).isDefined &&
+          csvZip.findFirstIn(one).isDefined =>
         (None, Nil)
       case compRe(dict, item, field) =>
         val specs = splitTop(dict).filter(_.trim.nonEmpty).flatMap { pair =>

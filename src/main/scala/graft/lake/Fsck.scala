@@ -117,7 +117,11 @@ object Fsck {
     // --- file existence + byte length across ALL retained versions --------
     val onDisk: Map[String, Long] =
       if (fs.isDirectory(dataDir))
-        fs.listStatus(dataDir).map(st => st.getPath.getName -> st.getLen).toMap
+        // files only: `.staging-*` DIRECTORIES left by crashed writers (and
+        // any other non-file entry) would otherwise inflate orphanDataFiles
+        // and record a directory's getLen as a file length
+        fs.listStatus(dataDir).filter(_.isFile)
+          .map(st => st.getPath.getName -> st.getLen).toMap
       else Map.empty
     // older versions via the inflating reader (shared manifest cache)
     val referenced = scala.collection.mutable.Map.empty[String, Long]

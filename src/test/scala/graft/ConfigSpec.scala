@@ -514,6 +514,24 @@ Transform(lambda data: [{'widget_id': row[0]} for row in data[1:]])"""
     assert(PortSpec.toJobSpec(port("api_csv.port"), env).source.responseType === "csv")
     assert(PortSpec.toJobSpec(port("api_lambda_transform.port"), env)
       .source.responseType === "csv")
+    // ...and the zip spelling of the same idiom (headers = data.pop(0);
+    // dict(zip(headers, row))) — keys are the popped header verbatim, so it
+    // is the built-in CSV parse too, not a renaming transform
+    val zipForm = PortSpec.toJobSpec(
+      "def parse_header(data):\n\theaders = data.pop(0)\n" +
+      "\treturn [dict(zip(headers, row)) for row in data]\n" +
+      "Get(\"http://x/y\")\nResponseType(\"csv\")\nTransform(parse_header)",
+      _ => None)
+    assert(zipForm.source.responseType === "csv")
+    assert(zipForm.tables.values.forall(_.transforms.isEmpty))
+    // a dict(zip(...)) WITHOUT the pop(0) header assignment is not the
+    // idiom (the keys are not the csv header) — still loud
+    assert(intercept[PortParseException] {
+      PortSpec.toJobSpec(
+        "def parse_header(data):\n\treturn [dict(zip(ks, row)) for row in data]\n" +
+        "Get(\"http://x/y\")\nResponseType(\"csv\")\nTransform(parse_header)",
+        _ => None)
+    }.getMessage.contains("unsupported Transform body"))
   }
 
   test(".port without the offset Paginate idiom converts to a SINGLE-page load") {
