@@ -84,6 +84,22 @@ object Merge {
   private val SrcCol = "_src" // 1 = from batch, 0 = carried from target
   private val debugTiming = sys.env.contains("GRAFT_DEBUG_TIMING")
 
+  /** Pre-computed copy-on-write pre-pass stats for ONE batch: the touched
+    * buckets with per-bucket (rows, minLsn, maxLsn). A batch-mode replay
+    * computes these for ALL its slices in one pass over the event stream
+    * ([[CdcPipeline.replay]]) instead of paying one narrow pre-pass job per
+    * batch — N scans of the stream become 1 (guide §1.2: remove passes).
+    * Merge TRUSTS this only after revalidating its basis against the
+    * snapshot it actually merges into: the bucket layout (numBuckets + key
+    * columns) must match, and under orderedDelivery the snapshot watermark
+    * must sit BELOW the slice's min LSN (else the watermark filter would
+    * drop rows the precomputed counts include — a resumed replay falls back
+    * to the per-batch pre-pass for exactly the batches that straddle it). */
+  case class PreStats(numBuckets: Int, keys: Seq[String],
+      rows: Seq[(Int, Long, Long, Long)]) { // (bucket, n, minLsn, maxLsn)
+    def minLsn: Long = if (rows.isEmpty) Long.MaxValue else rows.map(_._3).min
+  }
+
   /** Bounded wait for an Observation's metrics. `Observation.get` blocks
     * FOREVER if the execution's metrics event is never delivered — the
     * failure mode behind the streaming-MOR deadlock this module used to
@@ -145,7 +161,8 @@ object Merge {
       orderedDelivery: Boolean = false,
       mergeOnRead: Boolean = false,
       keyCols: Seq[String] = CdcModel.KeyCols,
-      metaCols: Set[String] = Set(CdcModel.LsnCol, CdcModel.OpCol, "eventTime")): MergeStats = {
+      metaCols: Set[String] = Set(CdcModel.LsnCol, CdcModel.OpCol, "eventTime"),
+      preStats: Option[PreStats] = None): MergeStats = {
     val t0 = System.nanoTime()
     val spark = events.sparkSession
     val snap = table.currentSnapshot.getOrElse(
@@ -239,19 +256,28 @@ object Merge {
     // the main job as an Observation, and the touched-bucket count falls
     // out of the files written. Measured: the pre-pass was ~1-1.4s of an
     // ~8s 1M-row MOR batch (~13% of sustained-ingest throughput). ---
-    val pre =
+    // precomputed slice stats are trusted only on a matching bucket layout
+    // and (under orderedDelivery) a watermark strictly below the slice — see
+    // [[PreStats]]; a mismatch falls back to the per-batch pre-pass
+    val preGiven: Option[Seq[(Int, Long, Long, Long)]] = preStats.collect {
+      case ps if !mergeOnRead && ps.numBuckets == numBuckets && ps.keys == keys &&
+        (!orderedDelivery || snap.watermarkLsn < ps.minLsn) => ps.rows
+    }
+    val pre: Option[Seq[(Int, Long, Long, Long)]] =
       if (mergeOnRead) None
-      else Some(phase("pre", batchId) { batchB
+      else preGiven.orElse(Some(phase("pre", batchId) { batchB
         .groupBy(col(LakeTable.BucketCol))
         .agg(count(lit(1)).as("n"), min(col(CdcModel.LsnCol)).as("mn"),
           max(col(CdcModel.LsnCol)).as("mx"))
-        .collect() })
-    // MOR has no pre-pass, but an all-fenced/watermark-filtered batch must
-    // still short-circuit to the metadata-only commit: isEmpty is a narrow
-    // take(1) probe (no shuffle — stops at the first surviving row), vs the
-    // full shuffle+sort+write job an empty batch would otherwise run.
-    val morEmpty = mergeOnRead && phase("probe", batchId) { batchB.isEmpty }
-    if (morEmpty || pre.exists(_.map(_.getLong(1)).sum == 0L)) {
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))) }))
+    // MOR deliberately runs NO emptiness probe: the take(1) probe this used
+    // to run was a full extra job per batch paid by EVERY batch, to save an
+    // empty-shuffle job only the RARE all-fenced/watermark-filtered batch
+    // needs — an empty batch now runs the (0-row, fast) merge job and is
+    // detected after it by (eventsIn == 0 && no files written), taking the
+    // same metadata-only commit as before.
+    if (pre.exists(_.map(_._2).sum == 0L)) {
       // nothing to apply — metadata-only commit to record the epoch
       val s = table.replaceFiles(snap, Set.empty, Nil, None, appId, batchId,
         snap.watermarkLsn, snap.sourceOffsets ++ sourceOffsets)
@@ -259,7 +285,7 @@ object Merge {
         schemaEvolved = false, skippedFenced = false, (System.nanoTime() - t0) / 1000000,
         sourceOffsets = sourceOffsets)
     }
-    val buckets = pre.map(_.map(_.getInt(0)).toSet).getOrElse(Set.empty)
+    val buckets = pre.map(_.map(_._1).toSet).getOrElse(Set.empty)
 
     // --- affected-bucket pruning: read only target files that can match;
     // merge-on-read appends instead and never touches existing files ---
@@ -327,16 +353,7 @@ object Merge {
       // content — identical values to computing them per-side pre-union
       .withColumn(OpRankCol, col(CdcModel.DeletedCol).cast("int"))
       .withColumn(TieCol, tieBreak)
-    // batch-row LSN as a PLAIN column projected BEFORE any window node:
-    // a computed window-function argument gets extracted into a Project
-    // BETWEEN window nodes, which blocks CollapseWindow — three WindowExec
-    // passes instead of one over the same sorted partition (observed in the
-    // real executed plan). Pre-projected, all five window functions below
-    // share ONE Window node.
-    val combined =
-      if (!mergeOnRead) combined0
-      else combined0.withColumn("_bLsn",
-        when(col(SrcCol) === 1L, col(CdcModel.RowLsnCol)))
+    val combined = combined0
 
     // --- job 2: merge + write. LWW winner per key via an explicit
     // sort-within-partitions + row_number window: the sort we provide is
@@ -371,46 +388,65 @@ object Merge {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     // ONE Observation for every lineage statistic, attached to the single
-    // job. MOR batch stats (events in, LSN range) ride the SAME sorted window
-    // pass as the LWW resolution — per-key batch-row count and batch-min/max
-    // LSN as three more unbounded aggs over the frame WindowExec is already
-    // evaluating — then fold to globals in the CollectMetrics node. The
-    // round-3 design put them in a second CollectMetrics on the batch
-    // side; inside a streaming foreachBatch only ONE of two CollectMetrics
-    // nodes on the write job ever reports its metrics, so the second
-    // Observation.get deadlocked the micro-batch (streaming+MOR hang, found
-    // by driving `replay ... mor` end-to-end).
+    // job (inside a streaming foreachBatch only ONE of two CollectMetrics
+    // nodes on the write job ever reports — a second Observation.get
+    // deadlocked the micro-batch in the round-3 design, found by driving
+    // `replay ... mor` end-to-end; everything here keeps exactly one).
+    //
+    // MOR: the target side is EMPTY by construction (the merge never reads
+    // it), so the frame entering the window is exactly the batch — batch
+    // stats (events in, LSN range) are a plain pre-window CollectMetrics
+    // (count/min/max: no window machinery), and distinctKeys = the written
+    // row count the parquet footers already report (one winner per key).
+    // The round-5 shape computed all four as unbounded-frame window aggs,
+    // which forced WindowExec to buffer and re-walk every key group; with
+    // them gone the window evaluates ONLY the streaming row_number — the
+    // hot-path CPU cost of the 1M-row sustained-ingest batch drops with it.
+    // CoW keeps the window-agg shape: its frame carries target rows, so
+    // distinctKeys ("keys the batch touched") genuinely needs the per-key
+    // max(_src) resolved inside the window pass.
     val obs = Observation(s"merge-$appId-$batchId-${snap.version}")
-    val ranked = combined
+    val base =
+      if (!mergeOnRead) combined
+      else combined.observe(obs, count(lit(1)).as("n"),
+        min(col(CdcModel.RowLsnCol)).as("mn"), max(col(CdcModel.RowLsnCol)).as("mx"))
+    val ranked0 = base
       .sortWithinPartitions(sortKeys: _*)
       .withColumn("_rn", row_number().over(w))
-      .withColumn("_hasBatch", max(col(SrcCol)).over(wAll))
-    val withBatchStats =
-      if (!mergeOnRead) ranked
-      else ranked
-        .withColumn("_nB", sum(col(SrcCol)).over(wAll))
-        .withColumn("_mnL", min(col("_bLsn")).over(wAll))
-        .withColumn("_mxL", max(col("_bLsn")).over(wAll))
-    val filtered = withBatchStats.filter(col("_rn") === 1)
+    val ranked =
+      if (mergeOnRead) ranked0
+      else ranked0.withColumn("_hasBatch", max(col(SrcCol)).over(wAll))
+    val filtered = ranked.filter(col("_rn") === 1)
     val observed =
-      if (!mergeOnRead) filtered.observe(obs, sum("_hasBatch").as("distinctKeys"))
-      else filtered.observe(obs, sum("_hasBatch").as("distinctKeys"),
-        sum("_nB").as("n"), min("_mnL").as("mn"), max("_mxL").as("mx"))
+      if (mergeOnRead) filtered
+      else filtered.observe(obs, sum("_hasBatch").as("distinctKeys"))
     val winners = observed
       .select((col(LakeTable.BucketCol) +: keys.map(col)) ++
         payloadCols.map(col): _*)
 
     val added = phase("write", batchId) { table.writeDataFilesPrePartitioned(winners) }
     val m = awaitMetrics(obs)
-    val distinctKeys = m("distinctKeys").asInstanceOf[Long] // null→0 on empty batch
+    val distinctKeys =
+      if (mergeOnRead) added.map(_.rows).sum // one winner row per key (footer-true)
+      else m("distinctKeys").asInstanceOf[Long] // null→0 on empty batch
     val (eventsIn, minLsn, maxLsn) = pre match {
       case Some(rows) =>
-        (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).min, rows.map(_.getLong(3)).max)
+        (rows.map(_._2).sum, rows.map(_._3).min, rows.map(_._4).max)
       case None => // MOR: from the same observation (null when zero rows)
         Option(m("n")).map(_.asInstanceOf[Long]).filter(_ > 0L) match {
           case Some(n) => (n, m("mn").asInstanceOf[Long], m("mx").asInstanceOf[Long])
           case None => (0L, -1L, -1L)
         }
+    }
+    // the all-fenced/watermark-filtered MOR batch (no probe ran — see above):
+    // nothing was applied, so take the same metadata-only commit the CoW
+    // empty-pre path takes — no schema evolution, watermark unchanged
+    if (mergeOnRead && eventsIn == 0L && added.isEmpty) {
+      val s = table.replaceFiles(snap, Set.empty, Nil, None, appId, batchId,
+        snap.watermarkLsn, snap.sourceOffsets ++ sourceOffsets)
+      return MergeStats(batchId, s.version, 0, 0, 0, 0, 0, 0, 0, -1, -1,
+        schemaEvolved = false, skippedFenced = false, (System.nanoTime() - t0) / 1000000,
+        sourceOffsets = sourceOffsets)
     }
     val bucketsTouched = if (mergeOnRead) added.map(_.bucket).distinct.size else buckets.size
 

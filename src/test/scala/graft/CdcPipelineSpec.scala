@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.cdc.CdcPipeline
+import graft.cdc.{CdcPipeline, Lineage}
 import graft.lake.LakeTable
 import graft.model.{CdcModel, DerivedEvents, SyntheticEvents}
 
@@ -267,6 +267,13 @@ class CdcPipelineSpec extends SparkSuite {
     val s2 = p.applyBatch(events, batchId = 0)
     assert(s2.skippedFenced)
     assert(digest(finalState(p)).sameElements(v1))
+    // the fenced replay must NOT overwrite the version's lineage record with
+    // its zeroed stats (POSIX rename overwrites; append is skipped on fence)
+    val lin = Lineage.read(spark, root)
+      .filter(col("version") === s1.committedVersion).collect()
+    assert(lin.length === 1)
+    assert(lin(0).getAs[Long]("eventsIn") === s1.eventsIn)
+    assert(!lin(0).getAs[Boolean]("skippedFenced"))
   }
 
   test("re-applying an arbitrary suffix of batches is idempotent (exactly-once)") {
