@@ -30,6 +30,21 @@ object SimilarityOps {
     when(den === 0.0, lit(0.0)).otherwise(dot(a, b) / den)
   }
 
+  /** [[cosine]] with the two norms already materialized as columns. Higher-
+    * order array functions are CodegenFallback (interpreted, no common-
+    * subexpression elimination), so the inline [[cosine]] evaluates ~5 O(d)
+    * array folds PER PAIR (dot + 2 norms for the zero guard + 2 again for
+    * the division). Every pairwise operator below joins a row against many
+    * counterparts, so each side's norm is a pure per-ROW value recomputed
+    * per PAIR — precomputing it on each side before the join leaves exactly
+    * one O(d) fold (the dot) per pair. Same expressions over the same data
+    * in the same order → bit-identical doubles (asserted by the unchanged
+    * oracle gate). */
+  private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val den = na * nb
+    when(den === 0.0, lit(0.0)).otherwise(dot(a, b) / den)
+  }
+
   /** Bounded top-k per query: window `row_number ≤ k` over (cos desc, id) —
     * WindowExec external-sorts and spills, so per-task memory stays O(page)
     * no matter how many candidates a query has. (A per-group
@@ -52,10 +67,12 @@ object SimilarityOps {
     * Ties broken by neighbor id for determinism.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
-    val scored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("_qn")))
+    val scored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        norm(col("embedding")).as("_cn"))
       .join(q, col("query_id") =!= col("neighbor_id")) // all query×corpus pairs minus self
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosinePre(col("qv"), col("cv"), col("_qn"), col("_cn")))
     topKPerQuery(scored, k)
   }
 
@@ -108,12 +125,14 @@ object SimilarityOps {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 8): DataFrame = {
     val cb = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-      lshBucket(col("embedding"), planes).as("bucket"))
+      lshBucket(col("embedding"), planes).as("bucket"),
+      norm(col("embedding")).as("_cn"))
     val qb = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-      lshBucket(col("embedding"), planes).as("bucket")))
+      lshBucket(col("embedding"), planes).as("bucket"),
+      norm(col("embedding")).as("_qn")))
     val scored = cb.join(qb, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosinePre(col("qv"), col("cv"), col("_qn"), col("_cn")))
     topKPerQuery(scored, k)
   }
 
@@ -169,10 +188,15 @@ object SimilarityOps {
       take: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("cos_c").desc, col("cid").asc)
-    df.join(cent)
-      .withColumn("cos_c", cosine(col("vq"), col("csum")))
+    // norms hoisted out of the row × centroid product (see [[cosinePre]]):
+    // the row's norm is computed once instead of per centroid, the
+    // centroid's once per (tiny, broadcast) centroid row instead of per
+    // corpus row × centroid
+    df.withColumn("_vqn", norm(col("vq")))
+      .join(cent.withColumn("_csn", norm(col("csum"))))
+      .withColumn("cos_c", cosinePre(col("vq"), col("csum"), col("_vqn"), col("_csn")))
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= take)
-      .drop("cos_c", "_rn", "csum")
+      .drop("cos_c", "_rn", "csum", "_vqn", "_csn")
   }
 
   /** @param trainSampleMod train the quantizer on the deterministic
@@ -254,9 +278,10 @@ object SimilarityOps {
         quantized(col("embedding")).as("vq")),
       cent, "query_id", take = nprobe)
       .select(col("query_id"), col("qv"), col("cid").as("list_id")))
-    val scored = lists.join(probes, Seq("list_id"))
+    val scored = lists.withColumn("_cn", norm(col("cv")))
+      .join(probes.withColumn("_qn", norm(col("qv"))), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosinePre(col("qv"), col("cv"), col("_qn"), col("_cn")))
     topKPerQuery(scored, k)
   }
 
@@ -264,10 +289,15 @@ object SimilarityOps {
     * LSH blocking + exact verify — the embedding flavor of DedupOps. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double, planes: Int = 6): DataFrame = {
     val b = vectors.select(col("vec_id").as("id"), col("embedding").as("v"),
-      lshBucket(col("embedding"), planes).as("bucket"))
-    b.as("l").join(b.as("r"),
+      lshBucket(col("embedding"), planes).as("bucket"),
+      norm(col("embedding")).as("vn"))
+    // shuffle_hash: a broadcast of one self-join side would re-run the
+    // whole lshBucket + norm projection for it; hashed both sides,
+    // ReuseExchange computes it once (same rationale as the banded dedup
+    // self-joins in [[DedupOps]])
+    b.as("l").join(b.as("r").hint("shuffle_hash"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .withColumn("cos", cosine(col("l.v"), col("r.v")))
+      .withColumn("cos", cosinePre(col("l.v"), col("r.v"), col("l.vn"), col("r.vn")))
       .filter(col("cos") >= threshold)
       .select(col("l.id").as("a"), col("r.id").as("b"), col("cos"))
   }
