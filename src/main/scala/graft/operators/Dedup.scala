@@ -113,26 +113,37 @@ object DedupOps {
   }
 
   /** MinHash signatures as `numHashes` lexicographic-min md5 hex strings of
-    * salted shingles, computed with explode + one hash aggregation rather
-    * than nested higher-order functions: the per-shingle row stream keeps
-    * every md5 evaluated exactly once inside one codegen stage (an array-
-    * valued `transform` per hash would re-materialize the shingle array
-    * `numHashes` times and explode the expression tree), and the min-agg
-    * combines map-side — the plan that still works when a document has 10^5
-    * shingles. Using the hex string itself as the hash value keeps the
-    * signature reproducible in any engine with md5 (the DuckDB oracle), with
-    * identical collision behavior to integer minhash. Returns (id, m0..m{k-1}).
+    * salted shingles, computed per-ROW with `aggregate` folds over the
+    * materialized shingle array — a pure map-side projection: NO explode, NO
+    * shuffle, NO aggregation machinery. The round-5 explode + groupBy(id)
+    * shape planned as Sort → SortAggregate → Exchange → Sort →
+    * SortAggregate (min over a STRING buffer is not hash-aggregable —
+    * HashAggregateExec needs mutable fixed-width buffers), i.e. two sorts of
+    * the full exploded shingle stream plus a shuffle, per invocation; the
+    * fold keeps the identical md5-per-(salt, distinct shingle) work (the
+    * min fold is `least`, the same binary string comparison) while every
+    * row stays where it was scanned. The shingle array is projected ONCE
+    * below the folds (CollapseProject keeps expensive multi-referenced
+    * aliases un-inlined), and the fold carries no intermediate arrays, so a
+    * 10^5-shingle document costs exactly its md5 evaluations. The all-'f'
+    * zero value is the maximum possible md5 hex string, so it never beats a
+    * real hash (and equals the min iff a shingle actually hashes to it).
+    * Null-text documents are dropped — same rows as the explode form, which
+    * produced no shingle rows for them. Using the hex string itself as the
+    * hash value keeps the signature reproducible in any engine with md5
+    * (the DuckDB oracle), with identical collision behavior to integer
+    * minhash. Returns (id, m0..m{k-1}).
     */
   def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1 && numHashes >= 1,
       s"minhash needs n >= 1 and numHashes >= 1 (got n=$n, numHashes=$numHashes)")
-    val sh = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("sh"))
-    sh.groupBy("id").agg(
-      min(md5(concat(lit("0#"), col("sh")))).as("m0"),
-      (1 until numHashes).map(i =>
-        min(md5(concat(lit(s"$i#"), col("sh")))).as(s"m$i")): _*)
+    val maxMd5 = "f" * 32
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("_sh"))
+      .select(col("id") +: (0 until numHashes).map(i =>
+        aggregate(col("_sh"), lit(maxMd5),
+          (acc, s) => least(acc, md5(concat(lit(s"$i#"), s)))).as(s"m$i")): _*)
   }
 
   /** MinHash + LSH near-dup candidates: signatures banded into
@@ -157,7 +168,15 @@ object DedupOps {
       array((0 until bands).map(b =>
         concat_ws("|", (0 until rowsPerBand).map(r =>
           col(s"m${b * rowsPerBand + r}")): _*)): _*)).as(Seq("band", "bv")))
-    banded.as("l").join(banded.as("r"),
+    // SHUFFLE_HASH, not the planner's default: size estimates put one side
+    // of this self-join under the broadcast threshold, and a broadcast
+    // re-computes the ENTIRE signature subplan for that side (the two sides
+    // are different exchange types, so nothing is reusable) — every md5
+    // twice. Hashed both sides, the two (band, bv) exchanges are
+    // canonically identical and ReuseExchange computes the signatures ONCE;
+    // this is also precisely the documented scale shape (shuffle
+    // O(docs × bands)), where a corpus-sized build could never broadcast.
+    banded.as("l").join(banded.as("r").hint("shuffle_hash"),
         col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
@@ -228,7 +247,10 @@ object DedupOps {
   private def simhashPairsOf(sigs: DataFrame, maxDist: Int): DataFrame = {
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(sigBands(col("sig"), maxDist)).as(Seq("band", "bv")))
-    banded.as("l").join(banded.as("r"),
+    // shuffle_hash: a broadcast of one self-join side would re-run the whole
+    // signature subplan for it; hashed both sides ReuseExchange computes the
+    // signatures once (same rationale as [[minhashLshPairs]])
+    banded.as("l").join(banded.as("r").hint("shuffle_hash"),
         col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
