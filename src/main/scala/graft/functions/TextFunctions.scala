@@ -41,16 +41,19 @@ object TextFunctions {
   /** Fraction of tokens that are in `stopwords` (lower-cased exact match). */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = split(lower(trim(text)), "\\s+")
-    val stops = array(stopwords.map(lit): _*)
     // empty text guard on the TEXT, not size(toks) === 0 (dead: split of an
     // empty string yields [""], size 1 — same guard shape as tokenCount)
     when(length(trim(text)) === 0, 0.0)
-      .otherwise(size(array_intersect_count(toks, stops)).cast("double") / size(toks))
+      .otherwise(size(array_intersect_count(toks, stopwords)).cast("double") / size(toks))
   }
 
-  // array filter keeping duplicates (array_intersect dedups — ratio needs counts)
-  private def array_intersect_count(toks: Column, stops: Column): Column =
-    filter(toks, t => array_contains(stops, t))
+  // array filter keeping duplicates (array_intersect dedups — ratio needs
+  // counts). `isin`, not array_contains over a literal array: OptimizeIn
+  // turns the >10-literal IN into an O(1) InSet hash probe per token where
+  // array_contains scans the 30 literals linearly (langHits uses the same
+  // form); a non-matching/null token filters out identically either way.
+  private def array_intersect_count(toks: Column, stops: Seq[String]): Column =
+    filter(toks, t => t.isin(stops: _*))
 
   /** Heuristic quality score in [0,1]: rewards mid-length documents, plain
     * words; penalizes punctuation soup and screaming. Deterministic; the
@@ -170,21 +173,44 @@ object TextFunctions {
 
   /** Predicted language = argmax of marker hits over `markers` (pluggable —
     * pass a custom profile map to widen/replace languages), 'und' when all
-    * zero. Deterministic tie-break by language code order. */
+    * zero. Deterministic tie-break by language code order.
+    *
+    * Round 6: all per-language hit counts come from ONE `aggregate` fold
+    * over ONE tokenization. The per-language [[langHits]] form re-evaluated
+    * `split(lower(trim(text)))` once per language per row — higher-order
+    * array functions are CodegenFallback, so no subexpression elimination
+    * merges the seven identical tokenizations — and walked the token array
+    * seven times. The fold tokenizes once and probes each token against
+    * every profile's InSet in a single pass; hit counts (and therefore the
+    * argmax and tie-break) are integer-identical to the per-language form,
+    * so the oracle gate is unchanged. */
   def langId(text: Column,
       markers: Map[String, Seq[String]] = langMarkers): Column = {
-    val scored = markers.toSeq.sortBy(_._1).map { case (code, ms) =>
-      struct(langHits(text, ms).as("hits"), lit(code).as("code"))
-    }
-    // struct compare: hits first, then code. greatest() needs >= 2 args —
-    // a single-language profile map (a monolingual filter) is valid input
-    val best = if (scored.sizeIs == 1) scored.head else greatest(scored: _*)
+    val profiles = markers.toSeq.sortBy(_._1)
+    val toks = split(lower(trim(text)), "\\s+")
+    val zero = array(profiles.map(_ => lit(0)): _*)
+    // the argmax lives in the fold's FINISH lambda, where the final count
+    // array is a bound lambda VARIABLE — referencing it once per language is
+    // a read. (A named `counts` Column referenced per language would inline
+    // the whole fold expression tree once per language — the same
+    // recompute-by-duplication this rewrite removes.)
+    val result = aggregate(toks, zero,
+      (acc, t) => zip_with(acc, array(profiles.map { case (_, ms) =>
+        when(t.isin(ms: _*), 1).otherwise(0)
+      }: _*), (a, b) => a + b),
+      acc => {
+        val scored = profiles.zipWithIndex.map { case ((code, _), i) =>
+          struct(element_at(acc, i + 1).as("hits"), lit(code).as("code"))
+        }
+        // struct compare: hits first, then code. greatest() needs >= 2 args
+        // — a single-language profile map (a monolingual filter) is valid
+        val best = if (scored.sizeIs == 1) scored.head else greatest(scored: _*)
+        when(best.getField("hits") === 0, "und").otherwise(best.getField("code"))
+      })
     // NULL text stays NULL (a missing document has no language — the same
     // convention as bpeTokenCount): without the guard every language's hits
     // field is NULL, the struct compare degenerates to the code tie-break,
     // and every null-text row would be labeled with the LAST language code
-    when(text.isNull, lit(null).cast("string"))
-      .when(best.getField("hits") === 0, "und")
-      .otherwise(best.getField("code"))
+    when(text.isNull, lit(null).cast("string")).otherwise(result)
   }
 }
