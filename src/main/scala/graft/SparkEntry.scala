@@ -280,7 +280,17 @@ object SparkEntry {
   }
 
   /** J3/A1: multi-join + aggregation (the in-warehouse CTAS transform class,
-    * transform.go:10-40) — revenue per nation, small dims broadcast. */
+    * transform.go:10-40) — revenue per nation, small dims broadcast.
+    *
+    * Round 6: examined and deliberately left as-is. The executed plan
+    * (plans/r06/j2_join_agg_before.txt) already BroadcastHashJoins all three
+    * right sides — lineitem, the only big side, never shuffles; the sole
+    * hash Exchange is the 25-row per-nation aggregate (map-side combined).
+    * A per-orderkey pre-aggregation (guide §2.3) was prototyped and rejected:
+    * it ADDS an orderkey Exchange that the broadcast plan does not have, and
+    * at a scale where orders stops fitting a broadcast, AQE's SMJ still
+    * benefits more from the planner's own partial aggregation.
+    */
   private def j2JoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     val o = t(spark, dir, "orders")
