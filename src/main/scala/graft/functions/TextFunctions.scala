@@ -9,6 +9,23 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Evaluate `v` ONCE and bind it as a lambda variable for `body`.
+    *
+    * Column expressions are trees: a Scala `val` referenced N times inlines
+    * the whole subtree N times, and interpreted higher-order-function
+    * evaluation performs no common-subexpression elimination — in
+    * particular NOT inside lambda bodies, where each element's evaluation
+    * re-computes every captured subtree. A token array referenced per gram
+    * inside a `transform` lambda therefore re-ran the full `split` of the
+    * document PER GRAM ELEMENT — quadratic in document length (measured:
+    * 4× tokens → 14.8× wall on the shingle explode). Wrapping the value in
+    * a one-element array and applying the body via `transform` turns every
+    * reference into a bound-variable read; `element_at(..., 1)` unwraps.
+    * Null propagates identically (the body sees the null value, exactly as
+    * it would have evaluated the null subtree). */
+  private[graft] def bindOnce(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
   /** Whitespace token count without materializing the token array. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, 0L)
@@ -39,13 +56,14 @@ object TextFunctions {
       .otherwise((length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast("double") / length(text))
 
   /** Fraction of tokens that are in `stopwords` (lower-cased exact match). */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    // empty text guard on the TEXT, not size(toks) === 0 (dead: split of an
-    // empty string yields [""], size 1 — same guard shape as tokenCount)
-    when(length(trim(text)) === 0, 0.0)
-      .otherwise(size(array_intersect_count(toks, stopwords)).cast("double") / size(toks))
-  }
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    // token array bound once (the ratio references it twice)
+    bindOnce(split(lower(trim(text)), "\\s+")) { toks =>
+      // empty text guard on the TEXT, not size(toks) === 0 (dead: split of an
+      // empty string yields [""], size 1 — same guard shape as tokenCount)
+      when(length(trim(text)) === 0, 0.0)
+        .otherwise(size(array_intersect_count(toks, stopwords)).cast("double") / size(toks))
+    }
 
   // array filter keeping duplicates (array_intersect dedups — ratio needs
   // counts). `isin`, not array_contains over a literal array: OptimizeIn
@@ -77,15 +95,20 @@ object TextFunctions {
     * for boilerplate/SEO-spam pages. 0 = no repetition; short texts (fewer
     * than n tokens) count as one gram → 0. Pure Column expression —
     * codegen'd, no UDF — and replayable in ANSI SQL for the oracle. */
-  def repetitionRatio(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
-    val k = size(toks) - (n - 1)
-    // raw (NOT distinct) gram stream — the ratio needs repeat counts
-    val grams = when(k <= 0, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), k - 1),
-        i => concat_ws(" ", (0 until n).map(j => toks.getItem(i + j)): _*)))
-    lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)
-  }
+  def repetitionRatio(text: Column, n: Int): Column =
+    // token array AND gram array each bound once ([[bindOnce]]): the naive
+    // tree re-split the document per gram (references inside the transform
+    // lambda — quadratic in doc length) and re-built the gram stream twice
+    // (distinct numerator + denominator)
+    bindOnce(split(trim(text), "\\s+")) { toks =>
+      val k = size(toks) - (n - 1)
+      // raw (NOT distinct) gram stream — the ratio needs repeat counts
+      bindOnce(when(k <= 0, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), k - 1),
+          i => concat_ws(" ", (0 until n).map(j => toks.getItem(i + j)): _*)))) { grams =>
+        lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)
+      }
+    }
 
   /** Canonical document fingerprint: sha256 of case/whitespace-normalized
     * text — the exact-dedup key that survives trivial reformatting. */
@@ -122,15 +145,19 @@ object TextFunctions {
     * license headers, nav menus — repeat inside a page): keep each line's
     * FIRST occurrence, preserve order. `array_distinct` is documented to
     * keep first-occurrence order in Spark. */
-  def dedupLines(text: Column): Column = {
-    val lines = split(text, "\n")
-    // BLANK lines pass through (they are paragraph structure, not
-    // boilerplate — array_distinct alone would delete every paragraph break
-    // after the first); non-blank lines keep their first occurrence
-    // (array_position = 1-based first index)
-    array_join(filter(lines, (x, i) =>
-      trim(x) === "" || array_position(lines, x) === (i + 1).cast("long")), "\n")
-  }
+  def dedupLines(text: Column): Column =
+    // the line array is bound once ([[bindOnce]]): the naive tree
+    // re-evaluated the full split PER LINE via the array_position reference
+    // inside the filter lambda (quadratic string work on top of
+    // array_position's inherent scan)
+    bindOnce(split(text, "\n")) { lines =>
+      // BLANK lines pass through (they are paragraph structure, not
+      // boilerplate — array_distinct alone would delete every paragraph break
+      // after the first); non-blank lines keep their first occurrence
+      // (array_position = 1-based first index)
+      array_join(filter(lines, (x, i) =>
+        trim(x) === "" || array_position(lines, x) === (i + 1).cast("long")), "\n")
+    }
 
   /** Function-word markers per language for the stopword-profile langid
     * heuristic — the default scorer a real pipeline would swap for a

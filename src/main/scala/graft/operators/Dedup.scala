@@ -33,16 +33,24 @@ object DedupOps {
       .groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Word n-gram shingles of `text` as an array column (distinct). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
-    val k = size(toks) - (n - 1)
-    // i-th shingle = tokens[i..i+n): build via transform over index range
-    array_distinct(
-      when(k <= 0, array(concat_ws(" ", toks)))
-        .otherwise(transform(sequence(lit(0), k - 1),
-          i => concat_ws(" ", (0 until n).map(j => toks.getItem(i + j)): _*))))
-  }
+  /** Word n-gram shingles of `text` as an array column (distinct).
+    *
+    * The token array is BOUND once ([[TextFunctions.bindOnce]]): the naive
+    * form referenced the `split` subtree n times per gram inside the
+    * transform lambda (plus the size/singleton references), and interpreted
+    * HOF evaluation re-computes captured subtrees per element — the full
+    * document was re-split PER GRAM, quadratic in document length
+    * (measured 4× tokens → 14.8× wall before the fix). Token values,
+    * gram construction and distinct-ness are unchanged. */
+  def shingles(text: Column, n: Int): Column =
+    TextFunctions.bindOnce(split(trim(text), "\\s+")) { toks =>
+      val k = size(toks) - (n - 1)
+      // i-th shingle = tokens[i..i+n): build via transform over index range
+      array_distinct(
+        when(k <= 0, array(concat_ws(" ", toks)))
+          .otherwise(transform(sequence(lit(0), k - 1),
+            i => concat_ws(" ", (0 until n).map(j => toks.getItem(i + j)): _*))))
+    }
 
   /** All candidate pairs (a < b) sharing ≥1 shingle, with exact Jaccard
     * similarity over distinct n-gram shingles, filtered at `threshold`.
@@ -188,19 +196,23 @@ object DedupOps {
     * Each token votes its hash bits; the sign of each bit-sum forms the
     * signature. Near-dups = signatures within small Hamming distance.
     */
-  def simhash(text: Column): Column = {
-    // hash each token ONCE, then run the 64 per-bit vote aggregates over the
-    // hashed array (shift/mask only per element): the per-bit lambdas are
-    // separate scopes, so an xxhash64 call INSIDE them is not merged by
-    // subexpression elimination — a 1,000-token doc would pay 64,000 hash
-    // evaluations instead of 1,000
-    val hashes = transform(split(trim(text), "\\s+"), t => xxhash64(t))
-    val bitSum = (b: Int) => aggregate(hashes, lit(0L), (acc, h) =>
-      acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-    (0 until 64).map(b =>
-      when(bitSum(b) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhash(text: Column): Column =
+    // hash each token ONCE: the hashed array is BOUND as a lambda variable
+    // ([[TextFunctions.bindOnce]]) before the 64 per-bit vote aggregates
+    // read it (shift/mask only per element). A plain `val hashes` Column
+    // referenced by 64 aggregates would inline — and re-evaluate — the
+    // split+hash of the whole document 64 times per row (the same
+    // duplication [[shingles]] had; nothing eliminates common subtrees in
+    // interpreted HOF eval): a 1,000-token doc would pay 64,000 hash
+    // evaluations instead of 1,000.
+    TextFunctions.bindOnce(
+      transform(split(trim(text), "\\s+"), t => xxhash64(t))) { hashes =>
+      val bitSum = (b: Int) => aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      (0 until 64).map(b =>
+        when(bitSum(b) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b))
+    }
 
   /** Contiguous bit-range bands of a 64-bit signature sized so band blocking
     * is LOSSLESS at Hamming distance ≤ `maxDist` (requires maxDist ≤ 63):

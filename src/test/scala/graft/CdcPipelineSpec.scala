@@ -322,15 +322,27 @@ class CdcPipelineSpec extends SparkSuite {
   }
 
   test("watermark guard short-circuits fully-stale batches (metadata-only commit)") {
-    val root = SparkTestBase.tmpDir("cdc-stale")
-    val p = new CdcPipeline(LakeTable(root)(spark), "app-stale")
-    p.bootstrap(numBuckets = 8)
-    p.applyBatch(events, batchId = 0)
-    val t = p.table.currentSnapshot.get
-    // all LSNs ≤ watermark; guard applies only under ordered delivery
-    val s = p.applyBatch(events, batchId = 1, orderedDelivery = true)
-    assert(s.eventsIn === 0 && s.bucketsTouched === 0)
-    assert(p.table.currentSnapshot.get.files.map(_.path) === t.files.map(_.path))
+    // both modes: CoW short-circuits on the (pre-computed or per-batch)
+    // pre-pass; MOR runs the merge job with zero surviving rows and must
+    // still land the identical metadata-only commit (round 6 removed its
+    // take(1) emptiness probe — this is the path that replaced it)
+    for (mor <- Seq(false, true)) {
+      val root = SparkTestBase.tmpDir(s"cdc-stale-$mor")
+      val p = new CdcPipeline(LakeTable(root)(spark), s"app-stale-$mor",
+        mergeOnRead = mor)
+      p.bootstrap(numBuckets = 8)
+      p.applyBatch(events, batchId = 0)
+      val t = p.table.currentSnapshot.get
+      // all LSNs ≤ watermark; guard applies only under ordered delivery
+      val s = p.applyBatch(events, batchId = 1, orderedDelivery = true)
+      assert(s.eventsIn === 0 && s.bucketsTouched === 0 && s.rowsWritten === 0,
+        s"mergeOnRead=$mor")
+      assert(!s.schemaEvolved && !s.skippedFenced, s"mergeOnRead=$mor")
+      assert(p.table.currentSnapshot.get.files.map(_.path) === t.files.map(_.path),
+        s"mergeOnRead=$mor")
+      // the epoch still advanced (exactly-once bookkeeping)
+      assert(p.table.currentSnapshot.get.batchId === 1L, s"mergeOnRead=$mor")
+    }
   }
 
   test("merge prunes untouched buckets (affected-partition pruning)") {

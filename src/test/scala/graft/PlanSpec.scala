@@ -271,6 +271,48 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("minhash signatures are a per-row projection: no explode, no shuffle, no sort-agg") {
+    // round 6: min(md5-string) is not hash-aggregable, so the old explode +
+    // groupBy(id) shape planned Sort → SortAggregate → Exchange → Sort →
+    // SortAggregate over the full exploded shingle stream; the per-row fold
+    // must keep the whole computation inside one map-side projection
+    // filter, not limit: a limit plans a GlobalLimit Exchange of its own
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 100)
+    val plan = planOf(graft.operators.DedupOps.minhashSignatures(docs, 3, 8))
+    assert(!plan.contains("Exchange"), s"shuffle in signature plan:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"sort-agg in signature plan:\n$plan")
+    assert(!plan.contains("Generate"), s"explode in signature plan:\n$plan")
+    // ...and the shingle array is materialized ONCE below the 8 folds — a
+    // collapsed projection would re-evaluate the shingle construction per fold
+    assert("array_distinct".r.findAllIn(plan).size === 1,
+      s"shingle expression duplicated across folds:\n$plan")
+  }
+
+  test("banded LSH self-join shuffles both sides (signature subplan computed once)") {
+    // a broadcast side would recompute the entire signature subplan for the
+    // build relation (a BroadcastExchange shares nothing with the probe
+    // side); hashed both ways the two band-keyed exchanges are canonically
+    // identical and exchange reuse evaluates the signatures once — also the
+    // documented scale shape (shuffle O(docs × bands))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val plan = planOf(graft.operators.DedupOps.minhashLshPairs(
+      docs, n = 3, bands = 4, rowsPerBand = 2))
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffled self-join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"broadcast self-join recomputes signatures:\n$plan")
+  }
+
+  test("langId tokenizes the text exactly once") {
+    // round 6: the per-language langHits form re-evaluated
+    // split(lower(trim(text))) once per language (CodegenFallback — no
+    // subexpression elimination); the fused fold must plan ONE tokenization
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val plan = planOf(docs.select(
+      graft.functions.TextFunctions.langId(col("text")).as("lang")))
+    assert("split\\(lower\\(trim".r.findAllIn(plan).size === 1,
+      s"langId tokenizes more than once:\n$plan")
+  }
+
   test("ngram jaccard does not force a broadcast of the per-doc sizes side") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
     val logical = graft.operators.DedupOps.ngramJaccardPairs(docs, 3, 0.5)
