@@ -97,24 +97,68 @@ object SimilarityOps {
     (pmod(h2, lit(2000001L)) - lit(1000000L)).cast("double") / 1000000.0
   }
 
+  /** Largest vector dimension the precomputed plane literals cover — any
+    * practical embedding is far below it; larger vectors fail loudly. */
+  private[graft] val MaxPlaneDim = 4096
+
+  /** Driver-side value of [[planeComponent]] — the SAME pure int64
+    * arithmetic evaluated eagerly (`Math.floorMod` ≡ `pmod` for the
+    * positive moduli used; the final int→double divide is the identical
+    * IEEE operation), so the literal plane matrix below is bit-equal to
+    * the expression form the DuckDB oracle replays. OperatorsSpec asserts
+    * the two agree on a (plane, dim, seed) grid. */
+  private[graft] def planeComponentValue(m: Int, d: Int, seed: Long): Double = {
+    val p = 2147483647L
+    val a = 48271L
+    val s = Math.floorMod(m.toLong * 4099L + seed + d.toLong, p)
+    val sq = Math.floorMod(s * s, p)
+    val h1 = Math.floorMod(a * sq + 12345L, p)
+    val h2 = Math.floorMod(a * h1 + 12345L, p)
+    (Math.floorMod(h2, 2000001L) - 1000000L).toDouble / 1000000.0
+  }
+
+  /** The expression-form [[planeComponent]], exposed for the OperatorsSpec
+    * literal-vs-expression equality grid — the production path below uses
+    * the precomputed literals. */
+  private[graft] def planeComponentExpr(m: Int, d: Column, seed: Long): Column =
+    planeComponent(m, d, seed)
+
   /** Random-hyperplane LSH bucket id: sign bits of `planes` pseudo-random
     * hyperplane projections. Plane m's component for dimension d is a
     * deterministic hash-derived value in [-1, 1] — no stored model, any
     * executor regenerates it, and the same formula is reproducible in SQL.
-    */
+    *
+    * Round 6: the plane components are pure functions of (plane, dim, seed)
+    * — constants across rows — yet the expression form re-evaluated the
+    * ~12-op MINSTD chain (four modulo divisions) per element per plane per
+    * ROW, interpreted. Each plane's component vector is now a constant-
+    * folded LITERAL array ([[planeComponentValue]], bit-equal by
+    * construction and by test); per element the projection does one array
+    * read and one multiply. Sum order, products, sign logic and the
+    * empty/null-vector outcomes are unchanged (empty → every projection
+    * non-positive either way → bucket 0; null → null). */
   def lshBucket(vec: Column, planes: Int, seed: Long = 7L): Column = {
     // JVM shifts wrap mod 64: shiftleft(1L, 64) == 1L, so plane 64 would
     // silently alias plane 0's bit and corrupt bucket ids (same guard as
     // sigBands) — 63 planes max keeps every bit distinct in one Long
     require(planes >= 1 && planes <= 63,
       s"lshBucket needs planes in [1, 63] (bits of one Long), got $planes")
-    val proj = (m: Int) => aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1), (v, d) =>
-        v.cast("double") * planeComponent(m, d, seed)),
-      lit(0.0), (acc, v) => acc + v)
-    (0 until planes).map(m =>
+    val proj = (m: Int) => {
+      val arr = lit((0 until MaxPlaneDim).map(d => planeComponentValue(m, d, seed)).toArray)
+      aggregate(
+        zip_with(vec, slice(arr, lit(1), size(vec)), (v, c) => v.cast("double") * c),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    val bucket = (0 until planes).map(m =>
       when(proj(m) > 0, shiftleft(lit(1L), m)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
+    // data-dependent guard (a compile-time require cannot see the dim):
+    // beyond-MaxPlaneDim vectors would silently project over a TRUNCATED
+    // plane — fail loudly instead
+    when(size(vec) > MaxPlaneDim, raise_error(lit(
+      s"lshBucket supports vectors up to $MaxPlaneDim dimensions " +
+      "(raise SimilarityOps.MaxPlaneDim for wider embeddings)")).cast("long"))
+      .otherwise(bucket)
   }
 
   /** Approximate NN: candidates share an LSH bucket (queries probe their own

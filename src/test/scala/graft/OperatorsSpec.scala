@@ -153,6 +153,30 @@ class OperatorsSpec extends SparkSuite {
     assert(!r.map(_.getLong(1)).contains(0L)) // self excluded
   }
 
+  test("lshBucket literal plane matrix is bit-equal to the expression form") {
+    import spark.implicits._
+    // the production path projects against precomputed literal plane
+    // vectors (planeComponentValue); the DuckDB oracle replays the
+    // expression form (planeComponentExpr). They must agree on every bit,
+    // or engine and oracle desync — exact double equality, no tolerance.
+    for (seed <- Seq(7L, 42L); m <- Seq(0, 3, 62)) {
+      val got = (0 until 256).toDF("d")
+        .select(SimilarityOps.planeComponentExpr(m, col("d"), seed).as("v"))
+        .collect().map(_.getDouble(0)).toSeq
+      val want = (0 until 256).map(d => SimilarityOps.planeComponentValue(m, d, seed))
+      assert(got === want, s"literal/expression divergence at seed=$seed m=$m")
+    }
+    // ...and an over-wide vector fails loudly instead of silently
+    // projecting over a truncated plane
+    val wide = Seq((1L, Array.fill(SimilarityOps.MaxPlaneDim + 1)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      wide.select(SimilarityOps.lshBucket(col("embedding"), planes = 2)).collect()
+    }
+    assert(e.getMessage.contains("MaxPlaneDim") ||
+      Option(e.getCause).exists(_.getMessage.contains("MaxPlaneDim")))
+  }
+
   test("lsh topk candidates are a subset of brute-force scoring domain and bucket-consistent") {
     val q = emb.filter(col("vec_id") < 3)
     val r = SimilarityOps.lshTopK(q, emb, 5, planes = 4)
