@@ -256,15 +256,22 @@ object Merge {
     // the main job as an Observation, and the touched-bucket count falls
     // out of the files written. Measured: the pre-pass was ~1-1.4s of an
     // ~8s 1M-row MOR batch (~13% of sustained-ingest throughput). ---
+    // APPEND-ONLY apply = the merge writes new files without reading or
+    // removing any existing one: merge-on-read by mode, and ALSO a
+    // copy-on-write batch into a table with no data files yet (bootstrap
+    // batch 0 / the first load after create) — there is nothing to prune,
+    // so the bucket set (the only thing the pre-pass is FOR) is worthless
+    // and the stats can ride the main job exactly like MOR's.
+    val appendOnly = mergeOnRead || snap.files.isEmpty
     // precomputed slice stats are trusted only on a matching bucket layout
     // and (under orderedDelivery) a watermark strictly below the slice — see
     // [[PreStats]]; a mismatch falls back to the per-batch pre-pass
     val preGiven: Option[Seq[(Int, Long, Long, Long)]] = preStats.collect {
-      case ps if !mergeOnRead && ps.numBuckets == numBuckets && ps.keys == keys &&
+      case ps if !appendOnly && ps.numBuckets == numBuckets && ps.keys == keys &&
         (!orderedDelivery || snap.watermarkLsn < ps.minLsn) => ps.rows
     }
     val pre: Option[Seq[(Int, Long, Long, Long)]] =
-      if (mergeOnRead) None
+      if (appendOnly) None
       else preGiven.orElse(Some(phase("pre", batchId) { batchB
         .groupBy(col(LakeTable.BucketCol))
         .agg(count(lit(1)).as("n"), min(col(CdcModel.LsnCol)).as("mn"),
@@ -407,18 +414,18 @@ object Merge {
     // max(_src) resolved inside the window pass.
     val obs = Observation(s"merge-$appId-$batchId-${snap.version}")
     val base =
-      if (!mergeOnRead) combined
+      if (!appendOnly) combined
       else combined.observe(obs, count(lit(1)).as("n"),
         min(col(CdcModel.RowLsnCol)).as("mn"), max(col(CdcModel.RowLsnCol)).as("mx"))
     val ranked0 = base
       .sortWithinPartitions(sortKeys: _*)
       .withColumn("_rn", row_number().over(w))
     val ranked =
-      if (mergeOnRead) ranked0
+      if (appendOnly) ranked0
       else ranked0.withColumn("_hasBatch", max(col(SrcCol)).over(wAll))
     val filtered = ranked.filter(col("_rn") === 1)
     val observed =
-      if (mergeOnRead) filtered
+      if (appendOnly) filtered
       else filtered.observe(obs, sum("_hasBatch").as("distinctKeys"))
     val winners = observed
       .select((col(LakeTable.BucketCol) +: keys.map(col)) ++
@@ -427,7 +434,7 @@ object Merge {
     val added = phase("write", batchId) { table.writeDataFilesPrePartitioned(winners) }
     val m = awaitMetrics(obs)
     val distinctKeys =
-      if (mergeOnRead) added.map(_.rows).sum // one winner row per key (footer-true)
+      if (appendOnly) added.map(_.rows).sum // one winner row per key (footer-true)
       else m("distinctKeys").asInstanceOf[Long] // null→0 on empty batch
     val (eventsIn, minLsn, maxLsn) = pre match {
       case Some(rows) =>
@@ -441,14 +448,14 @@ object Merge {
     // the all-fenced/watermark-filtered MOR batch (no probe ran — see above):
     // nothing was applied, so take the same metadata-only commit the CoW
     // empty-pre path takes — no schema evolution, watermark unchanged
-    if (mergeOnRead && eventsIn == 0L && added.isEmpty) {
+    if (appendOnly && eventsIn == 0L && added.isEmpty) {
       val s = table.replaceFiles(snap, Set.empty, Nil, None, appId, batchId,
         snap.watermarkLsn, snap.sourceOffsets ++ sourceOffsets)
       return MergeStats(batchId, s.version, 0, 0, 0, 0, 0, 0, 0, -1, -1,
         schemaEvolved = false, skippedFenced = false, (System.nanoTime() - t0) / 1000000,
         sourceOffsets = sourceOffsets)
     }
-    val bucketsTouched = if (mergeOnRead) added.map(_.bucket).distinct.size else buckets.size
+    val bucketsTouched = if (appendOnly) added.map(_.bucket).distinct.size else buckets.size
 
     val removed = targetFiles.map(_.path).toSet
     // what the COMMITTED snapshot actually declared: the retry path below
